@@ -1,0 +1,52 @@
+"""Per-cycle discharge energy via trapezoidal ∫V·I dt (SURVEY.md A5).
+
+Reference semantics (/root/reference/pipeline.py:169-181):
+``E_dis_Wh = |trapz(V·I, t)| / 3600`` over the cycle's DIS rows in
+timestamp order; NULL when fewer than 2 DIS rows. ``np.trapz`` with any
+NaN power/time yields NaN, so a null anywhere in V, I or t nulls the
+cycle — reproduced with an explicit null-count guard (Spark ``sum``
+would otherwise skip nulls).
+
+The trapezoid is expressed with a lag window — algebraically identical
+to np.trapz's pairwise form ``Σ 0.5·(p_i + p_{i-1})·(t_i − t_{i-1})`` —
+then one hash aggregate. Cycles with no qualifying rows re-join via the
+distinct-cycles frame so they still emit NULL (groupby-over-full-frame
+behavior).
+
+Scale: window + aggregate both shuffle on the same (cell, cycle) keys;
+with AQE the exchange is reused, and per-cycle partitions are small and
+uniform (cycles have bounded sample counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._keys import cycle_keys, distinct_cycles, is_dis
+
+
+def energy_wh_per_cycle(df: DataFrame) -> DataFrame:
+    keys = cycle_keys(df)
+    dis = df.filter(is_dis())
+    t = F.col("timestamp").cast("double")  # fractional epoch seconds (C8)
+    p = F.col("voltage_v") * F.col("current_a")
+    w = Window.partitionBy(*keys).orderBy("timestamp")
+    seg = 0.5 * (p + F.lag(p).over(w)) * (t - F.lag(t).over(w))
+    agg = (
+        dis.withColumn("_seg", seg)
+        .withColumn("_bad", p.isNull() | t.isNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.when(F.col("_bad"), 1).otherwise(0)).alias("_nbad"),
+            F.sum("_seg").alias("_e_ws"),
+        )
+        .select(
+            *keys,
+            F.when(
+                (F.col("_n") >= 2) & (F.col("_nbad") == 0),
+                F.abs(F.col("_e_ws")) / F.lit(3600.0),
+            ).alias("E_dis_Wh"),
+        )
+    )
+    return distinct_cycles(df).join(agg, keys, "left")

@@ -3,36 +3,52 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All implementations live in ``mxene_coin_cell_data_pipeline_spark``;
+this module is a thin adapter. Queries are registered in
+``mxene_coin_cell_data_pipeline_spark/plans/queries.py`` with their
+oracle SQL side by side (one source of truth, SURVEY.md §2 tags on
+each).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mxene_coin_cell_data_pipeline_spark.plans import (  # noqa: E402
+    oracle_sqls,
+    query_fns,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full cycler feature pipeline (normalize-mapped events →
+    capacity/CE + trapezoid energy + IR@C/2 + dQ/dV peak/shift + q_norm)
+    on /root/testdata/sf0.001."""
+    from mxene_coin_cell_data_pipeline_spark.plans.flagship import flagship_features
+
+    return flagship_features(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 plus the
+    north-star dedup/similarity/text/multimodal operators."""
+    return query_fns()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-equivalent SQL for every oracle-checkable query.
+
+    Omitted (rows-only by design): p01_cycler_pipeline (dQ/dV kernel =
+    np.interp/np.gradient, not SQL-expressible — its SQL-expressible
+    slice is oracle-checked as p02_cycler_features_sql) and
+    m02_decode_stub (mapInPandas binary decode plumbing).
     """
-    return {}
+    return oracle_sqls()

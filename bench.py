@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_headline_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": X}
+
+Each query is executed to completion (count() over the final plan —
+full materialization of every operator, no result shipping overhead).
+A warmup pass on the smallest table absorbs JVM/codegen startup so the
+numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mxene_coin_cell_data_pipeline_spark import get_spark  # noqa: E402
+from mxene_coin_cell_data_pipeline_spark.plans import QUERIES  # noqa: E402
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_nation_volume",
+    "w01_rank_per_group",
+    "a02_last_non_null",
+    "a05_trapezoid",
+    "a07_neighbor_median_delta",
+    "a11_regr_fade",
+    "qc01_aggregate_checks",
+    "p01_cycler_pipeline",
+    "d01_exact_dedup",
+    "d02_minhash_lsh",
+    "d05_ngram_jaccard",
+    "d03_simhash",
+    "d04_embedding_neardup",
+    "s01_cosine_topk",
+    "s02_ivf_topk",
+    "t01_token_stats",
+    "t03_language_id",
+    "m01_binary_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("mxene-bench")
+
+    # warmup: JVM + codegen + parquet footer caches
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

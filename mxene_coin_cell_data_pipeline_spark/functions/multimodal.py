@@ -1,0 +1,88 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are treated as ``binary`` columns with typed
+metadata columns alongside (the lakehouse pattern for multimodal
+training data). The Spark-side plumbing — schema, Arrow batch shape,
+``mapInPandas`` signature, partition sizing — is real and tested; the
+actual decode is STUBBED (this environment has no image/audio codecs)
+behind ``decode_images(..., decoder=...)``: the default deterministic
+fake derives "features" from the payload bytes so tests pin the full
+distributed path end-to-end, and a real decoder (PIL/torchvision/
+ffmpeg) drops in as the ``decoder`` callable unchanged.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .._serde import register_self
+
+register_self(sys.modules[__name__])
+
+#: output schema of decode_images — fixed contract for downstream ops
+DECODE_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, mean_luma double"
+)
+
+
+def binary_payload_meta(docs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Typed metadata over an opaque binary column — JVM-side only."""
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col(payload_col)).alias("n_bytes"),
+        F.md5(F.col(payload_col)).alias("payload_md5"),
+    )
+
+
+def with_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapter for the test tables: derive a binary payload column from
+    text (real deployments read image bytes from object storage)."""
+    return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def _fake_decoder(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for an image decoder: pretends the bytes
+    are a (w, h) image and 'measures' mean luminance from byte values.
+    NOT a real decode — replaced by PIL/torchvision in production."""
+    n = len(payload)
+    width = max(1, n % 64)
+    height = max(1, (n // 64) % 64)
+    mean_luma = (sum(payload[:256]) / max(1, min(n, 256))) / 255.0
+    return width, height, mean_luma
+
+
+def decode_images(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    decoder: Callable[[bytes], tuple[int, int, float]] | None = None,
+) -> DataFrame:
+    """Distributed decode via mapInPandas (Arrow-batched; one Python
+    worker call per batch, never per row). Swap ``decoder`` for a real
+    codec; raise NotImplementedError semantics are preserved for
+    unsupported payloads by returning NULL features."""
+    dec = decoder or _fake_decoder
+    cols = ["doc_id", payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    out.append((doc_id, None, None, None, None))
+                    continue
+                raw = bytes(payload)
+                try:
+                    w, h, luma = dec(raw)
+                except NotImplementedError:
+                    out.append((doc_id, len(raw), None, None, None))
+                    continue
+                out.append((doc_id, len(raw), w, h, luma))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "width", "height", "mean_luma"]
+            )
+
+    return docs.select(*cols).mapInPandas(batches, schema=DECODE_SCHEMA)

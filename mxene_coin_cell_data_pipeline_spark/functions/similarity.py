@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  All math JVM-side (``aggregate``/``zip_with`` in whole-stage codegen,
+  double precision); the query vector rides along as a broadcast
+  single-row cross join, so the scan stays embarrassingly parallel.
+- ``ivf_topk``: IVF-style scale path — per-bucket centroids (here the
+  pre-assigned ``label`` plays the role of the coarse quantizer cell),
+  probe the closest ``nprobe`` centroids, search only those buckets.
+  At 100 TB this turns a full scan into a pruned scan of
+  nprobe/nlist of the data; bucketing the table by ``label`` makes the
+  probe a partition-pruned read.
+- ``embedding_near_dup_pairs``: blocked pairwise cosine for near-dup
+  detection (block = label bucket), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine against one stored vector."""
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    scored = (
+        embeddings.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+
+
+def label_centroids(
+    embeddings: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-bucket mean vector via posexplode + per-dimension avg (no
+    UDF; one shuffle keyed by (label, dim))."""
+    dims = embeddings.select(
+        label_col, F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    per_dim = dims.groupBy(label_col, "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    return (
+        per_dim.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("_dm"))
+        .select(
+            label_col,
+            F.transform(F.col("_dm"), lambda s: s.getField("m")).alias("centroid"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-bucketed ANN: probe the nprobe closest centroids, brute-force
+    only within those buckets."""
+    cents = label_centroids(embeddings, vec_col, label_col)
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .select(label_col, cosine(F.col("centroid"), F.col("_qvec")).alias("_c"))
+        .orderBy(F.desc("_c"), F.asc(label_col))
+        .limit(nprobe)
+        .select(label_col)
+    )
+    bucketed = embeddings.join(F.broadcast(probed), label_col)
+    return (
+        bucketed.filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(F.col(id_col), cosine(F.col(vec_col), F.col("_qvec")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+) -> DataFrame:
+    """Blocked pairwise cosine near-dup pairs (a < b, same block)."""
+    a = embeddings.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = embeddings.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+All JVM-side (regexp + arithmetic inside whole-stage codegen): no UDFs,
+so they scale linearly with input and survive 100 TB partitioning
+untouched. Tokenization is a fixed public contract
+(``[a-z0-9]+`` over lowercased text) shared by the dedup operators so
+fingerprints and shingles agree across the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+# tiny public stopword lists for the language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por"],
+    "fr": ["le", "la", "les", "des", "est", "dans", "une", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+}
+
+
+def tokenize(col: Column) -> Column:
+    """Lowercased word tokens (array<string>)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counting: n_tokens, n_chars, avg token length,
+    punctuation count (north-star 'token counting' op)."""
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return docs.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.when(n_tokens > 0, total_len.cast("double") / n_tokens).alias(
+            "avg_token_len"
+        ),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.,;:!?]"), 0)).alias(
+            "n_punct"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic doc-quality components + composite score
+    (length / punctuation / stopword ratios — north-star 'quality
+    scoring')."""
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks).cast("double")
+    stop_re = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
+    n_stop = F.size(F.regexp_extract_all(F.lower(text_col), F.lit(stop_re), 0)).cast(
+        "double"
+    )
+    n_punct = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[.,;:!?]"), 0)
+    ).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    score = 0.5 * len_score + 0.3 * (1.0 - punct_ratio) + 0.2 * stop_ratio
+    return docs.select(
+        "doc_id",
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        len_score.alias("len_score"),
+        score.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: count marker hits per
+    language, pick the argmax (deterministic tie order en,es,fr,de;
+    'und' = no hits)."""
+    lowered = F.lower(F.col(text_col))
+    hits = {
+        lang: F.size(
+            F.regexp_extract_all(
+                lowered, F.lit(r"\b(" + "|".join(words) + r")\b"), 0
+            )
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:  # insertion order = tie priority
+        guess = guess.when(hits[lang] == best, F.lit(lang))
+    out = docs.select(
+        "doc_id",
+        *[hits[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+        guess.alias("lang_guess"),
+    )
+    return out
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized
+    token stream (whitespace/case/punct-insensitive)."""
+    normalized = F.array_join(tokenize(F.col(text_col)), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fp"),
+        F.length(normalized).alias("norm_len"),
+    )

@@ -1,0 +1,1064 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage).
+
+Every entry pairs an idiomatic-Spark implementation with an equivalent
+DuckDB oracle SQL over the same parquet tables; the driver hash-compares
+them at sf=0.01 (BASELINE.md "t2"). Each entry is tagged with the
+SURVEY.md §2 operator IDs it covers so coverage is auditable line by
+line.
+
+Conventions (the driver compare sorts columns by name and hashes values
+order-insensitively):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- timestamps are output as integer epoch-microseconds (``*_us``) —
+  bit-exact across engines, immune to session-timezone differences;
+- nondeterministic selections (top-k, argmin/argmax) always carry a
+  total tie-break;
+- queries set session timezone UTC and read via sources.tables so they
+  behave identically under the driver's own SparkSession.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    survey: str = ""  # SURVEY.md §2 operator IDs covered
+    note: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, survey: str, note: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, survey=survey, note=note)
+        return fn
+
+    return deco
+
+
+def _ctx(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load tables with session prepared (UTC, nanos compat)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in QUERIES.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {n: s.oracle for n, s in QUERIES.items() if s.oracle is not None}
+
+
+# =====================================================================
+# TPC-H-style analytics (scans, joins, aggregation, sort/limit)
+# =====================================================================
+
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                        AS sum_qty,
+           sum(l_extendedprice)                                   AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+           avg(l_quantity)                                        AS avg_qty,
+           avg(l_extendedprice)                                   AS avg_price,
+           avg(l_discount)                                        AS avg_disc,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey="S4 A1 O2 (flagship: TPC-H Q1 shape)",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc).alias("sum_disc_price"),
+            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q03_top_revenue_orders",
+    """
+    SELECT o_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           epoch_us(o_orderdate)                   AS orderdate_us
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey="J1-shape S4 A1 O3 (TPC-H Q3 shape; broadcast dim join)",
+)
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li = _ctx(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q05_nation_volume",
+    """
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*) AS n_items
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+    survey="J1-shape S4 A1 (snowflake join chain; broadcast dims)",
+)
+def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region, nation, cust, orders, li = _ctx(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem"
+    )
+    dims = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name").isin("ASIA", "EUROPE"))),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "o03_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey="O3 (top-k: TakeOrdered, no full sort)",
+)
+def o03_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "u01_union_slices",
+    """
+    SELECT o_orderkey, o_totalprice, 'high' AS slice
+    FROM orders WHERE o_totalprice > 400000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, 'urgent' AS slice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    survey="U1 (unionByName collation)",
+)
+def u01_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    a = (
+        orders.filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("slice", F.lit("high"))
+    )
+    b = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("slice", F.lit("urgent"))
+    )
+    return a.unionByName(b)
+
+
+@_register(
+    "w01_rank_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    survey="O2 window-rank (per-group top-k)",
+)
+def w01_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# =====================================================================
+# Cycler-operator analogs over the events table
+# (user_id ≈ cell, ts ≈ sample time, value ≈ measured quantity)
+# =====================================================================
+
+
+@_register(
+    "a02_last_non_null",
+    """
+    WITH ranked AS (
+      SELECT user_id, value, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, value AS last_value, ts_us AS last_ts_us
+    FROM ranked WHERE rn = 1
+    """,
+    survey="A2 (last-in-order via max_by; explicit ordered aggregation)",
+)
+def a02_last_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    ordkey = F.array(ts_us.cast("double"), F.col("event_id").cast("double"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", ordkey).alias("last_value"),
+        F.max_by(ts_us, ordkey).alias("last_ts_us"),
+    )
+
+
+@_register(
+    "a03_guarded_ratio",
+    """
+    SELECT user_id,
+           CASE WHEN coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0) = 0
+                THEN NULL
+                ELSE sum(CASE WHEN event_type = 'purchase' THEN value END)
+                     / sum(CASE WHEN event_type = 'view' THEN value END)
+           END AS purchase_view_ratio
+    FROM events GROUP BY user_id
+    """,
+    survey="A3 C9 (guarded ratio; NULL on zero/absent denominator)",
+)
+def a03_guarded_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    num = F.sum(F.when(F.col("event_type") == "purchase", F.col("value")))
+    den = F.sum(F.when(F.col("event_type") == "view", F.col("value")))
+    agg = ev.groupBy("user_id").agg(num.alias("_n"), den.alias("_d"))
+    return agg.select(
+        "user_id",
+        F.when(
+            F.coalesce(F.col("_d"), F.lit(0.0)) == 0, F.lit(None).cast("double")
+        )
+        .otherwise(F.col("_n") / F.col("_d"))
+        .alias("purchase_view_ratio"),
+    )
+
+
+@_register(
+    "a04_first_norm",
+    """
+    SELECT event_id, user_id,
+           value / first_value(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_norm
+    FROM events
+    """,
+    survey="A4 (first-row normalization window, q_norm shape)",
+)
+def a04_first_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", (F.col("value") / F.first("value").over(w)).alias("v_norm")
+    )
+
+
+@_register(
+    "a05_trapezoid",
+    """
+    WITH e AS (
+      SELECT user_id, value,
+             epoch_us(ts) / 1000000.0 AS t,
+             lag(value)              OVER w AS pv,
+             lag(epoch_us(ts) / 1000000.0) OVER w AS pt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id,
+           CASE WHEN count(*) >= 2
+                THEN abs(sum(0.5 * (value + pv) * (t - pt))) / 3600.0 END AS area_vh
+    FROM e GROUP BY user_id
+    """,
+    survey="A5 C8 F3 (lag-window trapezoid, np.trapz algebra)",
+)
+def a05_trapezoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts")) / F.lit(1000000.0)
+    v = F.col("value")
+    seg = 0.5 * (v + F.lag(v).over(w)) * (t - F.lag(t).over(w))
+    return (
+        ev.select("user_id", seg.alias("_seg"))
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.count(F.lit(1)) >= 2, F.abs(F.sum("_seg")) / F.lit(3600.0)
+            ).alias("area_vh")
+        )
+    )
+
+
+@_register(
+    "a06_argmin_nearest",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, abs(value - 100.0) AS ad,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events),
+    sel AS (
+      SELECT user_id, event_id, ad,
+             row_number() OVER (PARTITION BY user_id ORDER BY ad, pos) AS rn
+      FROM e),
+    mins AS (SELECT user_id, min(ad) AS min_absdiff FROM e GROUP BY user_id)
+    SELECT s.user_id, s.event_id AS nearest_event_id, m.min_absdiff
+    FROM sel s JOIN mins m ON s.user_id = m.user_id
+    WHERE s.rn = 1
+    """,
+    survey="A6 (first-occurrence argmin via min_by struct ordering)",
+)
+def a06_argmin_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    pos_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.withColumn("pos", F.row_number().over(pos_w))
+    absdiff = F.abs(F.col("value") - 100.0)
+    return e.groupBy("user_id").agg(
+        F.min_by(
+            "event_id", F.array(absdiff, F.col("pos").cast("double"))
+        ).alias("nearest_event_id"),
+        F.min(absdiff).alias("min_absdiff"),
+    )
+
+
+@_register(
+    "a07_neighbor_median_delta",
+    """
+    WITH e AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+      FROM events),
+    sel AS (
+      SELECT user_id, pos AS idx FROM (
+        SELECT user_id, pos,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY abs(value - 100.0), pos) AS rn
+        FROM e) WHERE rn = 1)
+    SELECT e.user_id,
+           median(CASE WHEN e.pos BETWEEN s.idx - 2 AND s.idx - 1 THEN e.value END)
+             AS pre_med,
+           median(CASE WHEN e.pos BETWEEN s.idx AND s.idx + 2 THEN e.value END)
+             AS post_med
+    FROM e JOIN sel s ON e.user_id = s.user_id
+    GROUP BY e.user_id
+    """,
+    survey="A7 (neighbor-window exact medians around argmin row, IR shape)",
+)
+def a07_neighbor_median_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    pos_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id", "value", F.row_number().over(pos_w).alias("pos"),
+        F.abs(F.col("value") - 100.0).alias("_ad"),
+    )
+    sel = e.groupBy("user_id").agg(
+        F.min_by("pos", F.array(F.col("_ad"), F.col("pos").cast("double"))).alias("idx")
+    )
+    j = e.join(F.broadcast(sel), "user_id")
+    return j.groupBy("user_id").agg(
+        F.median(
+            F.when(F.col("pos").between(F.col("idx") - 2, F.col("idx") - 1), F.col("value"))
+        ).alias("pre_med"),
+        F.median(
+            F.when(F.col("pos").between(F.col("idx"), F.col("idx") + 2), F.col("value"))
+        ).alias("post_med"),
+    )
+
+
+@_register(
+    "a08_min_subtract",
+    """
+    SELECT event_id, user_id,
+           value - min(value) OVER (PARTITION BY user_id) AS v_rel
+    FROM events
+    """,
+    survey="A8 (per-group min broadcast window)",
+)
+def a08_min_subtract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id", "user_id", (F.col("value") - F.min("value").over(w)).alias("v_rel")
+    )
+
+
+@_register(
+    "a10_running_first_shift",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN value IS NOT NULL THEN
+             (value - first_value(CASE WHEN event_type = 'purchase' THEN value END
+                                  IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000.0
+           END AS shift_milli
+    FROM events
+    """,
+    survey="A10 (running first-valid reference + shift, dQdV-shift shape)",
+)
+def a10_running_first_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = F.first(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("value").isNotNull(), (F.col("value") - ref) * 1000.0).alias(
+            "shift_milli"
+        ),
+    )
+
+
+@_register(
+    "a11_regr_fade",
+    """
+    SELECT user_id,
+           CASE WHEN count(*) >= 2 THEN regr_slope(value, epoch_us(ts) / 1000000.0) END
+             AS slope,
+           CASE WHEN count(*) >= 2 THEN regr_intercept(value, epoch_us(ts) / 1000000.0) END
+             AS intercept,
+           CASE WHEN count(*) >= 2 AND regr_slope(value, epoch_us(ts) / 1000000.0) <> 0
+                THEN (80.0 - regr_intercept(value, epoch_us(ts) / 1000000.0))
+                     / regr_slope(value, epoch_us(ts) / 1000000.0) END
+             AS t_to_80
+    FROM events GROUP BY user_id
+    """,
+    survey="A11 A12 (OLS fade fit via regr_slope/regr_intercept + RUL arithmetic)",
+)
+def a11_regr_fade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    x = F.unix_micros(F.col("ts")) / F.lit(1000000.0)
+    y = F.col("value")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.regr_slope(y, x).alias("_m"),
+        F.regr_intercept(y, x).alias("_b"),
+    )
+    ok = F.col("_n") >= 2
+    m, b = F.col("_m"), F.col("_b")
+    return agg.select(
+        "user_id",
+        F.when(ok, m).alias("slope"),
+        F.when(ok, b).alias("intercept"),
+        F.when(ok & (m != 0), (F.lit(80.0) - b) / m).alias("t_to_80"),
+    )
+
+
+@_register(
+    "c05_c06_labels",
+    """
+    SELECT event_id,
+           CASE upper(event_type)
+             WHEN 'PURCHASE' THEN 'CC_DIS' WHEN 'VIEW' THEN 'CC_CHG'
+             WHEN 'ERROR' THEN 'REST' ELSE upper(event_type) END AS label,
+           CASE WHEN value < 50 THEN 'LOW' WHEN value > 150 THEN 'HIGH'
+                ELSE 'MID' END AS band
+    FROM events
+    """,
+    survey="C5 C6 (dictionary replace with passthrough + sign-style conditional)",
+)
+def c05_c06_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    up = F.upper(F.col("event_type"))
+    mapping = F.create_map(
+        F.lit("PURCHASE"), F.lit("CC_DIS"),
+        F.lit("VIEW"), F.lit("CC_CHG"),
+        F.lit("ERROR"), F.lit("REST"),
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(F.element_at(mapping, up), up).alias("label"),
+        F.when(F.col("value") < 50, "LOW")
+        .when(F.col("value") > 150, "HIGH")
+        .otherwise("MID")
+        .alias("band"),
+    )
+
+
+@_register(
+    "c07_substring_filter",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events WHERE contains(event_type, 'rror') OR contains(event_type, 'chase')
+    """,
+    survey="C7 F1 (NULL-safe substring predicate filter)",
+)
+def c07_substring_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    pred = F.coalesce(
+        F.col("event_type").contains("rror") | F.col("event_type").contains("chase"),
+        F.lit(False),
+    )
+    return ev.filter(pred).select("event_id", "user_id", "event_type")
+
+
+@_register(
+    "c04_c08_casts",
+    """
+    SELECT event_id,
+           value / 1000.0     AS value_kilo,
+           epoch_us(ts)       AS ts_us,
+           CAST(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS BIGINT)
+             AS props_k
+    FROM events
+    """,
+    survey="C3 C4 C8 (unit rescale, epoch cast, lenient numeric cast)",
+)
+def c04_c08_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.col("value") / 1000.0).alias("value_kilo"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.get_json_object("props", "$.k")
+        .try_cast("double")
+        .try_cast("long")
+        .alias("props_k"),
+    )
+
+
+@_register(
+    "qc01_aggregate_checks",
+    """
+    SELECT count(*)                                   AS n_rows,
+           count(DISTINCT l_orderkey)                 AS n_orders,
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+           min(l_discount)                            AS disc_min,
+           max(l_discount)                            AS disc_max,
+           median(l_extendedprice)                    AS price_median,
+           (SELECT l_extendedprice FROM lineitem
+            ORDER BY l_shipdate, l_orderkey, l_linenumber LIMIT 1) AS first_price,
+           (SELECT l_extendedprice FROM lineitem
+            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC LIMIT 1)
+             AS last_price,
+           sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)   AS n_nonpos
+    FROM lineitem
+    """,
+    survey="Q1-Q7 (single one-row QC aggregate: null counts, range, exact median, ordered first/last)",
+)
+def qc01_aggregate_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    order_key = F.array(
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).cast("double"),
+        F.col("l_orderkey").cast("double"),
+        F.col("l_linenumber").cast("double"),
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
+        F.min("l_discount").alias("disc_min"),
+        F.max("l_discount").alias("disc_max"),
+        F.median("l_extendedprice").alias("price_median"),
+        F.min_by("l_extendedprice", order_key).alias("first_price"),
+        F.max_by("l_extendedprice", order_key).alias("last_price"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("n_nonpos"),
+    )
+
+
+# =====================================================================
+# North-star training-data pipeline operators (BASELINE.json):
+# dedup / similarity search / text analysis / multimodal plumbing
+# =====================================================================
+
+from ..functions.dedup import (  # noqa: E402
+    DEFAULT_BAND_SIZE,
+    DEFAULT_NUM_HASHES,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..functions.multimodal import binary_payload_meta, with_fake_payload  # noqa: E402
+from ..functions.similarity import (  # noqa: E402
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+)
+from ..functions.text import (  # noqa: E402
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+# shared SQL fragments, generated from the SAME constants as the Spark
+# implementations so the two sides cannot drift
+_SH_CTE = """
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM toks, range(1, 4096) t(i) WHERE i + 2 <= len(w))
+"""
+
+_MH_COLS = ",\n           ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(DEFAULT_NUM_HASHES)
+)
+_BAND_SELECTS = "\n      UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"mh{b * DEFAULT_BAND_SIZE + r}" for r in range(DEFAULT_BAND_SIZE)
+        ),
+    )
+    for b in range(DEFAULT_NUM_HASHES // DEFAULT_BAND_SIZE)
+)
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+                                AND sa.doc_id < sb.doc_id
+          GROUP BY 1, 2)
+"""
+
+
+@_register(
+    "d01_exact_dedup",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    survey="north-star dedup: exact hash-groupBy",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@_register(
+    "d02_minhash_lsh",
+    f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band
+                                       AND a.bucket = b.bucket
+                                       AND a.doc_id < b.doc_id),
+    {_JACCARD_TAIL.lstrip()}
+    SELECT c.doc_a, c.doc_b,
+           i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes na ON na.doc_id = c.doc_a
+    JOIN sizes nb ON nb.doc_id = c.doc_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.8
+    """,
+    survey="north-star dedup: MinHash+LSH (shingle→minhash→band→bucket-join→exact refine)",
+)
+def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.8)
+
+
+@_register(
+    "d03_simhash",
+    None,  # filled in below programmatically
+    survey="north-star dedup: SimHash bit-majority fingerprint",
+)
+def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+_SIM_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".format(j=j)
+    for j in range(SIMHASH_BITS)
+)
+_SIM_BITS = " || ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+)
+QUERIES["d03_simhash"].oracle = f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                  FROM documents),
+    agg AS (SELECT doc_id, {_SIM_SUMS} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {_SIM_BITS} AS simhash_bits FROM agg
+    """
+
+
+@_register(
+    "d05_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE},
+    {_JACCARD_TAIL.lstrip()}
+    SELECT i.doc_a, i.doc_b,
+           i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.8
+    """,
+    survey="north-star dedup: exact n-gram jaccard via inverted-index join",
+)
+def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+_COS = (
+    "list_dot_product(embedding::DOUBLE[], qv)"
+    " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(qv, qv)))"
+)
+
+
+@_register(
+    "s01_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_COS} AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    survey="north-star similarity: brute-force cosine top-k baseline",
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+@_register(
+    "s02_ivf_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+             FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM dims GROUP BY label),
+    probe AS (SELECT label FROM (
+        SELECT c.label,
+               list_dot_product(c.centroid, q.qv)
+                 / (sqrt(list_dot_product(c.centroid, c.centroid))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS c_cos
+        FROM cent c, q ORDER BY c_cos DESC, label LIMIT 2))
+    SELECT vec_id, {_COS} AS cosine
+    FROM embeddings JOIN probe USING (label), q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    survey="north-star similarity: IVF-bucketed ANN (probe nearest centroids, pruned scan)",
+)
+def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=10, nprobe=2)
+
+
+@_register(
+    "d04_embedding_neardup",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.95
+    """,
+    survey="north-star dedup: embedding-cosine near-dup (label-blocked pairwise)",
+)
+def d04_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.95)
+
+
+@_register(
+    "t01_token_stats",
+    r"""
+    WITH toks AS (SELECT doc_id, length(text) AS n_chars_actual,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+                  FROM documents)
+    SELECT doc_id, n_chars_actual, len(w) AS n_tokens,
+           CASE WHEN len(w) > 0
+                THEN list_sum(list_transform(w, t -> length(t))) * 1.0 / len(w)
+           END AS avg_token_len,
+           n_punct
+    FROM toks
+    """,
+    survey="north-star text: token counting + stats",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return token_stats(docs)
+
+
+@_register(
+    "t02_quality_score",
+    None,  # filled below from LANG_MARKERS
+    survey="north-star text: quality scoring (length/punct/stopword ratios)",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return quality_score(docs)
+
+
+_EN_RE = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
+QUERIES["t02_quality_score"].oracle = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text), '{_EN_RE}')) AS DOUBLE) AS n_stop,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+             CAST(length(text) AS DOUBLE) AS n_chars
+      FROM documents),
+    r AS (SELECT doc_id,
+                 CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                 least(n_chars / 500.0, 1.0) AS len_score
+          FROM base)
+    SELECT doc_id, stop_ratio, punct_ratio, len_score,
+           0.5 * len_score + 0.3 * (1.0 - punct_ratio) + 0.2 * stop_ratio AS quality
+    FROM r
+    """
+
+
+@_register(
+    "t03_language_id",
+    None,  # filled below from LANG_MARKERS
+    survey="north-star text: n-gram/stopword language-ID heuristic",
+)
+def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+_HIT_COLS = ",\n           ".join(
+    "len(regexp_extract_all(lower(text), '\\b({alts})\\b')) AS hits_{lang}".format(
+        alts="|".join(words), lang=lang
+    )
+    for lang, words in LANG_MARKERS.items()
+)
+_BEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_MARKERS) + ")"
+_GUESS = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN hits_{lang} = {_BEST} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    + " END"
+)
+QUERIES["t03_language_id"].oracle = f"""
+    WITH h AS (SELECT doc_id,
+           {_HIT_COLS}
+      FROM documents)
+    SELECT doc_id, {', '.join('hits_' + g for g in LANG_MARKERS)},
+           {_GUESS} AS lang_guess
+    FROM h
+    """
+
+
+@_register(
+    "t04_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))
+             AS fp,
+           length(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))
+             AS norm_len
+    FROM documents
+    """,
+    survey="north-star text: normalized md5 document fingerprint",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+@_register(
+    "m01_binary_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+    FROM documents
+    """,
+    survey="north-star multimodal: opaque binary payload + typed metadata (JVM-side)",
+)
+def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return binary_payload_meta(with_fake_payload(docs))
+
+
+@_register(
+    "m02_decode_stub",
+    None,  # mapInPandas decode path: rows-only check (no SQL equivalent)
+    survey="north-star multimodal: mapInPandas decode plumbing (stubbed codec)",
+)
+def m02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_images
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return decode_images(with_fake_payload(docs))
+
+
+# =====================================================================
+# Flagship: the cycler feature pipeline over events-mapped timeseries
+# =====================================================================
+
+from .flagship import events_as_timeseries, flagship_features  # noqa: E402
+
+
+@_register(
+    "p01_cycler_pipeline",
+    None,  # dQ/dV (np.interp/np.gradient applyInPandas) is not SQL-expressible
+    survey="full domain pipeline: A1-A12 over events-mapped timeseries (rows-only; "
+    "SQL-expressible slice oracle-checked as p02)",
+)
+def p01_cycler_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship_features(spark, sf_dir)
+
+
+@_register(
+    "p02_cycler_features_sql",
+    """
+    WITH ts AS (
+      SELECT CAST(user_id AS VARCHAR) AS cell_id,
+             ts AS t, event_id,
+             (epoch_us(ts) // 86400000000) // 7 AS cycle_index,
+             CASE WHEN event_type IN ('purchase','view') THEN 'CC_DIS'
+                  WHEN event_type IN ('click','signup') THEN 'CC_CHG'
+                  ELSE 'REST' END AS step_type,
+             value AS v
+      FROM events),
+    w AS (
+      SELECT *,
+             sum(CASE WHEN step_type = 'CC_CHG' THEN v / 1000.0 ELSE 0.0 END)
+               OVER win AS charge_ah,
+             sum(CASE WHEN step_type = 'CC_DIS' THEN v / 1000.0 ELSE 0.0 END)
+               OVER win AS discharge_ah
+      FROM ts
+      WINDOW win AS (PARTITION BY cell_id, cycle_index ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    cap AS (
+      SELECT cell_id, cycle_index,
+             max(discharge_ah) AS Q_dis_Ah,
+             max(charge_ah)    AS Q_chg_Ah
+      FROM w GROUP BY cell_id, cycle_index),
+    cap2 AS (
+      SELECT cell_id, cycle_index, Q_dis_Ah, Q_chg_Ah,
+             CASE WHEN Q_chg_Ah IS NULL OR Q_chg_Ah = 0 THEN NULL
+                  ELSE Q_dis_Ah / Q_chg_Ah END AS CE,
+             Q_dis_Ah / first_value(Q_dis_Ah) OVER
+               (PARTITION BY cell_id ORDER BY cycle_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_norm
+      FROM cap),
+    dis AS (
+      SELECT cell_id, cycle_index, t,
+             (3.0 + v % 1.5) * (- v / 100.0) AS p,
+             epoch_us(t) / 1000000.0 AS tsec
+      FROM ts WHERE contains(step_type, 'DIS')),
+    seg AS (
+      SELECT cell_id, cycle_index,
+             0.5 * (p + lag(p) OVER win) * (tsec - lag(tsec) OVER win) AS s
+      FROM dis
+      WINDOW win AS (PARTITION BY cell_id, cycle_index ORDER BY t)),
+    en AS (
+      SELECT cell_id, cycle_index,
+             CASE WHEN count(*) >= 2 THEN abs(sum(s)) / 3600.0 END AS E_dis_Wh
+      FROM seg GROUP BY cell_id, cycle_index)
+    SELECT c.cell_id, c.cycle_index, c.Q_dis_Ah, c.Q_chg_Ah, c.CE, c.q_norm,
+           e.E_dis_Wh
+    FROM cap2 c LEFT JOIN en e
+      ON c.cell_id = e.cell_id AND c.cycle_index = e.cycle_index
+    """,
+    survey="A1-A5 oracle-checked end-to-end: normalize-map + capacity/CE/q_norm "
+    "+ trapezoid energy on events-mapped timeseries",
+)
+def p02_cycler_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.capacity import capacity_ce_per_cycle
+    from ..operators.energy import energy_wh_per_cycle
+    from ..operators.features import combine_features
+
+    ts = events_as_timeseries(spark, sf_dir)
+    cap = capacity_ce_per_cycle(ts)
+    ener = energy_wh_per_cycle(ts)
+    return combine_features(cap, ener)

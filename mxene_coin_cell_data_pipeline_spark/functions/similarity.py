@@ -121,16 +121,30 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
 ) -> DataFrame:
-    """Blocked pairwise cosine near-dup pairs (a < b, same block)."""
-    a = embeddings.select(
+    """Blocked pairwise cosine near-dup pairs (a < b, same block).
+
+    Norms are precomputed per vector BEFORE the pair join (O(n) fold
+    work instead of O(pairs)): per pair only the dot product remains.
+    cosine = dot/(norm_a·norm_b) — the same expression shape as
+    ``cosine()``, so results are bit-identical.
+    """
+    with_norm = embeddings.select(
         F.col(block_col).alias("_blk"),
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    a = with_norm.select(
+        "_blk",
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
     )
-    b = embeddings.select(
-        F.col(block_col).alias("_blk"),
+    b = with_norm.select(
+        "_blk",
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
     )
     return (
         a.join(b, "_blk")
@@ -138,7 +152,9 @@ def embedding_near_dup_pairs(
         .select(
             "vec_a",
             "vec_b",
-            cosine(F.col("_va"), F.col("_vb")).alias("cosine"),
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
         )
         .filter(F.col("cosine") >= threshold)
     )

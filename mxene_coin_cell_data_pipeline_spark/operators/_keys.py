@@ -19,12 +19,20 @@ def cell_keys(df: DataFrame) -> list[str]:
     return ["cell_id"] if "cell_id" in df.columns else []
 
 
+def drop_null_cycles(df: DataFrame) -> DataFrame:
+    """pandas ``groupby`` DROPS NaN keys (reference pipeline.py:159
+    etc.), Spark groupBy keeps a NULL group — filter to match the
+    reference exactly. The filter is pushed into the scan."""
+    return df.filter(F.col("cycle_index").isNotNull())
+
+
 def distinct_cycles(df: DataFrame) -> DataFrame:
     """All (cell, cycle) groups — feature operators that filter rows
     (e.g. DIS-only) re-join onto this so cycles without qualifying rows
     still emit a NULL-feature row, as the reference's groupby-over-the
-    -full-frame loops do (pipeline.py:180,202,222)."""
-    return df.select(*cycle_keys(df)).distinct()
+    -full-frame loops do (pipeline.py:180,202,222). NULL cycle keys are
+    excluded (pandas groupby dropna semantics)."""
+    return drop_null_cycles(df).select(*cycle_keys(df)).distinct()
 
 
 def is_dis(col: str = "step_type") -> F.Column:

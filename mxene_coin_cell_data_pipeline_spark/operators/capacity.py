@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._keys import cell_keys, cycle_keys
+from ._keys import cell_keys, cycle_keys, drop_null_cycles
 
 
 def _last_non_null(value: str, order: str = "timestamp") -> F.Column:
@@ -29,7 +29,7 @@ def _last_non_null(value: str, order: str = "timestamp") -> F.Column:
 
 def capacity_ce_per_cycle(df: DataFrame) -> DataFrame:
     keys = cycle_keys(df)
-    agg = df.groupBy(*keys).agg(
+    agg = drop_null_cycles(df).groupBy(*keys).agg(
         _last_non_null("discharge_ah").alias("Q_dis_Ah"),
         _last_non_null("charge_ah").alias("Q_chg_Ah"),
     )

@@ -3,36 +3,43 @@
 The only reference operator that is not natively SQL-expressible
 (/root/reference/pipeline.py:206-228): per cycle, interpolate Q(V) onto
 a uniform voltage grid, take the finite-difference gradient, and report
-the grid voltage at the gradient argmax. Implemented as the engine's
-single ``applyInPandas`` kernel (grouped-map Pandas UDF, Arrow-batched:
-the numpy math runs vectorized inside workers, one group per cycle).
+the grid voltage at the gradient argmax. The numpy math runs in Python
+workers; everything else stays JVM-side.
+
+Execution shape: ``repartition(keys)`` + ``mapInPandas`` — NOT
+``applyInPandas``. applyInPandas invokes the Python UDF once per group
+(~2 ms fixed overhead each); with hundreds of thousands of small
+(cell, cycle) groups at scale that overhead dominates by 10×. Instead
+we hash-partition by the group keys so each shuffle partition holds
+complete groups, then run ONE Python call per partition that loops
+pandas ``groupby`` over its groups. Partition memory is bounded by
+data_size / shuffle.partitions — tune ``spark.sql.shuffle.partitions``
+to the target scale as usual.
 
 The *shift* part (A10) is pure window algebra and stays JVM-side:
 ``v_ref`` = running first non-null peak in cycle order
 (first_value ignorenulls over an unbounded-preceding frame);
 ``shift_mV = (v_pk − v_ref)·1000`` when the peak is valid.
 
-Kernel semantics mirrored exactly:
+Kernel semantics mirrored exactly (golden-tested at 1e-9):
 - DIS rows only; NULL peak when fewer than 3 rows (pipeline.py:209);
 - Q = discharge_ah − min(discharge_ah) within the cycle's DIS rows;
 - sort by voltage; NULL when the voltage span < dV (pipeline.py:214);
 - grid = arange(V_min, V_max, dV); linear interp; gradient; argmax is
   the first maximal grid point.
-
-Scale: the shuffle is keyed by (cell, cycle) — bounded group sizes —
-and the kernel ships only 3 needed columns through Arrow.
 """
 
 from __future__ import annotations
 
 import sys
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .._serde import register_self
-from ._keys import cell_keys, cycle_keys, distinct_cycles, is_dis
+from ._keys import cell_keys, cycle_keys, distinct_cycles, drop_null_cycles, is_dis
 
 register_self(sys.modules[__name__])
 
@@ -60,28 +67,40 @@ def _peak_voltage(voltage: np.ndarray, dis_ah: np.ndarray, dv: float) -> float:
 def dqdv_peak_per_cycle(df: DataFrame, dv: float = DEFAULT_DV) -> DataFrame:
     keys = cycle_keys(df)
     has_cell = "cell_id" in df.columns
-
-    out_fields = (
+    out_schema = (
         ("cell_id string, " if has_cell else "")
         + "cycle_index long, dQdV_peak_V double"
     )
+    key_cols = list(keys)
 
-    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
-        head = pdf.iloc[0]
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a group's rows never span partitions (hash repartition below)
+        # but may span Arrow batches within one — concat first
+        pdfs = [b for b in batches]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
         pdf = pdf.sort_values("timestamp", kind="stable")
-        peak = _peak_voltage(
-            pdf["voltage_v"].to_numpy(dtype=float),
-            pdf["discharge_ah"].to_numpy(dtype=float),
-            dv,
-        )
-        row = {k: head[k] for k in keys}
-        # NaN must become SQL NULL: DoubleType can hold a literal NaN,
-        # which would poison the ignorenulls first_value below.
-        row["dQdV_peak_V"] = peak if peak == peak else None
-        return pd.DataFrame([row])
+        out = []
+        for key_vals, g in pdf.groupby(key_cols, sort=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            peak = _peak_voltage(
+                g["voltage_v"].to_numpy(dtype=float),
+                g["discharge_ah"].to_numpy(dtype=float),
+                dv,
+            )
+            # NaN must become SQL NULL: DoubleType can hold a literal
+            # NaN, which would poison the ignorenulls first_value below
+            out.append((*key_vals, peak if peak == peak else None))
+        yield pd.DataFrame(out, columns=key_cols + ["dQdV_peak_V"])
 
-    dis = df.filter(is_dis()).select(*keys, "timestamp", "voltage_v", "discharge_ah")
-    peaks = dis.groupBy(*keys).applyInPandas(compute, schema=out_fields)
+    dis = (
+        drop_null_cycles(df)
+        .filter(is_dis())
+        .select(*keys, "timestamp", "voltage_v", "discharge_ah")
+    )
+    peaks = dis.repartition(*keys).mapInPandas(compute, schema=out_schema)
     full = distinct_cycles(df).join(peaks, keys, "left")
 
     ref_w = (

@@ -22,12 +22,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._keys import cycle_keys, distinct_cycles, is_dis
+from ._keys import cycle_keys, distinct_cycles, drop_null_cycles, is_dis
 
 
 def energy_wh_per_cycle(df: DataFrame) -> DataFrame:
     keys = cycle_keys(df)
-    dis = df.filter(is_dis())
+    dis = drop_null_cycles(df).filter(is_dis())
     t = F.col("timestamp").cast("double")  # fractional epoch seconds (C8)
     p = F.col("voltage_v") * F.col("current_a")
     w = Window.partitionBy(*keys).orderBy("timestamp")

@@ -26,13 +26,18 @@ def combine_features(base: DataFrame, *others: DataFrame) -> DataFrame:
     return reduce(lambda acc, o: acc.join(F.broadcast(o), keys, "left"), others, base)
 
 
-def full_feature_pipeline(ts: DataFrame, rated_ah: float = 3.0, dv: float = 0.05) -> DataFrame:
+def full_feature_pipeline(
+    ts: DataFrame, rated_ah: float = 3.0, dv: float = 0.05, cache: bool = True
+) -> DataFrame:
     """Canonical timeseries → per-cycle feature table (pipeline.py:282-296).
 
-    The timeseries is scanned by four independent aggregations; caching
-    it avoids four source re-reads when the input is not already a
-    materialized parquet layer.
+    Four independent aggregations scan the timeseries; caching it (the
+    equivalent of the reference's materialized normalize→parquet layer,
+    pipeline.py:150) turns four source recomputes into one. Pass
+    ``cache=False`` when ``ts`` is already a materialized parquet read.
     """
+    if cache:
+        ts = ts.persist()
     cap = capacity_ce_per_cycle(ts)
     ener = energy_wh_per_cycle(ts)
     ir = ir_c2_per_cycle(ts, rated_ah)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ._keys import cell_keys, cycle_keys, distinct_cycles, is_dis
+from ._keys import cell_keys, cycle_keys, distinct_cycles, drop_null_cycles, is_dis
 
 
 def ir_c2_per_cycle(df: DataFrame, rated_ah: float, window: int = 1) -> DataFrame:
@@ -34,7 +34,7 @@ def ir_c2_per_cycle(df: DataFrame, rated_ah: float, window: int = 1) -> DataFram
 
     pos_w = Window.partitionBy(*cell_keys(df)).orderBy("timestamp")
     rows = df.withColumn("_pos", F.row_number().over(pos_w))
-    dis = rows.filter(is_dis()).select(
+    dis = drop_null_cycles(rows).filter(is_dis()).select(
         *keys,
         "_pos",
         "voltage_v",

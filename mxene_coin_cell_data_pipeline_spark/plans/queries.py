@@ -1062,3 +1062,42 @@ def p02_cycler_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap = capacity_ce_per_cycle(ts)
     ener = energy_wh_per_cycle(ts)
     return combine_features(cap, ener)
+
+
+# =====================================================================
+# Structured Streaming (engine extension; SURVEY.md §2.12)
+# =====================================================================
+
+
+@_register(
+    "st01_stream_window_rollup",
+    """
+    SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="streaming: watermark + tumbling event-time window aggregation "
+    "(readStream parquet → window(ts) groupBy → availableNow memory sink), "
+    "oracle-checked against the equivalent batch bucketing",
+)
+def st01_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming execution: the events table replayed
+    through the file-stream source, aggregated over 7-day tumbling
+    event-time windows, run to completion with an availableNow trigger
+    into a memory sink. Complete output mode → the sink holds the exact
+    final aggregate, so the result is deterministic and oracle-equal to
+    batch bucketing (epoch-aligned windows, UTC session)."""
+    from ..streaming import read_events_stream, run_stream_to_memory, windowed_event_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rolled = windowed_event_rollup(read_events_stream(spark, sf_dir))
+    out = run_stream_to_memory(rolled, output_mode="complete")
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

@@ -1,0 +1,142 @@
+"""Streaming feature maintenance over the canonical cycler timeseries.
+
+Three shapes, each the idiomatic Structured Streaming expression of a
+batch operator family:
+
+- declarative streaming aggregation (capacity/CE — same ``max_by``
+  algebra as batch, maintained incrementally in update mode);
+- watermark + tumbling event-time window (event rollups);
+- ``applyInPandasWithState`` custom stateful operator (trapezoid
+  energy — the integral accumulates across micro-batches with three
+  numbers of state per open cycle).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .._serde import register_self
+from ..operators._keys import cycle_keys, is_dis
+
+register_self(sys.modules[__name__])
+
+
+def stream_capacity_ce(ts: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-(cell, cycle) capacity + CE, maintained incrementally.
+
+    Identical algebra to the batch operator (capacity.py): end-of-cycle
+    cumulative capacity = ``max_by(col, ts | col not null)``; CE with
+    the null/zero guard (pipeline.py:160-162). Use output mode
+    ``update`` — cycle keys are not event-time windows, so rows never
+    finalize under append; each micro-batch emits refreshed rows for
+    the cycles it touched. The watermark bounds state for late data.
+    """
+    keys = cycle_keys(ts)
+
+    def last_non_null(col: str) -> F.Column:
+        return F.max_by(F.col(col), F.when(F.col(col).isNotNull(), F.col("timestamp")))
+
+    agg = (
+        ts.filter(F.col("cycle_index").isNotNull())
+        .withWatermark("timestamp", watermark)
+        .groupBy(*keys)
+        .agg(
+            last_non_null("discharge_ah").alias("Q_dis_Ah"),
+            last_non_null("charge_ah").alias("Q_chg_Ah"),
+        )
+    )
+    qchg = F.col("Q_chg_Ah")
+    ce = F.when(qchg.isNull() | (qchg == 0), F.lit(None).cast("double")).otherwise(
+        F.col("Q_dis_Ah") / qchg
+    )
+    return agg.withColumn("CE", ce)
+
+
+#: applyInPandasWithState state: running trapezoid accumulator
+_ENERGY_STATE_SCHEMA = "last_t double, last_p double, acc double, n long"
+
+
+def stream_energy_trapezoid(ts: DataFrame) -> DataFrame:
+    """Per-(cell, cycle) discharge energy as a custom stateful operator.
+
+    Batch semantics (energy.py: |∫ V·I dt| / 3600 over DIS rows,
+    NULL below 2 points) require neighbor differences — not expressible
+    as a declarative streaming aggregate. State per open (cell, cycle)
+    is just ``(last_t, last_p, acc, n)``; each micro-batch advances the
+    integral with its new rows and emits the refreshed running value
+    (update semantics).
+
+    Assumes the feed is in-order per cell, which file-per-export cycler
+    feeds are; late/out-of-order samples would need a reorder buffer in
+    state (not implemented — batch recompute is the reconciliation
+    path, the standard lambda shape for lab telemetry).
+    """
+    keys = cycle_keys(ts)
+    has_cell = "cell_id" in ts.columns
+    out_schema = (
+        ("cell_id string, " if has_cell else "")
+        + "cycle_index long, E_dis_Wh double, n_points long"
+    )
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            last_t, last_p, acc, n = state.get
+        else:
+            last_t, last_p, acc, n = 0.0, 0.0, 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("timestamp", kind="stable")
+            ts_s = pdf["timestamp"].astype("int64").to_numpy() / 1e9
+            p = (pdf["voltage_v"] * pdf["current_a"]).to_numpy(dtype=float)
+            for i in range(len(pdf)):
+                if n > 0:
+                    acc += 0.5 * (p[i] + last_p) * (ts_s[i] - last_t)
+                last_t, last_p = ts_s[i], p[i]
+                n += 1
+        state.update((last_t, last_p, acc, n))
+        energy = abs(acc) / 3600.0 if n >= 2 else None
+        yield pd.DataFrame([(*key, energy, n)], columns=list(keys) + ["E_dis_Wh", "n_points"])
+
+    dis = ts.filter(is_dis()).filter(F.col("cycle_index").isNotNull()).select(
+        *keys, "timestamp", "voltage_v", "current_a"
+    )
+    return dis.groupBy(*keys).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_ENERGY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_event_rollup(
+    ev: DataFrame, window: str = "7 days", watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling event-time window rollup of the events stream:
+    count + value sum per (window, event_type), late data bounded by
+    the watermark. Window start is epoch-aligned (Spark's default
+    origin), so the bucket boundary is reproducible in any engine as
+    ``floor(epoch / window) * window``.
+    """
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

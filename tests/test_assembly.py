@@ -1,0 +1,112 @@
+"""Assembly-layer tests: multi-cell collation (S6/U1/P6/P7), report
+rendering (S7/O3/P5), plot gating (S8), multimodal decode plumbing."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+    binary_payload_meta,
+    decode_images,
+    with_fake_payload,
+)
+from mxene_coin_cell_data_pipeline_spark.operators.collate import (
+    add_cell_id,
+    collate_feature_csvs,
+    union_all,
+)
+from mxene_coin_cell_data_pipeline_spark.operators.plots import HAVE_MPL, quick_plots
+from mxene_coin_cell_data_pipeline_spark.operators.report import (
+    render_report,
+    report_table,
+)
+
+
+@pytest.fixture(scope="module")
+def cell_csv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cells")
+    for cid, q in [("cellA", 3.0), ("cellB", 2.5)]:
+        pd.DataFrame(
+            {"cycle_index": [1, 2], "Q_dis_Ah": [q, q - 0.1], "CE": [0.99, 0.991]}
+        ).to_csv(os.path.join(d, f"{cid}_features_full.csv"), index=False)
+    return str(d)
+
+
+def test_collate_filename_cell_id(spark, cell_csv_dir):
+    out = collate_feature_csvs(spark, cell_csv_dir + "/*_features_full.csv")
+    assert out.columns[0] == "cell_id"
+    rows = {(r["cell_id"], r["cycle_index"]) for r in out.collect()}
+    assert rows == {("cellA", 1), ("cellA", 2), ("cellB", 1), ("cellB", 2)}
+
+
+def test_add_cell_id_fill_rules(spark):
+    df = spark.createDataFrame(
+        [(None, 1), ("", 2), ("kept", 3)], "cell_id string, cycle_index long"
+    )
+    out = {r["cycle_index"]: r["cell_id"] for r in add_cell_id(df, "X").collect()}
+    assert out == {1: "X", 2: "X", 3: "kept"}
+    # column absent → constant fill, moved first
+    df2 = spark.createDataFrame([(1,)], "cycle_index long")
+    got = add_cell_id(df2, "Y")
+    assert got.columns == ["cell_id", "cycle_index"]
+    assert got.first()["cell_id"] == "Y"
+
+
+def test_union_all_missing_columns(spark):
+    a = spark.createDataFrame([(1, 2.0)], "cycle_index long, Q_dis_Ah double")
+    b = spark.createDataFrame([(2, 0.99)], "cycle_index long, CE double")
+    out = union_all([a, b])
+    assert set(out.columns) == {"cycle_index", "Q_dis_Ah", "CE"}
+    assert out.count() == 2
+
+
+def test_report_rounding_and_template(spark):
+    feat = spark.createDataFrame(
+        [(1, 2.99444, 0.98765, 0.30219, 0.05111, 3.81234, 12.3456)],
+        "cycle_index long, Q_dis_Ah double, CE double, E_dis_Wh double, "
+        "IR_C2_ohm double, dQdV_peak_V double, dQdV_shift_mV double",
+    )
+    tbl = report_table(feat).first()
+    assert tbl["Q_dis_Ah"] == 2.994 and tbl["CE"] == 0.9877
+    assert tbl["dQdV_shift_mV"] == 12.3
+    summary = spark.createDataFrame(
+        [("C1", 2.994, -0.2, 100.5)],
+        "cell_id string, Q0_Ah double, fade_slope_pct_per_cycle double, "
+        "cycles_to_80pct double",
+    )
+    md = render_report(feat, summary, "C1")
+    assert "# Cycle-Life Report — C1" in md
+    assert "**Fade slope:** -0.2000% / cycle" in md
+    assert "| cycle_index" in md and "2.994" in md
+
+
+def test_plots_gated_without_matplotlib(spark, tmp_path):
+    feat = spark.createDataFrame(
+        [(1, 2.9, 0.99)], "cycle_index long, Q_dis_Ah double, CE double"
+    )
+    if HAVE_MPL:
+        written = quick_plots(feat, tmp_path)
+        assert all(p.exists() for p in written)
+    else:
+        with pytest.raises(NotImplementedError):
+            quick_plots(feat, tmp_path)
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 300)], "doc_id long, text string"
+    )
+    payloads = with_fake_payload(docs)
+    meta = {r["doc_id"]: r for r in binary_payload_meta(payloads).collect()}
+    assert meta[1]["n_bytes"] == 11 and meta[2]["n_bytes"] == 300
+    feats = {r["doc_id"]: r for r in decode_images(payloads).collect()}
+    assert feats[1]["n_bytes"] == 11
+    assert feats[2]["width"] == max(1, 300 % 64)
+    assert 0.0 <= feats[1]["mean_luma"] <= 1.0
+    # NULL payload → NULL features, row preserved
+    nulls = spark.createDataFrame([(3,)], "doc_id long").withColumn(
+        "payload", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(None).cast("binary")
+    )
+    row = decode_images(nulls).first()
+    assert row["doc_id"] == 3 and row["n_bytes"] is None

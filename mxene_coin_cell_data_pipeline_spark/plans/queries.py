@@ -1101,3 +1101,124 @@ def st01_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@_register(
+    "p03_dqdv_sql",
+    """
+    WITH ts AS (
+      SELECT CAST(user_id AS VARCHAR) AS cell_id,
+             ts AS t, event_id,
+             (epoch_us(ts) // 86400000000) // 7 AS cycle_index,
+             CASE WHEN event_type IN ('purchase','view') THEN 'CC_DIS'
+                  WHEN event_type IN ('click','signup') THEN 'CC_CHG'
+                  ELSE 'REST' END AS step_type,
+             value AS v
+      FROM events),
+    q AS (
+      SELECT cell_id, cycle_index, (3.0 + v % 1.5) AS vv,
+             row_number() OVER (PARTITION BY cell_id, cycle_index
+                                ORDER BY t, event_id) AS ord,
+             v / 1000.0 - min(v / 1000.0)
+               OVER (PARTITION BY cell_id, cycle_index) AS qq
+      FROM ts WHERE contains(step_type, 'DIS')),
+    qd AS (  -- collapse duplicate voltages: np.interp uses the LAST dup
+             -- entering a segment and the FIRST dup leaving it
+      SELECT cell_id, cycle_index, vv,
+             arg_max(qq, ord) AS q_last, arg_min(qq, ord) AS q_first
+      FROM q GROUP BY cell_id, cycle_index, vv),
+    st AS (
+      SELECT cell_id, cycle_index, min(vv) AS v0, max(vv) AS v1, count(*) AS n
+      FROM q GROUP BY cell_id, cycle_index),
+    valid AS (
+      SELECT cell_id, cycle_index, v0,
+             CAST(ceil((v1 - v0) / 0.05) AS BIGINT) AS ng
+      FROM st
+      WHERE n >= 3 AND (v1 - v0) >= 0.05
+            AND CAST(ceil((v1 - v0) / 0.05) AS BIGINT) >= 2),
+    grid AS (  -- np.arange fill rule, mirrored bit-for-bit:
+               -- v[0]=v0, v[1]=v0+step, v[k]=v0+k*((v0+step)-v0)
+      SELECT v.cell_id, v.cycle_index, v.ng, gs.k AS k,
+             CASE WHEN gs.k = 0 THEN v.v0
+                  WHEN gs.k = 1 THEN v.v0 + 0.05
+                  ELSE v.v0 + gs.k * ((v.v0 + 0.05) - v.v0) END AS gv
+      FROM valid v,
+           LATERAL (SELECT unnest(generate_series(0, v.ng - 1)) AS k) gs),
+    br AS (  -- np.interp bracket per grid point
+      SELECT g.cell_id, g.cycle_index, g.ng, g.k, g.gv,
+             max(s.vv)               FILTER (WHERE s.vv <= g.gv) AS v_lo,
+             arg_max(s.q_last, s.vv) FILTER (WHERE s.vv <= g.gv) AS q_lo,
+             min(s.vv)               FILTER (WHERE s.vv >  g.gv) AS v_hi,
+             arg_min(s.q_first, s.vv) FILTER (WHERE s.vv > g.gv) AS q_hi
+      FROM grid g JOIN qd s USING (cell_id, cycle_index)
+      GROUP BY ALL),
+    qg AS (  -- slope-first form mirrors np.interp rounding exactly
+      SELECT cell_id, cycle_index, ng, k, gv,
+             CASE WHEN v_hi IS NULL THEN q_lo
+                  ELSE q_lo + ((q_hi - q_lo) / (v_hi - v_lo)) * (gv - v_lo)
+             END AS qgv
+      FROM br),
+    gr AS (  -- np.gradient: central interior, one-sided edges
+      SELECT cell_id, cycle_index, k, gv,
+             CASE WHEN k = 0      THEN (lead(qgv) OVER wg - qgv) / 0.05
+                  WHEN k = ng - 1 THEN (qgv - lag(qgv) OVER wg) / 0.05
+                  ELSE (lead(qgv) OVER wg - lag(qgv) OVER wg) / (2 * 0.05)
+             END AS grad
+      FROM qg
+      WINDOW wg AS (PARTITION BY cell_id, cycle_index ORDER BY k)),
+    pk AS (  -- np.argmax: FIRST maximal grid point
+      SELECT cell_id, cycle_index, arg_min(gv, k) AS gv
+      FROM gr g
+      WHERE grad = (SELECT max(grad) FROM gr m
+                    WHERE m.cell_id = g.cell_id
+                      AND m.cycle_index = g.cycle_index)
+      GROUP BY cell_id, cycle_index),
+    cycles AS (
+      SELECT DISTINCT cell_id, cycle_index FROM ts
+      WHERE cycle_index IS NOT NULL),
+    peaks AS (
+      SELECT c.cell_id, c.cycle_index, p.gv AS dQdV_peak_V
+      FROM cycles c LEFT JOIN pk p
+        ON c.cell_id = p.cell_id AND c.cycle_index = p.cycle_index)
+    SELECT cell_id, cycle_index, dQdV_peak_V,
+           CASE WHEN dQdV_peak_V IS NOT NULL THEN
+             (dQdV_peak_V - first_value(dQdV_peak_V IGNORE NULLS)
+                OVER (PARTITION BY cell_id ORDER BY cycle_index
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000.0
+           END AS dQdV_shift_mV
+    FROM peaks
+    """,
+    survey="A8-A10 oracle-checked: dQ/dV grid-interp/gradient/argmax kernel vs a "
+    "full SQL reformulation (recursive-CTE arange, np.interp bracket algebra, "
+    "np.gradient stencils, first-max argmax) + shift window",
+    note="The only non-SQL-native operator, differentially verified bit-for-bit. "
+    "The mapped input avoids a windowed cumsum (engines associate long window "
+    "sums differently at ulp scale, and argmax over gradients with exact ties "
+    "cannot tolerate ulp noise); every remaining float op is order-identical "
+    "in both engines, so raw np.argmax tie-resolution matches exactly.",
+)
+def p03_dqdv_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dQ/dV peak + shift over an events-mapped timeseries — the
+    mapInPandas numpy kernel (operators/dqdv.py), oracle-checked
+    against an exact SQL re-derivation of np.interp + np.gradient +
+    first-max argmax (see the registered SQL)."""
+    from ..operators.dqdv import dqdv_peak_per_cycle
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    step_type = (
+        F.when(F.col("event_type").isin("purchase", "view"), "CC_DIS")
+        .when(F.col("event_type").isin("click", "signup"), "CC_CHG")
+        .otherwise("REST")
+    )
+    ts = ev.select(
+        F.col("user_id").cast("string").alias("cell_id"),
+        F.col("ts").alias("timestamp"),
+        F.expr("(unix_micros(ts) div 86400000000) div 7").alias("cycle_index"),
+        step_type.alias("step_type"),
+        (3.0 + F.col("value") % 1.5).alias("voltage_v"),
+        (F.col("value") / 1000.0).alias("discharge_ah"),
+    )
+    return dqdv_peak_per_cycle(ts).select(
+        "cell_id", "cycle_index", "dQdV_peak_V", "dQdV_shift_mV"
+    )

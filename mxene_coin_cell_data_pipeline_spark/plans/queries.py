@@ -1222,3 +1222,97 @@ def p03_dqdv_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dqdv_peak_per_cycle(ts).select(
         "cell_id", "cycle_index", "dQdV_peak_V", "dQdV_shift_mV"
     )
+
+
+@_register(
+    "p04_ir_sql",
+    """
+    WITH ts AS (
+      SELECT CAST(user_id AS VARCHAR) AS cell_id,
+             ts AS t, event_id,
+             (epoch_us(ts) // 86400000000) // 7 AS cycle_index,
+             CASE WHEN event_type IN ('purchase','view') THEN 'CC_DIS'
+                  WHEN event_type IN ('click','signup') THEN 'CC_CHG'
+                  ELSE 'REST' END AS step_type,
+             value AS v
+      FROM events),
+    m AS (
+      SELECT cell_id, cycle_index, t, step_type,
+             (3.0 + v % 1.5) AS voltage_v,
+             CASE WHEN step_type = 'CC_DIS' THEN - v / 100.0
+                  WHEN step_type = 'CC_CHG' THEN v / 100.0
+                  ELSE 0.0 END AS current_a
+      FROM ts),
+    pos AS (  -- row label in the globally time-sorted frame, per cell
+      SELECT *, row_number() OVER (PARTITION BY cell_id ORDER BY t) AS p
+      FROM m),
+    dis AS (
+      SELECT cell_id, cycle_index, p, voltage_v, current_a,
+             abs(abs(current_a) - 1.0) AS absdiff
+      FROM pos
+      WHERE contains(step_type, 'DIS') AND cycle_index IS NOT NULL),
+    sel AS (  -- first-occurrence argmin (pandas idxmin)
+      SELECT cell_id, cycle_index, p AS idx FROM (
+        SELECT cell_id, cycle_index, p,
+               row_number() OVER (PARTITION BY cell_id, cycle_index
+                                  ORDER BY absdiff, p) AS rn
+        FROM dis WHERE absdiff IS NOT NULL)
+      WHERE rn = 1),
+    band AS (
+      SELECT d.cell_id, d.cycle_index, d.p, d.voltage_v, d.current_a, s.idx
+      FROM dis d JOIN sel s USING (cell_id, cycle_index)
+      WHERE d.p BETWEEN s.idx - 1 AND s.idx + 1),
+    agg AS (
+      SELECT cell_id, cycle_index,
+             median(voltage_v) FILTER (WHERE p <  idx) AS pre_v,
+             median(voltage_v) FILTER (WHERE p >= idx) AS post_v,
+             median(current_a) FILTER (WHERE p <  idx) AS pre_i,
+             median(current_a) FILTER (WHERE p >= idx) AS post_i,
+             count(*)          FILTER (WHERE p <  idx) AS n_pre,
+             count(*)          FILTER (WHERE p >= idx) AS n_post
+      FROM band GROUP BY cell_id, cycle_index),
+    cycles AS (
+      SELECT DISTINCT cell_id, cycle_index FROM ts
+      WHERE cycle_index IS NOT NULL)
+    SELECT c.cell_id, c.cycle_index,
+           CASE WHEN a.n_pre = 0 OR a.n_post = 0
+                     OR (a.post_i - a.pre_i) IS NULL
+                     OR (a.post_i - a.pre_i) = 0 THEN NULL
+                ELSE abs((a.post_v - a.pre_v) / (a.post_i - a.pre_i))
+           END AS IR_C2_ohm
+    FROM cycles c LEFT JOIN agg a
+      ON c.cell_id = a.cell_id AND c.cycle_index = a.cycle_index
+    """,
+    survey="A6-A7 oracle-checked on the real operator: ir_c2_per_cycle "
+    "(first-occurrence argmin, positional neighbor-band exact medians, "
+    "guarded |dV/dI|) over an events-mapped timeseries",
+)
+def p04_ir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR@C/2 — the production operator (operators/ir.py) on a mapped
+    timeseries, hash-checked against a DuckDB re-derivation of the
+    argmin + neighbor-median-band + guarded-ratio pipeline."""
+    from ..operators.ir import ir_c2_per_cycle
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load_table(spark, sf_dir, "events")
+    step_type = (
+        F.when(F.col("event_type").isin("purchase", "view"), "CC_DIS")
+        .when(F.col("event_type").isin("click", "signup"), "CC_CHG")
+        .otherwise("REST")
+    )
+    cur = (
+        F.when(F.col("event_type").isin("purchase", "view"), -F.col("value") / 100.0)
+        .when(F.col("event_type").isin("click", "signup"), F.col("value") / 100.0)
+        .otherwise(F.lit(0.0))
+    )
+    ts = ev.select(
+        F.col("user_id").cast("string").alias("cell_id"),
+        F.col("ts").alias("timestamp"),
+        F.expr("(unix_micros(ts) div 86400000000) div 7").alias("cycle_index"),
+        step_type.alias("step_type"),
+        (3.0 + F.col("value") % 1.5).alias("voltage_v"),
+        cur.alias("current_a"),
+    )
+    return ir_c2_per_cycle(ts, rated_ah=2.0).select(
+        "cell_id", "cycle_index", "IR_C2_ohm"
+    )

@@ -51,14 +51,24 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("mxene-bench")
 
-    # warmup: JVM + codegen + parquet footer caches + the Python worker
-    # pool (fork + numpy/pandas import per core — one-time session cost
-    # that would otherwise land entirely on the first Pandas-UDF query)
+    # warmup: JVM + parquet footer caches + the Python worker pool
+    # (fork + numpy/pandas import per core) + whole-stage-codegen
+    # compilation of every headline plan shape (janino caches generated
+    # classes by source, so running each query once at the smallest SF
+    # compiles exactly the code the measured run reuses). One-time
+    # session costs; the measured numbers are the plans, not the JIT.
     region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     region.count()
     region.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
         lambda it: it, schema=region.schema
     ).count()
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf):
+        for name in HEADLINE:
+            try:
+                QUERIES[name].spark(spark, warm_sf).count()
+            except Exception:
+                pass  # a warmup failure must never sink the bench
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -657,7 +657,7 @@ from ..functions.dedup import (  # noqa: E402
 from ..functions.multimodal import binary_payload_meta, with_fake_payload  # noqa: E402
 from ..functions.similarity import (  # noqa: E402
     cosine_topk,
-    embedding_near_dup_pairs,
+    embedding_near_dup_pairs_blas,
     ivf_topk,
 )
 from ..functions.text import (  # noqa: E402
@@ -844,13 +844,17 @@ def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cosine
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.95
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.2
     """,
-    survey="north-star dedup: embedding-cosine near-dup (label-blocked pairwise)",
+    survey="north-star dedup: embedding-cosine near-dup (label-blocked pairwise, "
+    "per-block BLAS gemm kernel)",
+    note="threshold 0.2 so the oracle checks ~10k real pairs (0.95 matches "
+    "nothing in the synthetic embeddings — a vacuous pass); the Spark side is "
+    "the applyInPandas matrix-multiply kernel, ulp-equal to the SQL fold.",
 )
 def d04_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _ctx(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.95)
+    return embedding_near_dup_pairs_blas(emb, threshold=0.2)
 
 
 @_register(

@@ -224,3 +224,67 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
     )
     return agg.select("doc_id", bits.alias("simhash_bits"))
+
+
+def near_dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → ``(doc_id, group_id)``.
+
+    Turning pairwise matches into keep/drop decisions needs the
+    transitive closure (A~B, B~C ⇒ one group). Distributed hash-min
+    label propagation: every doc starts labeled with its own id; each
+    round a doc takes the min label among itself and its neighbors;
+    fixpoint after O(component diameter) rounds. group_id = the
+    component's minimum doc_id (the canonical "keeper" under keep-first
+    policy).
+
+    Scale: each round is one join + one aggregation, both keyed by
+    doc_id; ``localCheckpoint`` truncates the growing lineage so round
+    N's plan does not replay rounds 1..N-1 (the standard iterative-
+    algorithm pattern on Spark). Near-dup graphs are sparse and
+    shallow — diameter is small in practice; ``max_iter`` bounds
+    pathological chains.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("group_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("group_id").alias("_nl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_nl").alias("_ml"))
+            .select(F.col("src").alias("doc_id"), "_ml")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("_ml"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

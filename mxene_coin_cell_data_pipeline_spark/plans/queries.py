@@ -1320,3 +1320,41 @@ def p04_ir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ir_c2_per_cycle(ts, rated_ah=2.0).select(
         "cell_id", "cycle_index", "IR_C2_ohm"
     )
+
+
+_D02_PAIRS_SQL = QUERIES["d02_minhash_lsh"].oracle
+
+QUERIES_D06_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {_D02_PAIRS_SQL}
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src)
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+    """
+
+
+@_register(
+    "d06_near_dup_groups",
+    QUERIES_D06_ORACLE,
+    survey="north-star dedup: transitive closure of near-dup pairs into keeper "
+    "groups (distributed hash-min label propagation vs recursive-CTE closure)",
+    note="Iterative DataFrame algorithm (join+min per round, localCheckpoint "
+    "lineage truncation) oracle-checked against DuckDB's recursive CTE over "
+    "the identical LSH pair set.",
+)
+def d06_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the MinHash near-dup graph: every doc
+    that has a duplicate gets its component's min doc_id as group_id
+    (the canonical keep-first keeper)."""
+    from ..functions.dedup import minhash_near_dup_pairs, near_dup_groups
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return near_dup_groups(minhash_near_dup_pairs(docs, threshold=0.8))

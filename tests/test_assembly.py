@@ -110,3 +110,25 @@ def test_multimodal_decode_plumbing(spark):
     )
     row = decode_images(nulls).first()
     assert row["doc_id"] == 3 and row["n_bytes"] is None
+
+
+def test_near_dup_groups_transitive(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import near_dup_groups
+
+    # components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; isolated docs absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_near_dup_groups_long_chain(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import near_dup_groups
+
+    # a 12-hop path exercises multi-round label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in near_dup_groups(pairs).collect()}
+    assert got == {i: 0 for i in range(13)}

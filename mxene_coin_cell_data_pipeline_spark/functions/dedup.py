@@ -14,7 +14,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokenize
 
@@ -165,30 +165,59 @@ def minhash_near_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram jaccard dedup without LSH: candidates are all pairs
     sharing ≥1 shingle (inverted-index join). Exact but heavier than
-    LSH; the scale path caps posting lists (see minhash variant)."""
+    LSH; the scale path caps posting lists via ``max_df``.
+
+    Plan shape: ONE shingle computation feeding one doc-keyed groupBy
+    into compact ``(doc_id, set, n)`` rows; the inverted index is then
+    re-exploded from those arrays (no regexp re-run) and set sizes ride
+    through the join, so no separate sizes table and no extra joins.
+    ``max_df`` (optional) drops posting lists longer than the cap from
+    CANDIDATE GENERATION only — the standard stop-shingle guard at
+    scale, where one ultra-common phrase would otherwise contribute
+    O(df²) pairs; the jaccard itself is still computed exactly over the
+    full shingle sets (``pair_jaccard``), so the cap can only lose
+    candidate recall, never distort scores. Default None is fully
+    exact.
+    """
     sh = shingles(docs, text_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        sh_a.join(sh_b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    doc_sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
+    posting = doc_sets.select(
+        "doc_id", F.size("_set").alias("n"), F.explode("_set").alias("shingle")
+    )
+    if max_df is not None:
+        w_df = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        capped = (
+            posting.withColumn("_df", w_df)
+            .filter(F.col("_df") <= max_df)
+            .select("doc_id", "shingle")
+        )
+        cand = (
+            capped.select(F.col("doc_id").alias("doc_a"), "shingle")
+            .join(capped.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return pair_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
+    a = posting.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
+    )
+    b = posting.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
     )
     return (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")),
-            "doc_b",
-        )
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .select(
             "doc_a",
             "doc_b",

@@ -168,3 +168,34 @@ def test_cli_run_and_qc(tmp_path):
     )
     assert r2.returncode == 1  # exit-1-on-warning contract
     assert "Median IR_C2" in r2.stdout
+
+
+def test_ngram_jaccard_max_df_cap(spark):
+    """max_df caps candidate generation only — scores of surviving
+    pairs are identical to the exact run."""
+    from pyspark.sql import functions as F
+
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "totally different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_df=5).collect()
+    }
+    assert set(capped) <= set(exact)
+    for k, v in capped.items():
+        assert v == exact[k]
+    assert (1, 2) in exact and exact[(1, 2)] > 0.3

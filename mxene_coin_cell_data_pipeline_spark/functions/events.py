@@ -1,0 +1,95 @@
+"""Event-stream operators: as-of join and sessionization.
+
+Neither exists in the reference (its joins are per-cycle equi-joins,
+SURVEY.md §2.5), but both are core timeseries alignment primitives for
+cycler-lab data (align a slow temperature feed with fast cycler
+samples) and for training-data event logs. Spark has no native ASOF
+JOIN — the idiomatic distributed formulation is the union trick below,
+ONE shuffle, no range-join explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, the latest right row with ``right.on <=
+    left.on`` within the same ``by`` group (backward as-of, ties
+    included) — pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics.
+
+    Union trick instead of a range join: tag the sides, sort each
+    ``by`` group once by (time, side) with right-before-left on ties,
+    and carry the right values forward with ``last_value ignorenulls``
+    over an unbounded-preceding frame. One shuffle on ``by``; a naive
+    range join is O(|L|·|R|) per group and needs a broadcast or
+    cartesian — this is O((|L|+|R|) log) sort work, scale-safe.
+    ``value_cols`` must not collide with left's columns.
+    """
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(
+        *by, on, *value_cols
+    ).withColumn("_side", F.lit(0))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    ev: DataFrame,
+    gap_seconds: int,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Gap-based session ids: a new session starts when the time since
+    the previous event in the key group exceeds ``gap_seconds``.
+
+    Two stacked windows over ONE partitioning (a single shuffle + sort,
+    reused by both): lag to detect boundaries, running sum to number
+    sessions. Session ids start at 1 and are dense per key.
+    """
+    keys = key_cols if key_cols is not None else ["user_id"]
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_tiebreak).asc()] if order_tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev_us = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col(ts_col)) - prev_us > gap_seconds * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.withColumn("session_id", F.sum(is_new).over(run))
+
+
+def session_stats(
+    sessions: DataFrame,
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-session rollup: event count + duration in microseconds."""
+    keys = (key_cols if key_cols is not None else ["user_id"]) + ["session_id"]
+    us = F.unix_micros(F.col(ts_col))
+    return sessions.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+    )

@@ -1358,3 +1358,80 @@ def d06_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return near_dup_groups(minhash_near_dup_pairs(docs, threshold=0.8))
+
+
+# =====================================================================
+# Timeseries alignment operators (engine extensions beyond SURVEY §2.5)
+# =====================================================================
+
+
+@_register(
+    "e01_asof_join",
+    """
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS ts_us,
+           p.value,
+           c.click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT user_id, ts, value AS click_value
+                    FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    survey="extension: backward as-of join (union + last_value ignorenulls, one "
+    "shuffle — Spark has no native ASOF JOIN) vs DuckDB's native ASOF JOIN",
+)
+def e01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase aligned with the user's latest prior-or-equal
+    click value."""
+    from ..functions.events import asof_join_backward
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join_backward(
+        purchases, clicks, on="ts", by=["user_id"], value_cols=["click_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+        "click_value",
+    )
+
+
+@_register(
+    "e02_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             sum(CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us > 1800 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (SELECT user_id, ts, event_id,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events))
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+    FROM s GROUP BY user_id, session_id
+    """,
+    survey="extension: gap-based sessionization (lag boundary + running-sum "
+    "numbering over one shuffle) + per-session rollup",
+)
+def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user with count/duration rollup —
+    integer microsecond arithmetic end to end, bit-exact across
+    engines."""
+    from ..functions.events import session_stats, sessionize
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return session_stats(sessionize(ev, gap_seconds=1800))

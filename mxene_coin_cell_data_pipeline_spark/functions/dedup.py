@@ -179,13 +179,14 @@ def ngram_jaccard_pairs(
     into compact ``(doc_id, set, n)`` rows; the inverted index is then
     re-exploded from those arrays (no regexp re-run) and set sizes ride
     through the join, so no separate sizes table and no extra joins.
-    ``max_df`` (optional) drops posting lists longer than the cap from
-    CANDIDATE GENERATION only — the standard stop-shingle guard at
-    scale, where one ultra-common phrase would otherwise contribute
-    O(df²) pairs; the jaccard itself is still computed exactly over the
-    full shingle sets (``pair_jaccard``), so the cap can only lose
-    candidate recall, never distort scores. Default None is fully
-    exact.
+    ``max_df`` (optional) restricts the whole computation to the
+    shingle universe with document frequency ≤ cap — the stop-shingle
+    guard at scale, where a 250-doc duplicate cluster's shared shingles
+    each contribute O(df²) join pairs. Set sizes and intersections are
+    both computed over the SAME capped universe, so the score is a
+    well-defined jaccard (of stop-filtered shingle sets), not a
+    distorted one; pairs whose every shared shingle is ultra-common are
+    the (intended) recall loss. Default None is fully exact.
     """
     sh = shingles(docs, text_col, n)
     doc_sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
@@ -193,20 +194,16 @@ def ngram_jaccard_pairs(
         "doc_id", F.size("_set").alias("n"), F.explode("_set").alias("shingle")
     )
     if max_df is not None:
-        w_df = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        capped = (
-            posting.withColumn("_df", w_df)
+        posting = (
+            posting.withColumn(
+                "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+            )
             .filter(F.col("_df") <= max_df)
-            .select("doc_id", "shingle")
+            .withColumn(
+                "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+            )
+            .drop("_df")
         )
-        cand = (
-            capped.select(F.col("doc_id").alias("doc_a"), "shingle")
-            .join(capped.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        return pair_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
     a = posting.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
     )

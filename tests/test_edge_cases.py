@@ -1,0 +1,96 @@
+"""Degenerate-input behavior: empty frames, all-null keys, single rows.
+
+The reference crashes on several of these (it was never hardened); the
+engine's contract is: never throw on degenerate data, return the
+correctly-shaped empty/NULL result instead."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fixtures import arbin_frame
+from mxene_coin_cell_data_pipeline_spark.operators import (
+    capacity_ce_per_cycle,
+    energy_wh_per_cycle,
+    fade_and_rul,
+    full_feature_pipeline,
+    normalize_cycler,
+)
+from mxene_coin_cell_data_pipeline_spark.operators.dqdv import dqdv_peak_per_cycle
+from mxene_coin_cell_data_pipeline_spark.operators.ir import ir_c2_per_cycle
+
+TS_SCHEMA = (
+    "cell_id string, timestamp timestamp, cycle_index long, step_index long, "
+    "step_type string, current_a double, voltage_v double, temp_c double, "
+    "charge_ah double, discharge_ah double"
+)
+
+
+@pytest.fixture(scope="module")
+def empty_ts(spark):
+    return spark.createDataFrame([], TS_SCHEMA)
+
+
+def test_feature_operators_on_empty(spark, empty_ts):
+    assert capacity_ce_per_cycle(empty_ts).count() == 0
+    assert energy_wh_per_cycle(empty_ts).count() == 0
+    assert ir_c2_per_cycle(empty_ts, 3.0).count() == 0
+    assert dqdv_peak_per_cycle(empty_ts).count() == 0
+    feat = full_feature_pipeline(empty_ts, rated_ah=3.0, cache=False)
+    assert feat.count() == 0
+
+
+def test_fade_on_empty_and_single_cycle(spark, empty_ts):
+    feat = full_feature_pipeline(empty_ts, rated_ah=3.0, cache=False)
+    # regression over zero points → NULL slope, no crash
+    s = fade_and_rul(feat)
+    assert s.count() == 0 or s.first()["fade_slope_pct_per_cycle"] is None
+    one = spark.createDataFrame(
+        [("C", 1, 2.9, 1.0)],
+        "cell_id string, cycle_index long, Q_dis_Ah double, q_norm double",
+    )
+    row = fade_and_rul(one).first()
+    # <2 points: reference raises (step8_fade_rul.py:17); engine yields NULLs
+    assert row["fade_slope_pct_per_cycle"] is None
+
+
+def test_all_null_cycle_index_yields_no_feature_rows(spark):
+    pdf = arbin_frame()
+    pdf["Cycle_Index"] = None
+    ts = normalize_cycler(spark.createDataFrame(pdf), cell_id="C")
+    # pandas groupby drops NaN keys — every operator must mirror that
+    assert capacity_ce_per_cycle(ts).count() == 0
+    assert energy_wh_per_cycle(ts).count() == 0
+    assert ir_c2_per_cycle(ts, 3.0).count() == 0
+    assert dqdv_peak_per_cycle(ts).count() == 0
+
+
+def test_single_sample_cycle_guards(spark):
+    import datetime as dt
+
+    ts = spark.createDataFrame(
+        [("C", dt.datetime(2024, 1, 1), 1, 1, "CC_DIS", -1.0, 3.7, None, 0.0, 0.5)],
+        TS_SCHEMA,
+    )
+    e = energy_wh_per_cycle(ts).first()
+    assert e["E_dis_Wh"] is None  # <2 rows guard (pipeline.py:172)
+    d = dqdv_peak_per_cycle(ts).first()
+    assert d["dQdV_peak_V"] is None  # <3 rows guard (pipeline.py:209)
+    ir = ir_c2_per_cycle(ts, 3.0).first()
+    assert ir["IR_C2_ohm"] is None  # empty pre-window guard
+
+
+def test_dedup_on_empty_docs(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        exact_dedup,
+        minhash_near_dup_pairs,
+        near_dup_groups,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(docs).count() == 0
+    assert minhash_near_dup_pairs(docs).count() == 0
+    assert ngram_jaccard_pairs(docs).count() == 0
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert near_dup_groups(pairs).count() == 0

@@ -1435,3 +1435,35 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (ev,) = _ctx(spark, sf_dir, "events")
     return session_stats(sessionize(ev, gap_seconds=1800))
+
+
+@_register(
+    "t05_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             tf.tf * ln((1 + n.n_docs) / CAST(1 + dfreq.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    survey="north-star text: TF-IDF top-k terms per doc (explode + two keyed "
+    "aggs + broadcast scalar N + window top-k, codegen end to end)",
+)
+def t05_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tfidf_top_terms
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)

@@ -1467,3 +1467,74 @@ def t05_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return tfidf_top_terms(docs, k=3)
+
+
+@_register(
+    "w02_pivot_step_counts",
+    """
+    WITH ts AS (
+      SELECT (epoch_us(ts) // 86400000000) // 7 AS cycle_index,
+             CASE WHEN event_type IN ('purchase','view') THEN 'CC_DIS'
+                  WHEN event_type IN ('click','signup') THEN 'CC_CHG'
+                  ELSE 'REST' END AS step_type
+      FROM events)
+    SELECT cycle_index,
+           sum(CASE WHEN step_type = 'CC_CHG' THEN 1 ELSE 0 END) AS CC_CHG,
+           sum(CASE WHEN step_type = 'CC_DIS' THEN 1 ELSE 0 END) AS CC_DIS,
+           sum(CASE WHEN step_type = 'REST'   THEN 1 ELSE 0 END) AS REST
+    FROM ts GROUP BY cycle_index
+    """,
+    survey="pivot: step_type distribution per cycle (groupBy().pivot() with "
+    "explicit value list → no extra pass to discover categories)",
+)
+def w02_pivot_step_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    step_type = (
+        F.when(F.col("event_type").isin("purchase", "view"), "CC_DIS")
+        .when(F.col("event_type").isin("click", "signup"), "CC_CHG")
+        .otherwise("REST")
+    )
+    return (
+        ev.select(
+            F.expr("(unix_micros(ts) div 86400000000) div 7").alias("cycle_index"),
+            step_type.alias("step_type"),
+        )
+        .groupBy("cycle_index")
+        .pivot("step_type", ["CC_CHG", "CC_DIS", "REST"])
+        .count()
+        .na.fill(0, ["CC_CHG", "CC_DIS", "REST"])
+    )
+
+
+@_register(
+    "w03_rolling_capacity",
+    """
+    WITH weekly AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000) // 7 AS week,
+             sum(value) AS wsum
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, week)
+    SELECT user_id, week, wsum,
+           avg(wsum) OVER (PARTITION BY user_id ORDER BY week
+                           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             AS wsum_ma4
+    FROM weekly
+    """,
+    survey="A4-family rolling frame: 4-week moving average per key "
+    "(rowsBetween(-3, 0) window over a keyed aggregate)",
+)
+def w03_rolling_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    weekly = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            "user_id",
+            F.expr("(unix_micros(ts) div 86400000000) div 7").alias("week"),
+        )
+        .agg(F.sum("value").alias("wsum"))
+    )
+    w = Window.partitionBy("user_id").orderBy("week").rowsBetween(-3, 0)
+    return weekly.select(
+        "user_id", "week", "wsum", F.avg("wsum").over(w).alias("wsum_ma4")
+    )

@@ -24,6 +24,7 @@ from .ingest import normalize_cycler_stream, read_cycler_stream, read_events_str
 from .features import (
     stream_capacity_ce,
     stream_energy_trapezoid,
+    stream_exact_dedup,
     windowed_event_rollup,
 )
 from .run import run_stream_to_memory
@@ -34,6 +35,7 @@ __all__ = [
     "normalize_cycler_stream",
     "stream_capacity_ce",
     "stream_energy_trapezoid",
+    "stream_exact_dedup",
     "windowed_event_rollup",
     "run_stream_to_memory",
 ]

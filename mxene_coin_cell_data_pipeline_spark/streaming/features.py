@@ -140,3 +140,25 @@ def windowed_event_rollup(
             "sum_value",
         )
     )
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Novel-documents-only stream: exact dedup on content fingerprint.
+
+    The training-data ingest pattern — drop every document whose md5
+    fingerprint has been seen before. Spark's native streaming
+    ``dropDuplicates`` maintains the seen-set in state; with an
+    event-time column + watermark the state is bounded (duplicates
+    separated by more than the watermark pass through — the standard
+    correctness/state trade at scale). Without ``ts_col`` state grows
+    unboundedly: only for bounded replays.
+    """
+    fp = docs.withColumn("_fp", F.md5(F.col(text_col)))
+    if ts_col is not None:
+        return fp.withWatermark(ts_col, watermark).dropDuplicates(["_fp"]).drop("_fp")
+    return fp.dropDuplicates(["_fp"]).drop("_fp")

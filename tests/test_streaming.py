@@ -128,3 +128,30 @@ def test_windowed_event_rollup_matches_batch(spark, sf_dir):
     )
     assert got.count() == expect.count() > 0
     assert got.exceptAll(expect).count() == 0
+
+
+def test_stream_exact_dedup_matches_batch(spark, tmp_path):
+    """Streaming dropDuplicates == batch exact dedup on a replayed
+    corpus split across micro-batches (dup pairs straddle the split)."""
+    import pandas as pd
+
+    from mxene_coin_cell_data_pipeline_spark.streaming.features import (
+        stream_exact_dedup,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    texts = ["alpha", "beta", "alpha", "gamma", "beta", "delta"]
+    pd.DataFrame({"doc_id": [0, 1, 2], "text": texts[:3]}).to_parquet(d / "a.parquet")
+    pd.DataFrame({"doc_id": [3, 4, 5], "text": texts[3:]}).to_parquet(d / "b.parquet")
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    out = run_stream_to_memory(stream_exact_dedup(stream), output_mode="append")
+    kept = {r["text"] for r in out.collect()}
+    assert kept == {"alpha", "beta", "gamma", "delta"}
+    assert out.count() == 4  # one row per distinct content, even across batches

@@ -211,3 +211,65 @@ def embedding_near_dup_pairs_blas(
         .groupBy(block_col)
         .applyInPandas(pairs, schema="vec_a long, vec_b long, cosine double")
     )
+
+
+def _hyperplane_weight(seed: int, dim_col: Column) -> Column:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1):
+    md5("seed|dim") first 8 hex chars → uniform int → scaled. Engine-
+    portable (any SQL engine with md5 reproduces it bit-for-bit)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), dim_col)), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    return h / F.lit(2147483648.0) - F.lit(1.0)
+
+
+def signlsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH bucket per vector.
+
+    Bucket bit j = sign(v · h_j) with h_j a deterministic pseudo-random
+    hyperplane. Cosine-similar vectors agree on most bits, so exact
+    bucket equality is a candidate filter whose collision probability
+    is (1 - θ/π)^n_planes. One posexplode + one groupBy — linear, and
+    the bucket column is a join/partition key at any scale (the scale
+    path for near-dup: bucket-join instead of all-pairs).
+    """
+    dims = embeddings.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    dots = [
+        F.sum(
+            F.col("x").cast("double")
+            * _hyperplane_weight(j, F.col("dim").cast("string"))
+        ).alias(f"d{j}")
+        for j in range(n_planes)
+    ]
+    agg = dims.groupBy(id_col).agg(*dots)
+    bits = F.concat(
+        *[F.when(F.col(f"d{j}") >= 0, "1").otherwise("0") for j in range(n_planes)]
+    )
+    return agg.select(id_col, bits.alias("bucket"))
+
+
+def signlsh_candidate_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing a sign-LSH bucket — the ANN
+    candidate generator whose work tracks bucket occupancy, not n²."""
+    b = signlsh_buckets(embeddings, n_planes, id_col, vec_col)
+    a_side = b.select(F.col(id_col).alias("vec_a"), "bucket")
+    b_side = b.select(F.col(id_col).alias("vec_b"), "bucket")
+    return (
+        a_side.join(b_side, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "bucket")
+    )

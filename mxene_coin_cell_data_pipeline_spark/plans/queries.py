@@ -1538,3 +1538,47 @@ def w03_rolling_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.select(
         "user_id", "week", "wsum", F.avg("wsum").over(w).alias("wsum_ma4")
     )
+
+
+_SIGNLSH_W = (
+    "(('0x' || substr(md5('{j}|' || CAST(dim AS VARCHAR)), 1, 8))::BIGINT"
+    " / 2147483648.0 - 1.0)"
+)
+
+
+def _signlsh_oracle(n_planes: int = 8) -> str:
+    dots = ",\n             ".join(
+        f"sum(x * {_SIGNLSH_W.format(j=j)}) AS d{j}" for j in range(n_planes)
+    )
+    bits = " || ".join(
+        f"CASE WHEN d{j} >= 0 THEN '1' ELSE '0' END" for j in range(n_planes)
+    )
+    return f"""
+    WITH dims AS (
+      SELECT vec_id, u.x, u.dim - 1 AS dim
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding::DOUBLE[]) AS x,
+                           generate_subscripts(embedding, 1) AS dim) u),
+    dots AS (
+      SELECT vec_id,
+             {dots}
+      FROM dims GROUP BY vec_id),
+    buckets AS (SELECT vec_id, {bits} AS bucket FROM dots)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+
+@_register(
+    "s03_signlsh_pairs",
+    _signlsh_oracle(),
+    survey="north-star similarity: sign-random-projection LSH (hyperplane "
+    "SimHash buckets from md5-derived deterministic weights) candidate pairs — "
+    "the bucket-join ANN scale path complementing IVF (s02)",
+)
+def s03_signlsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import signlsh_candidate_pairs
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return signlsh_candidate_pairs(emb)

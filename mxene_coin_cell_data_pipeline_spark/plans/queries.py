@@ -1582,3 +1582,28 @@ def s03_signlsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _ctx(spark, sf_dir, "embeddings")
     return signlsh_candidate_pairs(emb)
+
+
+@_register(
+    "a13_percentiles",
+    """
+    SELECT user_id,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.9)  AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="A-family exact percentiles: interpolated p50/p90/p99 per key "
+    "(F.percentile — exact, matches quantile_cont; percentile_approx is the "
+    "documented 100TB trade when exactness is negotiable)",
+)
+def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )

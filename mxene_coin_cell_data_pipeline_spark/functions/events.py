@@ -50,6 +50,66 @@ def asof_join_backward(
     return u.filter(F.col("_side") == 1).drop("_side")
 
 
+def range_join_count(
+    probes: DataFrame,
+    events: DataFrame,
+    window_seconds: int,
+    by: list[str],
+    ts_col: str = "ts",
+    probe_id_col: str = "event_id",
+    count_col: str = "n_in_range",
+) -> DataFrame:
+    """Band (range) join rollup: for each probe row, how many event rows
+    share its ``by`` keys and fall in ``[probe.ts - window, probe.ts)``.
+
+    Spark has no native range join — a raw ``l.ts BETWEEN r.ts-w AND
+    r.ts`` theta-join plans as BroadcastNestedLoop (O(|L|·|R|) per key
+    group). The scale formulation is bucketed: quantize event times into
+    ``window_seconds`` buckets (each event lands in exactly ONE bucket),
+    explode each probe to its two candidate buckets (an interval of
+    width w overlaps at most 2 such buckets), equi-join on
+    (by…, bucket), then apply the exact band predicate. Work is
+    O(|L|·2 + |R|) join rows instead of per-key cartesian, shuffles on
+    (by…, bucket) — a uniformly-distributed key even when one ``by``
+    key is hot. Probes with no in-range events keep count 0 (left
+    join + count of matches).
+    """
+    w_us = F.lit(window_seconds * 1_000_000)
+    p_us = F.unix_micros(F.col(ts_col))
+    # bucket(p.ts - w) == bucket(p.ts) - 1 exactly (bucket width == w),
+    # so the two candidates are always distinct — no dedup pass needed.
+    p = probes.select(
+        F.col(probe_id_col).alias("_pid"),
+        *by,
+        F.col(ts_col).alias("_pts"),
+        F.explode(
+            F.array(F.floor((p_us - w_us) / w_us), F.floor(p_us / w_us))
+        ).alias("_bucket"),
+    )
+    e = events.select(
+        *[F.col(c).alias(f"_e_{c}") for c in by],
+        F.unix_micros(F.col(ts_col)).alias("_ets"),
+        F.floor(F.unix_micros(F.col(ts_col)) / w_us).alias("_bucket"),
+    )
+    on = [p[c] == e[f"_e_{c}"] for c in by] + [p["_bucket"] == e["_bucket"]]
+    in_band = (F.col("_ets") >= F.unix_micros(F.col("_pts")) - w_us) & (
+        F.col("_ets") < F.unix_micros(F.col("_pts"))
+    )
+    joined = p.join(e, on, "left").select(
+        "_pid", *by, "_pts", F.when(in_band, 1).otherwise(0).alias("_hit")
+    )
+    return (
+        joined.groupBy("_pid", *by, "_pts")
+        .agg(F.sum("_hit").alias(count_col))
+        .select(
+            F.col("_pid").alias(probe_id_col),
+            *by,
+            F.col("_pts").alias(ts_col),
+            count_col,
+        )
+    )
+
+
 def sessionize(
     ev: DataFrame,
     gap_seconds: int,

@@ -16,7 +16,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -210,6 +210,53 @@ def embedding_near_dup_pairs_blas(
         embeddings.select(block_col, id_col, vec_col)
         .groupBy(block_col)
         .applyInPandas(pairs, schema="vec_a long, vec_b long, cosine double")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join: for every query vector, its k nearest corpus
+    vectors by cosine (ties broken by corpus id — total order).
+
+    Norms are folded once per side BEFORE the pair join (O(n+m), not
+    O(n·m)); the per-pair work is a single dot-product fold inside
+    whole-stage codegen, then a per-query window top-k (rank, not a
+    global sort). The query side broadcasts when small — the usual ANN
+    batch-lookup shape (probe set ≪ corpus). At 100 TB the corpus scan
+    stays embarrassingly parallel and shuffle-free: broadcast queries ×
+    partition-local scoring, one shuffle keyed by query for the top-k.
+    The scale path when the query side is also huge is s02 (IVF) /
+    s03 (sign-LSH) candidate generation feeding this same scorer.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(F.col(vec_col)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        _norm(F.col(vec_col)).alias("_cn"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 

@@ -111,6 +111,31 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_bigrams(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Top-k corpus bigrams: ``(bigram, n)``, count-desc with a bigram
+    tie-break (total order — deterministic top-k).
+
+    Bigrams are formed JVM-side with array higher-order functions —
+    ``zip_with(slice(w, 1, n-1), slice(w, 2, n-1), concat)`` — so the
+    whole pipeline (tokenize → pair → explode → count → top-k) stays in
+    whole-stage codegen with one shuffle (the count) and a
+    TakeOrderedAndProject for the limit, never a global sort. Linear in
+    corpus size at any scale; k bounds driver output.
+    """
+    w = tokenize(F.col(text_col))
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))  # 0/1-token docs → no bigrams
+    pairs = F.zip_with(
+        F.slice(w, 1, n1), F.slice(w, 2, n1), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -1584,6 +1584,453 @@ def s03_signlsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return signlsh_candidate_pairs(emb)
 
 
+# =====================================================================
+# Relational completeness: semi/anti/outer joins, grouped HAVING,
+# decorrelated min-per-group, set ops, rollup, ranking windows,
+# distinct aggregates, JSON extraction, range join
+# =====================================================================
+
+
+@_register(
+    "j01_semi_join",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    survey="J-family extension: EXISTS decorrelated to a left-semi hash join "
+    "(TPC-H Q4 shape; mixed equi + band condition, no row duplication)",
+)
+def j01_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders from 1996 with at least one line shipped >60 days after
+    the order date, counted by priority. EXISTS compiles to a
+    left-semi join — probe side never duplicates, so the post-join
+    aggregate sees each order once regardless of match multiplicity."""
+    orders, li = _ctx(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "j02_anti_join",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           sum(c_acctbal) AS sum_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    survey="J-family extension: NOT EXISTS decorrelated to a left-anti hash "
+    "join (TPC-H Q22 shape; the filter pushes into the build side)",
+)
+def j02_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who never placed an URGENT order, rolled up by market
+    segment. The priority filter is applied to the build side BEFORE
+    the anti join — at scale that shrinks the hash table 5×, and the
+    anti join itself streams the probe side."""
+    cust, orders = _ctx(spark, sf_dir, "customer", "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return (
+        cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+@_register(
+    "j03_min_per_group",
+    """
+    WITH first_date AS (
+      SELECT o_custkey, min(o_orderdate) AS fd FROM orders GROUP BY o_custkey)
+    SELECT o.o_custkey,
+           epoch_us(o.o_orderdate) AS first_orderdate_us,
+           min(o.o_orderkey) AS first_orderkey,
+           min(o.o_totalprice) AS first_totalprice
+    FROM orders o JOIN first_date f
+      ON o.o_custkey = f.o_custkey AND o.o_orderdate = f.fd
+    GROUP BY o.o_custkey, o.o_orderdate
+    """,
+    survey="J-family extension: correlated scalar-subquery shape (earliest "
+    "row per key) decorrelated to agg + self-equi-join on the aggregate "
+    "value (TPC-H Q2 shape), deterministic tie-break",
+    note="first_totalprice = min over the tied earliest orders (orderkey "
+    "min independently) — both engines aggregate the tie set identically, "
+    "so the result is total-order deterministic.",
+)
+def j03_min_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's earliest order (Q2's 'supplier with min cost'
+    shape): groupBy-min then join back on (key, min-value). The
+    re-aggregation collapses date ties deterministically. The join-back
+    is shuffle-on-custkey both sides — co-partitioned, no broadcast
+    needed even when the key count is huge."""
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    first = orders.groupBy(F.col("o_custkey").alias("_fk")).agg(
+        F.min("o_orderdate").alias("fd")
+    )
+    return (
+        orders.join(
+            first,
+            (F.col("o_custkey") == F.col("_fk"))
+            & (F.col("o_orderdate") == F.col("fd")),
+        )
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.min("o_totalprice").alias("first_totalprice"),
+        )
+        .select(
+            "o_custkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "first_orderdate_us"
+            ),
+            "first_orderkey",
+            "first_totalprice",
+        )
+    )
+
+
+@_register(
+    "j04_outer_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    """,
+    survey="J-family extension: left outer join with a non-key residual "
+    "predicate + null-skipping count + re-aggregation (TPC-H Q13 shape)",
+)
+def j04_outer_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of non-urgent order counts per customer. The
+    priority predicate is part of the JOIN (not a WHERE — that would
+    turn the outer join inner); count(col) skips the NULLs produced
+    for orderless customers, putting them in the c_count=0 bin."""
+    cust, orders = _ctx(spark, sf_dir, "customer", "orders")
+    cond = (cust["c_custkey"] == orders["o_custkey"]) & (
+        orders["o_orderpriority"] != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "q18_having",
+    """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, t.sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 200) t
+      ON o.o_orderkey = t.l_orderkey
+    """,
+    survey="A-family extension: HAVING (post-aggregation filter) + join back "
+    "to the fact's parent (TPC-H Q18 shape)",
+)
+def q18_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: aggregate lineitem per order, filter ON THE
+    AGGREGATE (having), then hash-join the survivors back to orders.
+    The having filter runs before the join, so the join build side is
+    only the qualifying keys — the selective side drives the plan."""
+    orders, li = _ctx(spark, sf_dir, "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return orders.join(
+        big, orders["o_orderkey"] == big["l_orderkey"]
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+
+
+@_register(
+    "u02_intersect_except",
+    """
+    SELECT c_custkey FROM (
+      (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    survey="U-family extension: INTERSECT + EXCEPT set semantics "
+    "(hash-aggregate distinct + null-safe left-semi/anti under the hood)",
+)
+def u02_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both a finished and an open order but no urgent
+    one: INTERSECT then EXCEPT, each a distinct-then-filter — Spark
+    plans them as aggregate + semi/anti joins; set (not bag) semantics
+    match ANSI INTERSECT/EXCEPT."""
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    fin = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    opn = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    urg = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return fin.intersect(opn).exceptAll(urg.distinct())
+
+
+@_register(
+    "w04_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf,
+           grouping(l_linestatus) AS g_ls,
+           sum(l_quantity) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    survey="A-family extension: ROLLUP hierarchical grouping sets with "
+    "grouping() indicators (one Expand + one aggregate, not N passes)",
+)
+def w04_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity totals at (flag, status), per-flag subtotal, and grand
+    total in ONE pass: rollup plans a single Expand node feeding one
+    hash aggregate — the data is read once however many grouping
+    levels are requested. grouping() disambiguates real NULL keys
+    from subtotal rows."""
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "w05_ntile_cume",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4)       OVER w AS quartile,
+           cume_dist()    OVER w AS cd,
+           percent_rank() OVER w AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    survey="O-family extension: distribution window functions (ntile / "
+    "cume_dist / percent_rank) over one shared partitioning",
+    note="Total order (price, orderkey) makes all three deterministic; "
+    "cd/pr are exact small-integer ratios — bit-identical across engines.",
+)
+def w05_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer spend quartiles + distribution stats. All three
+    functions share ONE window spec, so Spark sorts each partition
+    once and evaluates them in a single Window node — adding functions
+    to the same spec is free; a second spec would be a second sort."""
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cd"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+@_register(
+    "a14_distinct_agg",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    survey="A-family extension: mixed distinct + plain aggregates in one "
+    "groupBy (two-phase partial-distinct expansion, not a second scan)",
+    note="Exact distinct is the oracle-checkable form; approx_count_distinct "
+    "(HLL++, one pass, mergeable sketch) is the documented 100 TB trade "
+    "when ±2% is acceptable.",
+)
+def a14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users + plain rollups per event type in one aggregate.
+    Spark expands the distinct into a two-level aggregation (partial
+    per (type, user), then final) — one scan, map-side combine on
+    both levels, no driver-side distinct."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+@_register(
+    "c12_json_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           max(CAST(props->>'k' AS BIGINT)) AS max_k
+    FROM events
+    WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
+    GROUP BY event_type
+    """,
+    survey="C-family extension: semi-structured JSON path extraction + cast "
+    "+ aggregate (get_json_object on a string column, JVM-side)",
+)
+def c12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a JSON property of the events payload column.
+    get_json_object evaluates in the JVM inside codegen — no Python,
+    no schema inference pass; for hot paths with a fixed shape,
+    from_json with an explicit schema is the columnar upgrade."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .filter(F.col("_k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_k").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+        )
+    )
+
+
+@_register(
+    "e03_range_join",
+    """
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           count(c.utc) AS n_in_range
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT user_id, ts AS utc FROM events
+               WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.utc >= p.ts - INTERVAL 1 HOUR
+     AND c.utc <  p.ts
+    GROUP BY 1, 2, 3
+    """,
+    survey="extension: band (range) join via bucketed equi-join — each event "
+    "quantized to one window-width bucket, probes exploded to their 2 "
+    "candidate buckets, exact band predicate post-join (vs DuckDB's native "
+    "inequality join). The theta-join would plan as BroadcastNestedLoop.",
+)
+def e03_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks in the hour before each purchase, per user — the banded
+    self-join every attribution/feature pipeline needs, in its
+    shuffle-bounded formulation (see functions.events.range_join_count)."""
+    from ..functions.events import range_join_count
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = range_join_count(
+        purchases, clicks, window_seconds=3600, by=["user_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "n_in_range",
+    )
+
+
+@_register(
+    "t06_top_bigrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents),
+    grams AS (
+      SELECT w[u.i] || ' ' || w[u.i + 1] AS bigram
+      FROM toks t,
+           LATERAL (SELECT unnest(generate_series(1, len(t.w) - 1)) AS i) u)
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 50
+    """,
+    survey="north-star text: corpus top-k bigrams via array higher-order "
+    "functions (zip_with + slice, zero Python) + TakeOrdered top-k",
+)
+def t06_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import top_bigrams
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return top_bigrams(docs, k=50)
+
+
+@_register(
+    "s04_knn_join",
+    """
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE label = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE label <> 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) *
+                sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM q CROSS JOIN c),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+                  AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    """,
+    survey="north-star similarity: exact k-NN JOIN (batch of queries × "
+    "corpus, broadcast probe side, per-query window top-k) — the "
+    "multi-query companion to s01's single-probe top-k",
+    note="DuckDB list_dot_product folds in the same order as Spark's "
+    "aggregate/zip_with fold; norms factor per side, so cosine is "
+    "bit-comparable under the hash tolerance.",
+)
+def s04_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 nearest label≠0 neighbors for every label-0 vector."""
+    from ..functions.similarity import knn_join
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return knn_join(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") != 0),
+        k=3,
+    )
+
+
 @_register(
     "a13_percentiles",
     """

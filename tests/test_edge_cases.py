@@ -94,3 +94,49 @@ def test_dedup_on_empty_docs(spark):
     assert ngram_jaccard_pairs(docs).count() == 0
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert near_dup_groups(pairs).count() == 0
+
+
+def test_range_join_count_zero_and_empty(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.events import range_join_count
+
+    probes = spark.createDataFrame(
+        [(1, 10, "2020-01-01 12:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # no events at all → probe survives with count 0
+    empty = spark.createDataFrame([], "user_id long, ts timestamp")
+    out = range_join_count(probes, empty, 3600, by=["user_id"]).collect()
+    assert len(out) == 1 and out[0]["n_in_range"] == 0
+    # boundary semantics: [ts-w, ts) — the left edge is in, ts itself is out
+    events = spark.createDataFrame(
+        [(10, "2020-01-01 11:00:00"), (10, "2020-01-01 12:00:00"),
+         (10, "2020-01-01 11:59:59"), (99, "2020-01-01 11:30:00")],
+        "user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = range_join_count(probes, events, 3600, by=["user_id"]).collect()
+    assert len(out) == 1 and out[0]["n_in_range"] == 2
+
+
+def test_top_bigrams_short_docs(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.text import top_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, None), (4, "a b a b")],
+        "doc_id long, text string",
+    )
+    rows = {r["bigram"]: r["n"] for r in top_bigrams(docs).collect()}
+    # 0/1-token and null docs contribute nothing; "a b a b" → a b, b a, a b
+    assert rows == {"a b": 2, "b a": 1}
+
+
+def test_knn_join_empty_sides(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import knn_join
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    none = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert knn_join(none, emb).count() == 0
+    assert knn_join(emb, none).count() == 0
+    out = knn_join(emb, emb, k=1).collect()
+    assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(1, 1), (2, 2)}

@@ -43,6 +43,11 @@ HEADLINE = [
     "t01_token_stats",
     "t03_language_id",
     "m01_binary_meta",
+    "j01_semi_join",
+    "e03_range_join",
+    "s04_knn_join",
+    "t06_top_bigrams",
+    "m03_frame_sample",
 ]
 
 

@@ -55,6 +55,60 @@ def _fake_decoder(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
+#: output schema of sample_frames — one row per sampled frame
+FRAME_SCHEMA = "doc_id long, frame_idx int, off long, frame_md5 string"
+
+
+def sample_frames(
+    docs: DataFrame,
+    n_frames: int = 4,
+    content_col: str = "text",
+) -> DataFrame:
+    """Uniform frame sampling: split each document's content into
+    ``n_frames`` equal-length frames and emit one row per frame with
+    its offset and content fingerprint — the video/audio
+    frame-extraction shape (one input row → many output rows) run as a
+    one-to-many ``mapInPandas`` (Arrow-batched; batch in, longer batch
+    out; never per-row Python).
+
+    The "decode" here is deterministic character-range slicing so the
+    whole path is oracle-checkable end-to-end (a real ffmpeg/PIL frame
+    grabber replaces the slicing, keeping schema, batching, and
+    partition behavior). Documents shorter than ``n_frames`` emit
+    nothing (frame length 0) — mirroring a codec skipping un-decodable
+    payloads.
+    """
+    import hashlib
+
+    cols = ["doc_id", content_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf[content_col]):
+                if content is None:
+                    continue
+                flen = len(content) // n_frames
+                if flen == 0:
+                    continue
+                for k in range(n_frames):
+                    off = k * flen
+                    chunk = content[off : off + flen]
+                    out.append(
+                        (
+                            doc_id,
+                            k,
+                            off,
+                            hashlib.md5(chunk.encode("utf-8")).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "off", "frame_md5"]
+            )
+
+    return docs.select(*cols).mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def decode_images(
     docs: DataFrame,
     payload_col: str = "payload",

@@ -1108,6 +1108,57 @@ def st01_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "st02_stream_static_join",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_events, sum(e.value) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey="streaming: stream-static dimension-enrich join (stateless per "
+    "micro-batch, broadcast dim, no watermark) + running segment rollup, "
+    "run to completion via availableNow → memory sink, oracle-checked "
+    "against the equivalent batch join",
+)
+def st02_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real streaming execution of the dimension-enrich shape: the
+    events replayed through the file-stream source, hash-joined per
+    micro-batch against the static customer table, aggregated per
+    market segment in complete mode — the final sink state equals the
+    batch join bit-for-bit."""
+    from ..streaming import read_events_stream, run_stream_to_memory
+    from ..streaming.features import stream_segment_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cust = load_table(spark, sf_dir, "customer")
+    rolled = stream_segment_rollup(read_events_stream(spark, sf_dir), cust)
+    return run_stream_to_memory(rolled, output_mode="complete")
+
+
+@_register(
+    "m03_frame_sample",
+    """
+    WITH d AS (
+      SELECT doc_id, text, length(text) // 4 AS flen
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, CAST(u.k AS INT) AS frame_idx,
+           u.k * flen AS off,
+           md5(substr(text, u.k * flen + 1, flen)) AS frame_md5
+    FROM d, LATERAL (SELECT unnest(generate_series(0, 3)) AS k) u
+    WHERE flen > 0
+    """,
+    survey="north-star multimodal: uniform frame sampling (one row per "
+    "frame) via one-to-many mapInPandas — deterministic slicing decode, so "
+    "the full Arrow-batched path is oracle-checked (vs LATERAL unnest + "
+    "substr), unlike m02's rows-only stub",
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import sample_frames
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return sample_frames(docs, n_frames=4)
+
+
+@_register(
     "p03_dqdv_sql",
     """
     WITH ts AS (

@@ -162,3 +162,28 @@ def stream_exact_dedup(
     if ts_col is not None:
         return fp.withWatermark(ts_col, watermark).dropDuplicates(["_fp"]).drop("_fp")
     return fp.dropDuplicates(["_fp"]).drop("_fp")
+
+
+def stream_segment_rollup(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + running rollup: the streaming
+    events feed joined to the static customer dimension on
+    user_id = c_custkey, aggregated per market segment.
+
+    Stream-static joins are stateless on the stream side — each
+    micro-batch hash-joins against the (broadcast) static table, no
+    join state, no watermark needed; only the downstream aggregate
+    keeps state (one row per segment). This is THE dimension-enrich
+    shape for event ingest at scale: the static side reloads per
+    micro-batch, so slowly-changing dims pick up updates for free.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )

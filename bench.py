@@ -48,6 +48,7 @@ HEADLINE = [
     "s04_knn_join",
     "t06_top_bigrams",
     "m03_frame_sample",
+    "e04_resample_ffill",
 ]
 
 

@@ -141,6 +141,54 @@ def sessionize(
     return ev.withColumn("session_id", F.sum(is_new).over(run))
 
 
+def resample_ffill(
+    ev: DataFrame,
+    every: str = "1 day",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Regular-grid resampling with forward fill: one row per key per
+    grid step from the key's first to last observation, carrying the
+    last observed value across empty steps — the gap-fill/alignment
+    primitive behind every downsampled dashboard and feature table.
+
+    Three stages, all built-ins: (1) per-key bounds → ``sequence()`` +
+    explode generates each key's dense grid (rows ∝ output, never a
+    cross join against a global calendar); (2) per-step last value via
+    ``max_by`` over (ts, tiebreak) — order made explicit, no reliance
+    on input order; (3) left join grid↔steps, then ``last ignorenulls``
+    over the step order forward-fills gaps. Two shuffles total (the
+    step agg and the join/window share the key partitioning).
+    """
+    keys = key_cols if key_cols is not None else ["user_id"]
+    unit = every.split()[-1].rstrip("s")  # "1 day" → date_trunc unit
+    step = F.expr(f"interval {every}")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    bounds = ev.groupBy(*keys).agg(
+        F.min(bucket).alias("_d0"), F.max(bucket).alias("_d1")
+    )
+    grid = bounds.select(
+        *keys, F.explode(F.sequence("_d0", "_d1", step)).alias("_step")
+    )
+    daily = ev.groupBy(*keys, bucket.alias("_step")).agg(
+        F.max_by(
+            F.col(value_col), F.struct(F.col(ts_col), F.col(order_tiebreak))
+        ).alias("_step_value")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_step")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, [*keys, "_step"], "left").select(
+        *keys,
+        F.col("_step").alias("step_start"),
+        F.last("_step_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
 def session_stats(
     sessions: DataFrame,
     ts_col: str = "ts",

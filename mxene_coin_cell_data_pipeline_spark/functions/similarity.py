@@ -260,6 +260,86 @@ def knn_join(
     )
 
 
+def knn_join_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``knn_join`` with the O(n·m·d) scoring as BLAS gemm.
+
+    The fold formulation's ``aggregate``/``zip_with`` lambdas evaluate
+    interpreted (higher-order functions don't codegen) — measured ~15×
+    slower than this at sf0.1. Here the query side (the small probe
+    batch) ships to every executor as a broadcast numpy matrix; each
+    Arrow batch of the corpus scores against ALL queries in one
+    ``Q @ X.T`` and emits only its per-query partial top-k, so the
+    final exact top-k window sees n_batches·|Q|·k candidate rows, not
+    |Q|·|corpus| — the partial-top-k pushdown that makes the shuffle
+    independent of corpus size. Cosine differs from the per-pair fold
+    only at ulp (summation order), far inside oracle tolerance and ~9
+    orders below observed rank-boundary gaps; zero-norm vectors score
+    0 (excluded), as in the d04 kernel.
+    """
+    import sys as _sys
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .._serde import register_self as _register_self
+
+    _register_self(_sys.modules[__name__])
+
+    q_pd = queries.select(id_col, vec_col).toPandas()
+    out_schema = "query_id long, neighbor_id long, cosine double"
+    if len(q_pd) == 0:
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1).cast("int"))
+        )
+    q_ids = q_pd[id_col].to_numpy()
+    qm = _np.array(list(q_pd[vec_col]), dtype=_np.float64)
+    qn = _np.sqrt((qm * qm).sum(axis=1))
+    qn[qn == 0.0] = _np.inf
+    qmn = qm / qn[:, None]
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, qmn))
+
+    def score(it):
+        ids_q, qx = bq.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy()
+            x = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+            nrm = _np.sqrt((x * x).sum(axis=1))
+            nrm[nrm == 0.0] = _np.inf
+            s = qx @ (x / nrm[:, None]).T  # |Q| × batch
+            kk = min(k, s.shape[1])
+            # keep everything >= the kth-largest score so exact ties at
+            # the cut survive to the global (cosine, neighbor_id)
+            # tie-break — the batch cut never decides among equals
+            kth = -_np.partition(-s, kk - 1, axis=1)[:, kk - 1]
+            rows_q, cols_c = _np.nonzero(s >= kth[:, None])
+            yield _pd.DataFrame(
+                {
+                    "query_id": ids_q[rows_q],
+                    "neighbor_id": c_ids[cols_c],
+                    "cosine": s[rows_q, cols_c],
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _hyperplane_weight(seed: int, dim_col: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
     md5("seed|dim") first 8 hex chars → uniform int → scaled. Engine-

@@ -1489,6 +1489,49 @@ def e02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "e04_resample_ffill",
+    """
+    WITH bounds AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1
+      FROM events GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS step
+      FROM bounds),
+    daily AS (
+      SELECT user_id, step, day_value FROM (
+        SELECT user_id, date_trunc('day', ts) AS step, value AS day_value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1)
+    SELECT g.user_id, epoch_us(g.step) AS step_us,
+           last_value(d.day_value IGNORE NULLS)
+             OVER (PARTITION BY g.user_id ORDER BY g.step
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_ffill
+    FROM grid g LEFT JOIN daily d
+      ON g.user_id = d.user_id AND g.step = d.step
+    """,
+    survey="extension: regular-grid resampling + forward fill (sequence() "
+    "grid explode per key, max_by last-observation per step, last "
+    "ignorenulls gap fill) — the downsample/align primitive; grid rows "
+    "generated per key, never a global-calendar cross join",
+)
+def e04_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user resample of the last observed event value,
+    forward-filled across days with no events."""
+    from ..functions.events import resample_ffill
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    out = resample_ffill(ev, every="1 day")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("step_start")).alias("step_us"),
+        "value_ffill",
+    )
+
+
+@_register(
     "t05_tfidf_top_terms",
     """
     WITH toks AS (
@@ -2071,11 +2114,14 @@ def t06_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-comparable under the hash tolerance.",
 )
 def s04_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3 nearest label≠0 neighbors for every label-0 vector."""
-    from ..functions.similarity import knn_join
+    """3 nearest label≠0 neighbors for every label-0 vector — the gemm
+    kernel with per-batch partial top-k (knn_join is the all-built-ins
+    fold variant; same results, ~15× slower at sf0.1 because
+    higher-order-function lambdas don't codegen)."""
+    from ..functions.similarity import knn_join_blas
 
     (emb,) = _ctx(spark, sf_dir, "embeddings")
-    return knn_join(
+    return knn_join_blas(
         emb.filter(F.col("label") == 0),
         emb.filter(F.col("label") != 0),
         k=3,

@@ -140,3 +140,32 @@ def test_knn_join_empty_sides(spark):
     assert knn_join(emb, none).count() == 0
     out = knn_join(emb, emb, k=1).collect()
     assert {(r["query_id"], r["neighbor_id"]) for r in out} == {(1, 1), (2, 2)}
+
+
+def test_knn_join_blas_matches_fold_and_handles_ties(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        knn_join,
+        knn_join_blas,
+    )
+
+    # corpus with k+1 exact duplicates: the tie must resolve to the
+    # LOWEST neighbor ids (global tie-break), not batch arrival order
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    c = spark.createDataFrame(
+        [(5, [2.0, 0.0]), (3, [2.0, 0.0]), (9, [2.0, 0.0]), (7, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = sorted(r["neighbor_id"] for r in knn_join_blas(q, c, k=3).collect())
+    assert out == [3, 5, 7]
+    # empty sides
+    none = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert knn_join_blas(none, c).count() == 0
+    assert knn_join_blas(q, none).count() == 0
+    # agreement with the fold variant on a small random-ish set
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(4)]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    a = knn_join(emb, emb, k=2).select("query_id", "neighbor_id", "rank")
+    b = knn_join_blas(emb, emb, k=2).select("query_id", "neighbor_id", "rank")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -4,10 +4,12 @@ Prints ONE JSON line:
   {"metric": "total_headline_query_sec", "value": N, "unit": "sec",
    "queries": {name: sec, ...}, "sf": X}
 
-Each query is executed to completion (count() over the final plan —
-full materialization of every operator, no result shipping overhead).
-A warmup pass on the smallest table absorbs JVM/codegen startup so the
-numbers measure the plans, not the JIT.
+Each query is executed to completion via the ``noop`` sink (full
+materialization of EVERY output column, no result shipping overhead).
+``count()`` is NOT used: Catalyst prunes cardinality-preserving work
+under a count — a windowed projection with no downstream filter would
+measure as a bare scan. A warmup pass on the smallest table absorbs
+JVM/codegen startup so the numbers measure the plans, not the JIT.
 """
 
 from __future__ import annotations
@@ -68,11 +70,15 @@ def main() -> None:
     region.repartition(int(spark.conf.get("spark.sql.shuffle.partitions"))).mapInPandas(
         lambda it: it, schema=region.schema
     ).count()
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
         for name in HEADLINE:
             try:
-                QUERIES[name].spark(spark, warm_sf).count()
+                run(QUERIES[name].spark(spark, warm_sf))
             except Exception:
                 pass  # a warmup failure must never sink the bench
 
@@ -80,7 +86,7 @@ def main() -> None:
     for name in HEADLINE:
         spec = QUERIES[name]
         t0 = time.perf_counter()
-        spec.spark(spark, sf_dir).count()
+        run(spec.spark(spark, sf_dir))
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)

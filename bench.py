@@ -51,6 +51,8 @@ HEADLINE = [
     "t06_top_bigrams",
     "m03_frame_sample",
     "e04_resample_ffill",
+    "w06_range_frame",
+    "d07_signlsh_neardup",
 ]
 
 

@@ -1,0 +1,59 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/valid/test splits that
+are (a) reproducible across runs and engines, (b) stable under
+repartitioning and data reordering, and (c) consistent per key (a
+document keeps its split forever, even when the corpus grows).
+``rand()``/TABLESAMPLE give none of these. The standard answer is a
+keyed hash bucket: ``md5(key) → uniform int → bucket ∈ [0, 100)`` —
+pure column expressions, codegen end to end, no shuffle, and any SQL
+engine reproduces it bit-for-bit (the same trick seeds the sign-LSH
+hyperplanes, functions/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def hash_bucket(key: Column, n_buckets: int = 100, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from a key:
+    first 8 hex chars of md5 → int → mod. ``salt`` derives independent
+    bucketings from the same key (one per experiment)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return h % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, int] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split by
+    hash bucket of ``key``. ``weights`` maps split name → percent
+    (must sum to 100); default 80/10/10 train/valid/test. Per-key
+    stable: the same key lands in the same split in every run, every
+    engine, every partition count."""
+    weights = weights or {"train": 80, "valid": 10, "test": 10}
+    if sum(weights.values()) != 100:
+        raise ValueError(f"split weights must sum to 100: {weights}")
+    bucket = hash_bucket(F.col(key), 100, salt)
+    expr, lo = None, 0
+    for name, pct in weights.items():
+        lo += pct
+        expr = (
+            F.when(bucket < lo, name) if expr is None else expr.when(bucket < lo, name)
+        )
+    return df.withColumn("split", expr)
+
+
+def hash_sample(
+    df: DataFrame, key: str, percent: int, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ~percent% sample by hash bucket of ``key``.
+    Stable under growth: rows present in a 1% sample are also in the
+    10% sample (nested samples for cheap progressive scale-up)."""
+    return df.filter(hash_bucket(F.col(key), 100, salt) < percent)

@@ -340,6 +340,51 @@ def knn_join_blas(
     )
 
 
+def signlsh_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup at corpus scale: sign-LSH bucket-join
+    candidates (``signlsh_candidate_pairs``) refined by exact cosine ≥
+    threshold. The unblocked companion to ``embedding_near_dup_pairs``
+    (which needs a pre-existing blocking key): candidate volume tracks
+    bucket occupancy — (1 − θ/π)^n_planes collision probability — not
+    corpus², and the refine join fetches vectors for candidates only.
+    Recall is tunable with n_planes (fewer planes = more candidates =
+    higher recall); band-OR multiprobe is the standard extension when
+    one bucket table under-recalls.
+    """
+    cand = signlsh_candidate_pairs(embeddings, n_planes, id_col, vec_col)
+    withv = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    a = withv.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+    )
+    b = withv.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _hyperplane_weight(seed: int, dim_col: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
     md5("seed|dim") first 8 hex chars → uniform int → scaled. Engine-

@@ -2129,6 +2129,109 @@ def s04_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "o05_hash_split",
+    """
+    WITH h AS (
+      SELECT o_orderkey, o_totalprice,
+             (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT)
+               % 100 AS hb
+      FROM orders)
+    SELECT CASE WHEN hb < 80 THEN 'train'
+                WHEN hb < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n,
+           sum(o_totalprice) AS sum_price
+    FROM h GROUP BY 1
+    """,
+    survey="extension: deterministic hash-based train/valid/test split "
+    "(md5 bucket per key — reproducible across runs/engines/partitionings, "
+    "per-key stable under corpus growth; rand()/TABLESAMPLE give none of "
+    "these) + per-split rollup",
+)
+def o05_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split of orders by hashed orderkey, verified by
+    per-split counts and sums — bit-identical in any engine with md5."""
+    from ..functions.sampling import hash_split
+
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    return (
+        hash_split(orders, key="o_orderkey")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "w06_range_frame",
+    """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           count(*)   OVER w AS n_1h,
+           sum(value) OVER w AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    survey="O-family extension: RANGE window frame over event-time "
+    "microseconds (value-based frame bounds, peers included) — the window "
+    "formulation of e03's band join: one sort per key partition, no join, "
+    "when every row needs its trailing-window aggregate",
+)
+def w06_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h event count/sum per user at every event — RANGE
+    frame on the microsecond axis. Use this shape when all rows need
+    the rolling value; use e03's bucketed band join when only sparse
+    probes do (no per-key sort of the full stream)."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("value").over(w).alias("sum_1h"),
+    )
+
+
+@_register(
+    "d07_signlsh_neardup",
+    None,  # filled below: s03's candidate SQL + exact cosine refine
+    survey="north-star dedup: embedding near-dup at corpus scale — sign-LSH "
+    "bucket-join candidates (s03) refined by exact cosine ≥ threshold; the "
+    "unblocked companion to d04 (candidate volume tracks bucket occupancy, "
+    "not corpus²)",
+)
+def d07_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import signlsh_near_dup_pairs
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return signlsh_near_dup_pairs(emb, threshold=0.3).select(
+        "vec_a", "vec_b", "cosine"
+    )
+
+
+QUERIES["d07_signlsh_neardup"].oracle = f"""
+    WITH cand AS ({_signlsh_oracle()}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT cand.vec_a, cand.vec_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM cand JOIN e a ON cand.vec_a = a.vec_id
+                JOIN e b ON cand.vec_b = b.vec_id)
+    WHERE cosine >= 0.3
+    """
+
+
+@_register(
     "a13_percentiles",
     """
     SELECT user_id,

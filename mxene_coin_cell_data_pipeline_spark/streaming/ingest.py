@@ -75,15 +75,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    # the file-stream source requires a *directory*; select the single
-    # table file out of the scale-factor dir with a glob filter
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    for field in pq.read_schema(path):
-        if str(field.type).startswith("timestamp[ns"):
+    if os.path.isdir(path):
+        # dataset laid out as a directory of part files: stream it directly
+        df = spark.readStream.schema(schema).parquet(path)
+        first_part = next(
+            os.path.join(path, f)
+            for f in sorted(os.listdir(path))
+            if f.endswith(".parquet")
+        )
+        file_schema = pq.read_schema(first_part)
+    else:
+        # single-file table: the file-stream source requires a *directory*;
+        # select the file out of the scale-factor dir with a glob filter
+        df = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        file_schema = pq.read_schema(path)
+    # nanosAsLong surfaces TIMESTAMP(NANOS) columns as plain longs — convert
+    # those (and only those: a µs-written file reads as timestamp directly)
+    long_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"}
+    for field in file_schema:
+        if str(field.type).startswith("timestamp[ns") and field.name in long_cols:
             df = df.withColumn(
                 field.name, F.expr(f"timestamp_micros(`{field.name}` div 1000)")
             )

@@ -314,3 +314,44 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def edit_distance_refine(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-level refine of candidate pairs: levenshtein distance
+    and normalized similarity ``1 − lev/max(len)`` for each
+    ``(doc_a, doc_b)``.
+
+    Edit distance is O(len²) per pair — never run it all-pairs; it is
+    the third refine tier after cheap candidate generation (LSH bands)
+    and set-overlap jaccard, catching near-dups that shingle sets miss
+    (small in-place edits shift every overlapping shingle). Texts join
+    to candidates by id (two hash joins touching only candidate rows);
+    the distance itself is the built-in JVM ``levenshtein``, codegen
+    end to end.
+    """
+    a = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")
+    )
+    b = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")
+    )
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    max_len = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.alias("lev"),
+            F.when(max_len == 0, F.lit(1.0))
+            .otherwise(1.0 - lev / max_len)
+            .alias("edit_sim"),
+        )
+    )

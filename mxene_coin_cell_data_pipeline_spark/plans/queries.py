@@ -1411,6 +1411,77 @@ def d06_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(minhash_near_dup_pairs(docs, threshold=0.8))
 
 
+QUERIES_D08_ORACLE = f"""
+    WITH pairs AS (
+      {_D02_PAIRS_SQL}
+    )
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(a.text, b.text) AS lev,
+           CASE WHEN greatest(length(a.text), length(b.text)) = 0 THEN 1.0
+                ELSE 1.0 - levenshtein(a.text, b.text) * 1.0 /
+                     greatest(length(a.text), length(b.text))
+           END AS edit_sim
+    FROM pairs p
+    JOIN documents a ON p.doc_a = a.doc_id
+    JOIN documents b ON p.doc_b = b.doc_id
+    """
+
+
+@_register(
+    "d08_edit_distance_refine",
+    QUERIES_D08_ORACLE,
+    survey="north-star dedup: levenshtein refine of MinHash candidate pairs "
+    "(third tier: LSH bands → jaccard → character edit distance, each "
+    "touching only survivors of the previous; edit distance is O(len²) per "
+    "pair and must never run all-pairs)",
+)
+def d08_edit_distance_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level similarity for every MinHash near-dup pair —
+    catches in-place small edits that shift every overlapping shingle."""
+    from ..functions.dedup import edit_distance_refine, minhash_near_dup_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return edit_distance_refine(docs, minhash_near_dup_pairs(docs, threshold=0.8))
+
+
+@_register(
+    "w07_unpivot",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             sum(l_quantity) AS sum_qty,
+             sum(l_extendedprice) AS sum_price,
+             avg(l_discount) AS avg_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM a
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM a
+    """,
+    survey="P-family extension: UNPIVOT wide→long (df.unpivot — one Expand "
+    "pass over the input, the inverse of w02's pivot) over a grouped "
+    "aggregate",
+)
+def w07_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag metrics unpivoted to (key, metric, value) long format —
+    the feature-store/metrics-table interchange shape. Spark plans one
+    Expand (each input row emitted once per metric), not N self-unions:
+    the input aggregate is computed once however many metrics unpivot."""
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.avg("l_discount").alias("avg_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "avg_disc"],
+        "metric",
+        "value",
+    )
+
+
 # =====================================================================
 # Timeseries alignment operators (engine extensions beyond SURVEY §2.5)
 # =====================================================================

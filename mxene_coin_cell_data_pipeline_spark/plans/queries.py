@@ -2303,6 +2303,125 @@ QUERIES["d07_signlsh_neardup"].oracle = f"""
 
 
 @_register(
+    "a15_listagg",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    survey="A-family extension: ordered string aggregation (sorted distinct "
+    "collect_list → array_join; explicit ORDER BY makes the concatenation "
+    "deterministic — unordered listagg is a cross-engine trap)",
+)
+def a15_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted distinct status list per priority as a CSV string. The
+    sort is explicit (array_sort before join) — aggregation order is
+    never guaranteed in a distributed groupBy, so any listagg without
+    an ORDER BY is nondeterministic by construction."""
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "a16_stats_agg",
+    """
+    SELECT l_returnflag,
+           corr(l_quantity, l_extendedprice)       AS corr_qty_price,
+           covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+           stddev_samp(l_quantity)                 AS sd_qty,
+           var_samp(l_extendedprice)               AS var_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey="A-family extension: statistical aggregates (corr / covar_samp / "
+    "stddev_samp / var_samp) — single-pass mergeable moment sketches, "
+    "cross-engine agreement ~1e-15 (verified), map-side partials",
+)
+def a16_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_extendedprice").alias("var_price"),
+    )
+
+
+@_register(
+    "w08_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf,
+           grouping(l_linestatus) AS g_ls,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+    survey="A-family extension: arbitrary (non-hierarchical) GROUPING SETS "
+    "via the engine's SQL surface — one Expand + one aggregate for any set "
+    "combination, complementing w04's ROLLUP",
+)
+def w08_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag, per-status, and per-(flag,status) totals in one pass —
+    grouping-set combinations ROLLUP can't express (it only nests).
+    Runs through spark.sql: the engine exposes the full SQL surface
+    over the same tables the DataFrame API uses."""
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_w08_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf,
+               grouping(l_linestatus) AS g_ls,
+               sum(l_quantity) AS sum_qty
+        FROM _w08_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("g_rf").cast("long").alias("g_rf"),
+        F.col("g_ls").cast("long").alias("g_ls"),
+        "sum_qty",
+    )
+
+
+@_register(
+    "st03_stream_dedup",
+    """
+    SELECT DISTINCT md5(text) AS fp FROM documents WHERE text IS NOT NULL
+    """,
+    survey="streaming: stateful exact dedup (streaming dropDuplicates on a "
+    "content fingerprint — the novel-documents-only ingest pattern) replayed "
+    "to completion; surviving fingerprint set oracle-checked against batch "
+    "DISTINCT (which doc survives per fingerprint is replay-order-dependent, "
+    "the fingerprint set is not)",
+)
+def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table through the file-stream source with
+    streaming dropDuplicates state, then project the surviving
+    fingerprint set (deterministic; survivor choice per fingerprint is
+    not, and is excluded from the contract)."""
+    from ..streaming import read_table_stream, run_stream_to_memory
+    from ..streaming.features import stream_exact_dedup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    out = run_stream_to_memory(stream_exact_dedup(docs), output_mode="append")
+    return out.select(F.md5(F.col("text")).alias("fp")).distinct()
+
+
+@_register(
     "a13_percentiles",
     """
     SELECT user_id,

@@ -20,7 +20,12 @@ operator semantics:
   window aggregation over the events stream.
 """
 
-from .ingest import normalize_cycler_stream, read_cycler_stream, read_events_stream
+from .ingest import (
+    normalize_cycler_stream,
+    read_cycler_stream,
+    read_events_stream,
+    read_table_stream,
+)
 from .features import (
     stream_capacity_ce,
     stream_energy_trapezoid,
@@ -32,6 +37,7 @@ from .run import run_stream_to_memory
 __all__ = [
     "read_cycler_stream",
     "read_events_stream",
+    "read_table_stream",
     "normalize_cycler_stream",
     "stream_capacity_ce",
     "stream_energy_trapezoid",

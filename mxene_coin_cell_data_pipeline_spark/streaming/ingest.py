@@ -61,18 +61,24 @@ def normalize_cycler_stream(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the driver's events parquet (TESTDATA.md).
+    """Streaming scan of the driver's events parquet (TESTDATA.md)."""
+    return read_table_stream(spark, sf_dir, "events")
 
-    Mirrors ``sources.tables.load_table``: the file stores ``ts`` as
-    TIMESTAMP(NANOS), which Spark reads as long under
+
+def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Streaming scan of any driver table parquet.
+
+    Mirrors ``sources.tables.load_table``: the files store timestamps
+    as TIMESTAMP(NANOS), which Spark reads as long under
     ``nanosAsLong`` — converted back to µs timestamps with integer
-    math fused into the scan.
+    math fused into the scan. Accepts both single-file tables and
+    directory-layout datasets.
     """
     import os
 
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
@@ -89,7 +95,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # select the file out of the scale-factor dir with a glob filter
         df = (
             spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
+            .option("pathGlobFilter", f"{name}.parquet")
             .parquet(sf_dir)
         )
         file_schema = pq.read_schema(path)

@@ -169,3 +169,50 @@ def test_knn_join_blas_matches_fold_and_handles_ties(spark):
     a = knn_join(emb, emb, k=2).select("query_id", "neighbor_id", "rank")
     b = knn_join_blas(emb, emb, k=2).select("query_id", "neighbor_id", "rank")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_hash_split_properties(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.sampling import (
+        hash_sample,
+        hash_split,
+    )
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    split = hash_split(df, key="k")
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # deterministic across invocations
+    again = {r["split"]: r["n"] for r in
+             hash_split(df, key="k").groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == again
+    # nested-sample property: the 5% sample is a subset of the 20% sample
+    s5 = {r["k"] for r in hash_sample(df, "k", 5).collect()}
+    s20 = {r["k"] for r in hash_sample(df, "k", 20).collect()}
+    assert s5 <= s20 and len(s5) > 0
+    with pytest.raises(ValueError):
+        hash_split(df, key="k", weights={"a": 50, "b": 40})
+
+
+def test_read_table_stream_directory_layout(spark, tmp_path):
+    from mxene_coin_cell_data_pipeline_spark.streaming import (
+        read_table_stream,
+        run_stream_to_memory,
+    )
+
+    src = spark.range(0, 100).selectExpr(
+        "id AS event_id", "timestamp_micros(CAST(id * 1000000 AS LONG)) AS ts"
+    )
+    # directory-of-part-files layout (what any Spark writer produces)
+    src.repartition(3).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    stream = read_table_stream(spark, str(tmp_path), "events")
+    agg = stream.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.max("event_id").alias("mx")
+    )
+    out = run_stream_to_memory(agg, output_mode="complete").collect()
+    assert out[0]["n"] == 100 and out[0]["mx"] == 99

@@ -355,3 +355,63 @@ def edit_distance_refine(
             .alias("edit_sim"),
         )
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
+    found via the pigeonhole band join: split the fingerprint into
+    ``n_bands`` equal bands — ≤ ``n_bands - 1`` differing bits cannot
+    touch every band, so hamming-close pairs MUST share at least one
+    exact band. Bucket-join per (band index, band value), dedupe, then
+    refine with ``bit_count(xor)`` — all JVM built-ins.
+
+    Guaranteed recall needs ``max_hamming < n_bands``. With this
+    module's 16-bit fingerprint each band has only 2⁴ values, so
+    bucket occupancy (and candidate volume) is corpus²/2⁴-ish — fine
+    for the oracle corpus, but the production configuration is a
+    64-bit fingerprint with 4×16-bit bands (2¹⁶ values per band),
+    where candidates track true near-dups. The plan shape is identical
+    at either width.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("guaranteed recall needs max_hamming < n_bands")
+    band_w = SIMHASH_BITS // n_bands
+    sh = simhash(docs, text_col).select(
+        "doc_id",
+        F.conv("simhash_bits", 2, 10).cast("long").alias("_v"),
+        F.col("simhash_bits"),
+    )
+    bands = sh.select(
+        "doc_id",
+        "_v",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("simhash_bits", j * band_w + 1, band_w)
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("_j", "_band"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("_v").alias("_va"), "_j", "_band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("_v").alias("_vb"), "_j", "_band"
+    )
+    cand = (
+        a.join(b, ["_j", "_band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "_va", "_vb")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("_va").bitwiseXOR(F.col("_vb")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

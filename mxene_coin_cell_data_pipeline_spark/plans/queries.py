@@ -1411,6 +1411,50 @@ def d06_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(minhash_near_dup_pairs(docs, threshold=0.8))
 
 
+_D03_SIMHASH_SQL_REF = "d03_simhash"  # oracle reused as the d09 CTE
+
+
+@_register(
+    "d09_simhash_hamming",
+    None,  # filled below from d03's fingerprint SQL
+    survey="north-star dedup: SimHash hamming-distance pairs via the "
+    "pigeonhole band join (≤ n_bands−1 differing bits must share an exact "
+    "band) + bit_count(xor) refine — the fingerprint-side companion to "
+    "d02's MinHash set-similarity path",
+)
+def d09_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs within hamming distance 3 of each other's SimHash."""
+    from ..functions.dedup import simhash_hamming_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, max_hamming=3, n_bands=4)
+
+
+def _d09_oracle() -> str:
+    sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
+    val = " + ".join(
+        f"(CASE WHEN substr(simhash_bits, {j + 1}, 1) = '1' "
+        f"THEN {1 << (15 - j)} ELSE 0 END)"
+        for j in range(16)
+    )
+    return f"""
+    WITH sh AS ({sh_sql}),
+    v AS (SELECT doc_id, simhash_bits, {val} AS iv FROM sh),
+    b AS (SELECT doc_id, iv, u.j, substr(simhash_bits, u.j * 4 + 1, 4) AS band
+          FROM v, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) u),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                      a.iv AS va, b2.iv AS vb
+      FROM b a JOIN b b2 ON a.j = b2.j AND a.band = b2.band
+                        AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b, bit_count(xor(va, vb)) AS hamming
+    FROM cand WHERE bit_count(xor(va, vb)) <= 3
+    """
+
+
+QUERIES["d09_simhash_hamming"].oracle = _d09_oracle()
+
+
 QUERIES_D08_ORACLE = f"""
     WITH pairs AS (
       {_D02_PAIRS_SQL}

@@ -57,3 +57,28 @@ def hash_sample(
     Stable under growth: rows present in a 1% sample are also in the
     10% sample (nested samples for cheap progressive scale-up)."""
     return df.filter(hash_bucket(F.col(key), 100, salt) < percent)
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str, key: str, n_per_stratum: int, salt: str = ""
+) -> DataFrame:
+    """Exactly-n-per-stratum deterministic sample: rank rows inside
+    each stratum by md5(key) (a uniform, engine-portable shuffle
+    order) and keep the first ``n_per_stratum``. Unlike
+    ``df.sampleBy`` (fraction-approximate, seed/partitioning
+    dependent) this is exact-size, reproducible across engines and
+    runs, and per-key stable under append-only growth of OTHER strata.
+
+    One shuffle (the per-stratum window sort); at scale the rank
+    only needs the top-n so AQE's partial TakeOrdered applies per
+    stratum when n is small. ``rank`` is kept in the output so
+    nested samples (first m < n rows) stay valid without resampling.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum).orderBy(order, F.col(key))
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n_per_stratum)
+    )

@@ -175,3 +175,59 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
+    rolling-hash local fingerprinting, the MOSS algorithm): hash every
+    k-char gram of the normalized text, slide a w-gram window over the
+    hash sequence, keep the minimum hash of each window, and dedupe —
+    a position-robust fingerprint set guaranteed to share members with
+    any document that has a sufficiently long common substring.
+
+    Spark-first formulation: positions explode to rows so the k-gram
+    hashing (md5 → 8 hex chars → long — engine-portable, unlike
+    xxhash64) stays inside whole-stage codegen; the per-window minimum
+    is one bounded-frame window over a single doc_id shuffle; dedupe +
+    digest is the same shuffle's aggregate side. Row volume equals
+    total normalized characters — linear in corpus size, partitioned
+    by document, nothing pairwise. Short docs (fewer than w k-grams)
+    degrade to a single whole-doc window rather than dropping out.
+
+    Returns one row per surviving doc: ``n_fp`` distinct fingerprints
+    and an order-canonical ``fp_digest`` (md5 of the ascending
+    fingerprint list) usable as a cheap whole-set equality key.
+    """
+    from pyspark.sql import Window
+
+    norm = F.array_join(tokenize(F.col(text_col)), " ")
+    base = docs.select("doc_id", norm.alias("_t")).filter(F.length("_t") >= k)
+    kg = base.select(
+        "doc_id",
+        "_t",
+        (F.length("_t") - (k - 1)).alias("_nkg"),
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("pos"),
+    ).select(
+        "doc_id",
+        "_nkg",
+        "pos",
+        F.conv(F.substring(F.md5(F.expr(f"substring(_t, pos, {k})")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    sel = kg.select(
+        "doc_id",
+        "pos",
+        "_nkg",
+        F.min("h").over(wspec).alias("mh"),
+    ).filter(F.col("pos") <= F.greatest(F.col("_nkg") - (w - 1), F.lit(1)))
+    fp = sel.select("doc_id", "mh").distinct()
+    return fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("mh")).cast("array<string>"), ",")
+        ).alias("fp_digest"),
+    )

@@ -2488,3 +2488,69 @@ def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.99).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@_register(
+    "t07_winnow_fingerprint",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS t
+      FROM documents),
+    b AS (SELECT doc_id, t, length(t) - 7 AS nkg FROM base WHERE length(t) >= 8),
+    kg AS (
+      SELECT doc_id, nkg, u.pos,
+             ('0x' || substr(md5(substr(t, u.pos, 8)), 1, 8))::BIGINT AS h
+      FROM b, LATERAL (SELECT unnest(generate_series(1, nkg)) AS pos) u),
+    win AS (
+      SELECT doc_id, nkg, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      FROM kg),
+    fp AS (
+      SELECT DISTINCT doc_id, mh FROM win
+      WHERE pos <= greatest(nkg - 3, 1))
+    SELECT doc_id, count(*) AS n_fp,
+           md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS fp_digest
+    FROM fp GROUP BY doc_id
+    """,
+    survey="north-star text: winnowing rolling-hash fingerprints (MOSS "
+    "k-gram/window local fingerprinting — hash every k-gram in codegen, "
+    "bounded-frame window min per w-window, dedupe to the fingerprint set; "
+    "linear in corpus chars, one doc_id shuffle)",
+)
+def t07_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document (k=8 chars, w=4 windows),
+    summarized as count + order-canonical digest."""
+    from ..functions.text import winnow_fingerprints
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
+@_register(
+    "o06_stratified_sample",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rank
+      FROM customer)
+    SELECT c_custkey, c_mktsegment, c_acctbal, rank
+    FROM r WHERE rank <= 50
+    """,
+    survey="extension: exact-n-per-stratum deterministic sample (md5-ordered "
+    "row_number per stratum — engine/run/partitioning-reproducible where "
+    "sampleBy is fraction-approximate and seed-bound; rank retained so "
+    "nested sub-samples need no resampling)",
+)
+def o06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 customers per market segment, chosen by deterministic
+    hash order — the balanced-eval-set construction."""
+    from ..functions.sampling import stratified_sample
+
+    (cust,) = _ctx(spark, sf_dir, "customer")
+    return stratified_sample(cust, stratum="c_mktsegment", key="c_custkey", n_per_stratum=50).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "rank"
+    )

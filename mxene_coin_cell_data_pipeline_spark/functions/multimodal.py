@@ -140,3 +140,57 @@ def decode_images(
             )
 
     return docs.select(*cols).mapInPandas(batches, schema=DECODE_SCHEMA)
+
+
+#: output schema of byte_features — one row per payload
+BYTE_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, mean_byte double, entropy double, magic_hex string"
+)
+
+
+def byte_features(
+    docs: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Byte-level feature extraction over opaque binary payloads: size,
+    mean byte value, Shannon entropy of the byte histogram (bits), and
+    the first-4-bytes magic as hex — the content-type-sniff /
+    corruption-screen stage every multimodal ingest runs before
+    attempting a real decode.
+
+    numpy-vectorized per payload inside ``mapInPandas``
+    (``frombuffer`` → ``bincount`` → one 256-term log2 fold — no
+    per-byte Python), Arrow-batched in and out; scales with total
+    payload bytes, embarrassingly parallel, no shuffle at all.
+    Entropy sums ascending by byte value so the float fold order is
+    deterministic.
+    """
+    import numpy as np
+
+    cols = ["doc_id", payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None or len(payload) == 0:
+                    out.append((doc_id, 0, None, None, None))
+                    continue
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                counts = np.bincount(b, minlength=256)
+                p = counts[counts > 0] / float(b.size)
+                entropy = float(-(p * np.log2(p)).sum())
+                out.append(
+                    (
+                        doc_id,
+                        int(b.size),
+                        float(b.mean()),
+                        entropy,
+                        bytes(payload[:4]).hex(),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_bytes", "mean_byte", "entropy", "magic_hex"],
+            )
+
+    return docs.select(*cols).mapInPandas(batches, schema=BYTE_FEATURE_SCHEMA)

@@ -2554,3 +2554,223 @@ def o06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(cust, stratum="c_mktsegment", key="c_custkey", n_per_stratum=50).select(
         "c_custkey", "c_mktsegment", "c_acctbal", "rank"
     )
+
+
+@_register(
+    "j05_correlated_avg",
+    """
+    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+    survey="J-family extension: correlated scalar AVG subquery (TPC-H Q17 "
+    "shape) decorrelated to a partition window over the joined fact — one "
+    "shuffle, no self-join re-scan of lineitem",
+)
+def j05_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue below a per-part average threshold. The
+    correlated `avg per p_partkey` never re-scans lineitem: after the
+    selective part join (broadcast — 25-brand dim filter), EVERY
+    lineitem of a qualifying part is present, so a window AVG over
+    l_partkey computes the exact correlated threshold in the same
+    shuffle that the decorrelated join would need, minus the join.
+    l_quantity is integer-valued so the 0.2*avg threshold is exact in
+    both engines (no boundary-flip risk on the comparison)."""
+    li, part = _ctx(spark, sf_dir, "lineitem", "part")
+    pf = part.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
+    joined = li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    thr = (F.lit(0.2) * F.avg("l_quantity").over(w)).alias("_thr")
+    return (
+        joined.select("l_extendedprice", "l_quantity", thr)
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@_register(
+    "j06_disjunctive_join",
+    """
+    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="J-family extension: disjunctive OR-of-ANDs join predicate "
+    "(TPC-H Q19 shape) — equi-key extracted so the OR residual rides a "
+    "broadcast hash join; the part-side disjunction union is pushed to the "
+    "build side scan",
+)
+def j06_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs revenue. The common p_partkey = l_partkey conjunct is
+    the join key; the per-branch part filter (union of the three
+    part-side conditions) prunes the broadcast build side BEFORE the
+    join, and the mixed part×lineitem residual evaluates post-probe —
+    Catalyst does exactly this given the single declarative OR, no
+    manual union-of-three-joins needed."""
+    li, part = _ctx(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "j07_waiting_supplier",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+    survey="J-family extension: correlated EXISTS + NOT-EXISTS self-joins "
+    "(TPC-H Q21 shape, lateness = shipped >90 days after order) decorrelated "
+    "to per-order distinct-supplier window sets — one orderkey shuffle "
+    "replaces two lineitem self-join re-scans",
+)
+def j07_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on multi-supplier
+    orders. Both correlated subqueries (another supplier exists /
+    no OTHER supplier was late) collapse into two distinct-count
+    windows over the same l_orderkey partition: n_supp > 1 replaces
+    EXISTS, n_late_supp == 1 replaces NOT EXISTS (the current row is
+    itself late, so the single late supplier is necessarily it). The
+    lineitem is scanned once; the two self-joins of the literal SQL
+    never materialize."""
+    sup, li, orders = _ctx(spark, sf_dir, "supplier", "lineitem", "orders")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).withColumn(
+        "_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    w = Window.partitionBy("l_orderkey")
+    lo = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w)
+        ).alias("_n_late"),
+    )
+    hits = lo.filter(
+        F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
+    )
+    return (
+        hits.join(F.broadcast(sup), hits["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_register(
+    "st04_stream_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us >= 1800 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (SELECT user_id, ts, event_id, value,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events))
+    SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) + 1800 * 1000000 AS session_end_us,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    survey="streaming: native session-window sessionization (stateful "
+    "gap-merged windows per user, sessions MERGE across micro-batches on "
+    "out-of-order bridging events — the incremental form of e02's batch "
+    "lag/cumsum) replayed to completion, oracle-checked against batch "
+    "gap sessionization (boundary at gap >= 30min, end-exclusive)",
+)
+def st04_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real streaming execution of session_window: events replayed
+    through the file-stream source into stateful session aggregation,
+    complete mode → the final sink state is the exact session set.
+    Session end is last-event + gap (Spark's end-exclusive contract),
+    so the oracle's boundary is `diff >= gap`, unlike e02's `>`."""
+    from ..streaming import read_events_stream, run_stream_to_memory
+    from ..streaming.features import stream_sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sess = stream_sessionize(read_events_stream(spark, sf_dir))
+    out = run_stream_to_memory(sess, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@_register(
+    "m04_byte_features",
+    """
+    WITH d AS (SELECT doc_id, encode(text) AS p FROM documents),
+    h AS (
+      SELECT doc_id, lower(hex(p)) AS hx, octet_length(p) AS n
+      FROM d WHERE p IS NOT NULL AND octet_length(p) > 0),
+    b AS (
+      SELECT doc_id, n, hx,
+             (strpos('0123456789abcdef', substr(hx, 2*u.i-1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2*u.i,   1)) - 1) AS byte
+      FROM h, LATERAL (SELECT unnest(generate_series(1, n)) AS i) u),
+    hist AS (
+      SELECT doc_id, n, hx, byte, count(*) AS c
+      FROM b GROUP BY doc_id, n, hx, byte),
+    ent AS (
+      SELECT doc_id, n, hx,
+             sum(byte * c)::DOUBLE / n AS mean_byte,
+             -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS entropy
+      FROM hist GROUP BY doc_id, n, hx)
+    SELECT d.doc_id, coalesce(e.n, 0) AS n_bytes, e.mean_byte, e.entropy,
+           substr(e.hx, 1, 8) AS magic_hex
+    FROM d LEFT JOIN ent e USING (doc_id)
+    """,
+    survey="north-star multimodal: byte-level payload features (size, mean "
+    "byte, Shannon entropy, magic bytes — the content-sniff/corruption "
+    "screen before decode) via numpy-vectorized mapInPandas, no shuffle; "
+    "oracle rebuilds the byte histogram from hex nibbles in SQL",
+)
+def m04_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte histogram features of the (synthetic UTF-8) payloads —
+    Arrow-batched numpy per payload; linear in total bytes."""
+    from ..functions.multimodal import byte_features, with_fake_payload
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return byte_features(with_fake_payload(docs))

@@ -187,3 +187,25 @@ def stream_segment_rollup(events: DataFrame, customer: DataFrame) -> DataFrame:
             F.sum("value").alias("sum_value"),
         )
     )
+
+
+def stream_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming gap-sessionization via the native session window: per
+    user, events closer than ``gap`` merge into one growing session
+    whose state Spark keeps (and MERGES across micro-batches — two
+    open sessions that an out-of-order event bridges collapse into
+    one, the part a hand-rolled lag/cumsum sessionizer cannot do
+    incrementally). Session end = last event time + gap, exclusive;
+    a new session starts when the inter-event gap is >= ``gap``.
+
+    State per key is bounded by open sessions only once a watermark
+    closes old ones — production readers add ``withWatermark`` and
+    append mode; the test/oracle path replays in complete mode where
+    the final state equals the batch session_window groupBy exactly.
+    """
+    return events.groupBy(
+        F.col("user_id"), F.session_window("ts", gap)
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )

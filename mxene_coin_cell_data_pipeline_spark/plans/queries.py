@@ -2774,3 +2774,36 @@ def m04_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return byte_features(with_fake_payload(docs))
+
+
+@_register(
+    "a17_quantile_2pass",
+    """
+    SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90,
+           count(l_extendedprice) AS n
+    FROM lineitem
+    """,
+    survey="A-family scale path: EXACT global quantiles via two-pass "
+    "bucketed selection (histogram scan locates the rank's bucket, a "
+    "bucket-pruned scan yields ~n/4096 candidates, percentile_cont "
+    "interpolation driver-side) — no single-node value buffer, unlike "
+    "F.median/F.percentile whose TypedImperativeAggregate collects the "
+    "whole column into one final merge; the only exact-quantile plan "
+    "shape that survives 100 TB",
+)
+def a17_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p90 of lineitem prices by distributed bucketed
+    selection (three parallel scans, kilobytes on the driver)."""
+    from ..functions.stats import exact_quantiles_2pass
+
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    qs = exact_quantiles_2pass(li, "l_extendedprice", [0.25, 0.5, 0.9])
+    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    return spark.range(1).select(
+        F.lit(qs[0.25]).alias("p25"),
+        F.lit(qs[0.5]).alias("p50"),
+        F.lit(qs[0.9]).alias("p90"),
+        F.lit(n).alias("n"),
+    )

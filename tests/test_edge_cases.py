@@ -216,3 +216,36 @@ def test_read_table_stream_directory_layout(spark, tmp_path):
     )
     out = run_stream_to_memory(agg, output_mode="complete").collect()
     assert out[0]["n"] == 100 and out[0]["mx"] == 99
+
+
+def test_exact_quantiles_2pass(spark):
+    import math
+
+    from mxene_coin_cell_data_pipeline_spark.functions.stats import (
+        exact_quantiles_2pass,
+    )
+
+    # odd count: exact element; even interpolation checked vs sorted list
+    df = spark.range(1, 1002).selectExpr("CAST(id * id AS DOUBLE) AS v")
+    vals = sorted(r["v"] for r in df.collect())
+    got = exact_quantiles_2pass(df, "v", [0.0, 0.5, 1.0])
+    assert got[0.0] == vals[0] and got[1.0] == vals[-1]
+    assert got[0.5] == vals[500]  # n=1001 -> exact middle element
+
+    # even count interpolates between the two middle elements
+    df2 = spark.range(0, 10).selectExpr("CAST(id AS DOUBLE) AS v")
+    assert exact_quantiles_2pass(df2, "v", [0.5])[0.5] == 4.5
+
+    # ties / constant column shortcut
+    const = spark.range(0, 50).selectExpr("CAST(7 AS DOUBLE) AS v")
+    assert exact_quantiles_2pass(const, "v", [0.25, 0.9]) == {0.25: 7.0, 0.9: 7.0}
+
+    # empty input -> NaN
+    empty = df.filter("v < 0")
+    assert math.isnan(exact_quantiles_2pass(empty, "v", [0.5])[0.5])
+
+    # nulls ignored
+    withnull = spark.sql(
+        "SELECT CAST(NULL AS DOUBLE) AS v UNION ALL SELECT 1.0 UNION ALL SELECT 3.0"
+    )
+    assert exact_quantiles_2pass(withnull, "v", [0.5])[0.5] == 2.0

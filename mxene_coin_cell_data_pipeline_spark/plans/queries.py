@@ -2807,3 +2807,72 @@ def a17_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(qs[0.9]).alias("p90"),
         F.lit(n).alias("n"),
     )
+
+
+@_register(
+    "w09_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_prio,
+           count(*) AS n, sum(o_totalprice) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey="A-family extension: CUBE grouping sets (all 2^k dimension "
+    "subsets in one Expand + one aggregate pass — completes the "
+    "ROLLUP (w04) / GROUPING SETS (w08) family) with grouping() "
+    "indicators disambiguating NULL-as-total from NULL data",
+)
+def w09_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four aggregation granularities of status × priority in one
+    pass: Expand replicates each row once per grouping set BEFORE the
+    exchange, so partial aggregation still combines map-side — one
+    shuffle regardless of how many sets the cube implies."""
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "o07_latest_by_key",
+    """
+    SELECT user_id, event_type, value AS last_value, epoch_us(ts) AS ts_us
+    FROM (SELECT user_id, event_type, value, ts,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    survey="extension: latest-version-wins compaction (CDC/upsert "
+    "materialization — one row_number window per key, newest record "
+    "survives; the changelog→snapshot primitive every lakehouse table "
+    "maintenance loop runs) with a total tie-break",
+)
+def o07_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot of the newest event per (user, event_type): one
+    key-partitioned window, newest-first rank 1. At scale this is the
+    MERGE/compaction inner loop — the window shuffle partitions by the
+    upsert key, so output partitioning matches the table's bucketing
+    and the write needs no extra exchange."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("last_value"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )

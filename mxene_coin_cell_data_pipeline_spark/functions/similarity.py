@@ -445,3 +445,61 @@ def signlsh_candidate_pairs(
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", "bucket")
     )
+
+
+def kmeans_lloyd_iteration(
+    emb: DataFrame, k: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """One exact Lloyd (k-means) iteration with deterministic seeding:
+    centroids start as the embeddings of vec_id 0..k-1, every vector is
+    assigned to its nearest centroid by squared L2, and the new
+    centroids are the per-cluster dimension means — the IVF-training /
+    clustering primitive behind s02's inverted-file ANN.
+
+    Spark-first shape: the k seed vectors collect to the driver
+    (k·dim doubles) and inline into the assignment expression as
+    literals — the E-step is a scan with NO join and no shuffle; the
+    M-step is one posexplode + (cluster, dim) groupBy — one shuffle of
+    n·dim skinny rows with map-side partial means. Iterating = a
+    driver loop re-collecting k·dim numbers per round; data never
+    leaves executors. Distances expand as dot(a,a) − 2·dot(a,c) +
+    dot(c,c) so every term is a sequential fold (bit-reproducible
+    cross-engine, unlike a subtract-then-square lambda whose
+    intermediate array order DuckDB folds differently).
+
+    Returns (cluster, dim, c_val, n): the updated centroid matrix in
+    long form plus cluster sizes.
+    """
+    e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
+    seeds = {
+        int(r["vec_id"]): list(r["e"])
+        for r in e.filter(F.col("vec_id") < k).collect()
+    }
+    if len(seeds) < k:
+        raise ValueError(f"need vec_id 0..{k-1} present as seeds")
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    da = dot(F.col("e"), F.col("e"))
+    cand = []
+    for c in range(k):
+        cvec = seeds[c]
+        clit = F.array(*[F.lit(float(x)) for x in cvec])
+        dcc = 0.0
+        for x in cvec:  # same left-to-right fold as list_dot_product
+            dcc = dcc + float(x) * float(x)
+        dist = da - 2 * dot(F.col("e"), clit) + F.lit(dcc)
+        cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("cluster")))
+    assigned = e.select(
+        "vec_id", "e", F.array_min(F.array(*cand))["cluster"].alias("cluster")
+    )
+    return (
+        assigned.select("cluster", F.posexplode("e").alias("dim0", "v"))
+        .groupBy("cluster", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.avg("v").alias("c_val"), F.count(F.lit(1)).alias("n"))
+    )

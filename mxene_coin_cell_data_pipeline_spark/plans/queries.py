@@ -2876,3 +2876,73 @@ def o07_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         )
     )
+
+
+@_register(
+    "j08_salted_skew_agg",
+    """
+    SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    survey="physical-layout extension: salted two-phase aggregation over a "
+    "pathologically skewed key (a handful of event_type values = a handful "
+    "of reducers in the naive plan; the salt spreads each hot key over 16 "
+    "partial reducers, the second phase combines 16 partials per key) — "
+    "result provably identical to the direct GROUP BY",
+)
+def j08_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe rollup by event_type (~5 distinct values over the whole
+    fact — the worst-case hot-key layout). count is combined as sum of
+    partial counts; min/max/sum combine as themselves. At local scale
+    the salt costs one extra (tiny) shuffle; at 1000 executors it is
+    the difference between 5 busy reducers and 80."""
+    from ..sources.layout import salted_two_phase
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return salted_two_phase(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum("value"),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    ).select("event_type", "n", "sum_value", "min_value", "max_value")
+
+
+@_register(
+    "s05_kmeans_iteration",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cluster, e AS c FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, cent.cluster,
+             list_dot_product(e.e, e.e)
+               - 2 * list_dot_product(e.e, cent.c)
+               + list_dot_product(cent.c, cent.c) AS dist
+      FROM e, cent),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d) WHERE rn = 1)
+    SELECT a.cluster, u.dim, avg(e.e[u.dim]) AS c_val, count(*) AS n
+    FROM asg a JOIN e USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, 64)) AS dim) u
+    GROUP BY a.cluster, u.dim
+    """,
+    survey="north-star similarity: exact Lloyd/k-means iteration "
+    "(deterministic seeds, E-step as a join-free scan against broadcast "
+    "literal centroids, M-step as one skinny (cluster,dim) mean shuffle) — "
+    "the iterative-ML / IVF-training primitive; the driver loop re-collects "
+    "only k·dim numbers per round",
+)
+def s05_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embeddings table, k=8."""
+    from ..functions.similarity import kmeans_lloyd_iteration
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_iteration(emb, k=8)

@@ -53,6 +53,17 @@ HEADLINE = [
     "e04_resample_ffill",
     "w06_range_frame",
     "d07_signlsh_neardup",
+    "t07_winnow_fingerprint",
+    "a17_quantile_2pass",
+    "j05_correlated_avg",
+    "j06_disjunctive_join",
+    "j07_waiting_supplier",
+    "o06_stratified_sample",
+    "o07_latest_by_key",
+    "j08_salted_skew_agg",
+    "m04_byte_features",
+    "s05_kmeans_iteration",
+    "w09_cube",
 ]
 
 

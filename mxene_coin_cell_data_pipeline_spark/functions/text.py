@@ -178,7 +178,11 @@ def tfidf_top_terms(
 
 
 def winnow_fingerprints(
-    docs: DataFrame, k: int = 8, w: int = 4, text_col: str = "text"
+    docs: DataFrame,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's
     rolling-hash local fingerprinting, the MOSS algorithm): hash every
@@ -199,6 +203,11 @@ def winnow_fingerprints(
     Returns one row per surviving doc: ``n_fp`` distinct fingerprints
     and an order-canonical ``fp_digest`` (md5 of the ascending
     fingerprint list) usable as a cheap whole-set equality key.
+
+    ``hash_fn``: ``xxhash64`` (default — JVM-native 64-bit hash, the
+    production path; one k-gram hash is a few ns) or ``md5`` (32-bit
+    prefix via hex → long; ~10× slower but byte-identical in any
+    engine with md5 — the oracle/parity configuration).
     """
     from pyspark.sql import Window
 
@@ -209,14 +218,15 @@ def winnow_fingerprints(
         "_t",
         (F.length("_t") - (k - 1)).alias("_nkg"),
         F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("pos"),
-    ).select(
-        "doc_id",
-        "_nkg",
-        "pos",
-        F.conv(F.substring(F.md5(F.expr(f"substring(_t, pos, {k})")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("h"),
     )
+    gram = F.expr(f"substring(_t, pos, {k})")
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(gram)
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    kg = kg.select("doc_id", "_nkg", "pos", h.alias("h"))
     wspec = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     sel = kg.select(
         "doc_id",

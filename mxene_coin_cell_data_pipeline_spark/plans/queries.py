@@ -2525,7 +2525,7 @@ def t07_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import winnow_fingerprints
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return winnow_fingerprints(docs, k=8, w=4)
+    return winnow_fingerprints(docs, k=8, w=4, hash_fn="md5")
 
 
 @_register(

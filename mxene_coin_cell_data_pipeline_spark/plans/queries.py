@@ -2946,3 +2946,37 @@ def s05_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _ctx(spark, sf_dir, "embeddings")
     return kmeans_lloyd_iteration(emb, k=8)
+
+
+@_register(
+    "st05_stream_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    survey="streaming: stream-stream band self-join (click→purchase "
+    "attribution — both sides of one unbounded feed buffered in join "
+    "state, matches emitted as either side arrives; watermark bounds "
+    "eviction in production) replayed to completion, oracle-checked "
+    "against the batch band self-join",
+)
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to same-user clicks of the preceding hour,
+    executed as a genuine stream-stream join (append mode)."""
+    from ..streaming import read_events_stream, run_stream_to_memory
+    from ..streaming.features import stream_click_attribution
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    joined = stream_click_attribution(read_events_stream(spark, sf_dir))
+    out = run_stream_to_memory(joined, output_mode="append")
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+        "purchase_id",
+        F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias("purchase_ts_us"),
+    )

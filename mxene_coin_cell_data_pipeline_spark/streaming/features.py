@@ -209,3 +209,37 @@ def stream_sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("value").alias("sum_value"),
     )
+
+
+def stream_click_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream self-join: attribute each purchase to the same
+    user's clicks in the preceding hour. Both sides are the SAME
+    streaming source filtered two ways — Spark buffers each side's
+    rows in join state and emits matches as the other side arrives,
+    which is the only way to join two unbounded feeds whose matching
+    rows arrive at different times (a stream-static join cannot: the
+    "static" side would be frozen at query start).
+
+    The time-band predicate rides the equi-key (user_id) as a state
+    row-range filter. Production adds ``withWatermark`` on BOTH sides
+    so the band bounds state eviction; the replay/oracle path omits it
+    (availableNow replay, final emitted set == the batch band self-join
+    exactly — inner joins need no watermark for correctness, only for
+    state cleanup).
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_bu"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks.join(
+        buys,
+        (F.col("user_id") == F.col("_bu"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")

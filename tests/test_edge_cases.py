@@ -249,3 +249,121 @@ def test_exact_quantiles_2pass(spark):
         "SELECT CAST(NULL AS DOUBLE) AS v UNION ALL SELECT 1.0 UNION ALL SELECT 3.0"
     )
     assert exact_quantiles_2pass(withnull, "v", [0.5])[0.5] == 2.0
+
+
+def test_winnow_fingerprints_edges(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny"),                       # < k normalized chars: drops out
+            (2, "exactly8"),                   # nkg == 1 < w: single window
+            (3, "a longer document with plenty of k-grams to winnow"),
+            (4, None),                         # null text: drops out
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs, k=8, w=4).collect()}
+    assert set(out) == {2, 3}
+    assert out[2]["n_fp"] == 1
+    assert out[3]["n_fp"] >= 1
+    # digest is partitioning-invariant (deterministic sort inside)
+    again = {
+        r["doc_id"]: r["fp_digest"]
+        for r in winnow_fingerprints(docs.repartition(7), k=8, w=4).collect()
+    }
+    assert again == {i: out[i]["fp_digest"] for i in out}
+    # md5 and xxhash64 paths agree structurally on the degenerate doc
+    md5_out = {
+        r["doc_id"]: r["n_fp"]
+        for r in winnow_fingerprints(docs, k=8, w=4, hash_fn="md5").collect()
+    }
+    assert md5_out[2] == 1
+    with pytest.raises(ValueError):
+        winnow_fingerprints(docs, hash_fn="sha9000").collect()
+
+
+def test_simhash_hamming_guard(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox!")],
+        "doc_id long, text string",
+    )
+    # recall guarantee requires max_hamming < n_bands
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(docs, max_hamming=4, n_bands=4)
+    pairs = simhash_hamming_pairs(docs, max_hamming=3, n_bands=4).collect()
+    # near-identical docs share the fingerprint → hamming 0
+    assert len(pairs) == 1 and pairs[0]["hamming"] == 0
+
+
+def test_stratified_sample_properties(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id % 3 AS STRING) AS stratum"
+    )
+    s = stratified_sample(df, stratum="stratum", key="k", n_per_stratum=10)
+    rows = s.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["stratum"], set()).add(r["k"])
+    assert all(len(v) == 10 for v in per.values()) and len(per) == 3
+    # deterministic under repartitioning
+    s2 = stratified_sample(
+        df.repartition(13), stratum="stratum", key="k", n_per_stratum=10
+    )
+    assert {(r["stratum"], r["k"]) for r in s2.collect()} == {
+        (r["stratum"], r["k"]) for r in rows
+    }
+    # nested: the 3-per-stratum sample is the rank<=3 subset
+    s3 = stratified_sample(df, stratum="stratum", key="k", n_per_stratum=3)
+    assert {(r["stratum"], r["k"]) for r in s3.collect()} == {
+        (r["stratum"], r["k"]) for r in rows if r["rank"] <= 3
+    }
+
+
+def test_byte_features_nulls(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+        byte_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abca"), (2, None), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in byte_features(df).collect()}
+    assert out[1]["n_bytes"] == 4 and out[1]["magic_hex"] == "61626361"
+    assert abs(out[1]["entropy"] - 1.5) < 1e-12  # {a:2,b:1,c:1} -> 1.5 bits
+    assert out[2]["n_bytes"] == 0 and out[2]["entropy"] is None
+    assert out[3]["n_bytes"] == 0
+
+
+def test_kmeans_iteration_structure(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        kmeans_lloyd_iteration,
+    )
+
+    import pyspark.sql.functions as F_
+
+    n, dim, k = 40, 4, 3
+    emb = spark.range(0, n).select(
+        F_.col("id").alias("vec_id"),
+        F_.array(
+            *[(F_.col("id") * (i + 1) % 7).cast("float") for i in range(dim)]
+        ).alias("embedding"),
+    )
+    out = kmeans_lloyd_iteration(emb, k=k)
+    rows = out.collect()
+    assert len(rows) == k * dim  # every cluster kept >= its seed member
+    total = {r["cluster"]: r["n"] for r in rows if r["dim"] == 1}
+    assert sum(total.values()) == n
+    with pytest.raises(ValueError):
+        kmeans_lloyd_iteration(emb.filter("vec_id >= 2"), k=k)

@@ -2980,3 +2980,89 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias("purchase_ts_us"),
     )
+
+
+@_register(
+    "c13_variant_shred",
+    """
+    SELECT user_id, avg(CAST(props->>'k' AS BIGINT)) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    survey="C-family extension: VARIANT semi-structured shredding "
+    "(parse_json once into Spark 4's binary VARIANT encoding, "
+    "variant_get typed path access — vs c12's get_json_object which "
+    "re-parses the JSON text per expression; with multiple extractions "
+    "per row the parse happens once, and Parquet variant shredding "
+    "pushes typed subcolumns to the scan at rest)",
+)
+def c13_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregate over a VARIANT-parsed property. parse_json →
+    variant_get::long extracts through the binary encoding, not the
+    text — the Spark-4-native semi-structured path."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("user_id", k.alias("_k"))
+        .groupBy("user_id")
+        .agg(F.avg("_k").alias("avg_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "u03_udtf_sentences",
+    """
+    WITH seg AS (
+      SELECT doc_id, i, trim(parts[i]) AS s
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, '[.!?]+') AS parts
+            FROM documents) t,
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) u
+      WHERE trim(parts[i]) <> ''),
+    numbered AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS sent_idx,
+             s
+      FROM seg)
+    SELECT doc_id, sent_idx,
+           length(array_to_string(
+             regexp_extract_all(lower(s), '[a-z0-9]+'), ' ')) AS norm_len,
+           len(regexp_extract_all(lower(s), '[a-z0-9]+')) AS n_words
+    FROM numbered
+    """,
+    survey="U-family extension: Python UDTF (one row in → many typed rows "
+    "out through a LATERAL table function — Spark 4's user-defined table "
+    "function surface; the per-row generator form complements m03's "
+    "Arrow-batched mapInPandas one-to-many) splitting documents into "
+    "numbered sentences with token stats",
+)
+def u03_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a registered UDTF applied LATERAL per
+    document row. UDTFs run row-at-a-time Python — correct for
+    low-fanout structural expansion like this; for byte-heavy decode
+    fanout the Arrow-batched mapInPandas (m03) is the fast shape."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, norm_len int, n_words int")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for seg in re.split(r"[.!?]+", text):
+                s = seg.strip()
+                if not s:
+                    continue
+                idx += 1
+                toks = re.findall(r"[a-z0-9]+", s.lower())
+                yield idx, len(" ".join(toks)), len(toks)
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs.createOrReplaceTempView("_u03_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.norm_len, s.n_words "
+        "FROM _u03_docs, LATERAL split_sentences(text) s"
+    )

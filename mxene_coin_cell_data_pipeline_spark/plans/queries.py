@@ -3066,3 +3066,258 @@ def u03_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, s.sent_idx, s.norm_len, s.n_words "
         "FROM _u03_docs, LATERAL split_sentences(text) s"
     )
+
+
+# =====================================================================
+# TPC-H completion shapes: group-vs-global, max-over-agg, nested semi,
+# conditional-ratio aggregates, returned-item top-k
+# =====================================================================
+
+
+@_register(
+    "j09_group_vs_global",
+    """
+    SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_rev
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) >
+           (SELECT sum(l_extendedprice * (1 - l_discount)) * 0.0005
+            FROM lineitem)
+    """,
+    survey="J-family extension: HAVING against an uncorrelated scalar "
+    "subquery (TPC-H Q11 shape) — the global total is a one-row aggregate "
+    "cross-joined (broadcast) onto the per-key aggregate, so the fact is "
+    "scanned twice but shuffled once per aggregate; the threshold is a "
+    "FRACTION of the total, scale-invariant at any SF",
+)
+def j09_group_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 0.05% of global revenue. The scalar
+    side is a 1-row DataFrame cross-joined with a broadcast hint —
+    Catalyst plans BroadcastNestedLoopJoin over one row (free), never a
+    shuffle; the alternative window-over-no-partition would funnel the
+    whole per-part aggregate through a single task."""
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = li.groupBy("l_partkey").agg(rev.alias("part_rev"))
+    total = li.agg((rev * F.lit(0.0005)).alias("_thresh"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_rev") > F.col("_thresh"))
+        .select("l_partkey", "part_rev")
+    )
+
+
+@_register(
+    "j10_max_over_agg",
+    """
+    WITH srev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN srev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM srev)
+    """,
+    survey="J-family extension: select the group(s) attaining the maximum "
+    "of an aggregate (TPC-H Q15 shape) — the per-supplier aggregate is "
+    "computed once and reused for both the scalar max and the probe "
+    "(self-referencing view decorrelated to one agg + broadcast scalar)",
+)
+def j10_max_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue supplier(s) for 1996Q1. srev is computed once; the
+    scalar max is a 1-row broadcast cross join back onto it (NOT a
+    global Window.orderBy, which would single-task the sort; NOT a
+    second scan of lineitem, which would double the fact I/O)."""
+    li, sup = _ctx(spark, sf_dir, "lineitem", "supplier")
+    srev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    mx = srev.agg(F.max("total_rev").alias("_mx"))
+    return (
+        srev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@_register(
+    "j11_nested_semi",
+    """
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#11'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 50)
+    """,
+    survey="J-family extension: nested IN over a grouped-HAVING subquery "
+    "(TPC-H Q20 shape) — part filter broadcast into lineitem, aggregate "
+    "per (supplier, part), HAVING, then left-semi into supplier; the semi "
+    "join deduplicates suppliers without a DISTINCT pass",
+)
+def j11_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who moved >50 units of some Brand#11 part since 1997.
+    The IN-subquery chain stays a chain of hash joins: broadcast the
+    filtered part dim, one shuffle on (l_suppkey, l_partkey) for the
+    HAVING aggregate, then a left-semi join (no row duplication, no
+    distinct) against the supplier dim."""
+    li, part, sup = _ctx(spark, sf_dir, "lineitem", "part", "supplier")
+    qualifying = (
+        li.filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#11")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    return sup.join(
+        qualifying, sup["s_suppkey"] == qualifying["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@_register(
+    "a18_promo_ratio",
+    """
+    SELECT 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                            THEN l.l_extendedprice * (1 - l.l_discount)
+                            ELSE 0.0 END)
+                / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_pct,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-06-01'
+      AND l.l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+    survey="A-family extension: conditional-ratio aggregate (TPC-H Q14 "
+    "shape) — two sums over one scan with a CASE routing rows, divided in "
+    "the same agg; no second pass, no join back",
+)
+def a18_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of June-1996 revenue from PROMO parts. One broadcast join,
+    one scan, both sums map-side-combined in a single aggregate — the
+    canonical conditional-aggregation shape (never two filtered scans
+    joined back together)."""
+    li, part = _ctx(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "a19_priority_counts",
+    """
+    SELECT l.l_returnflag,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    survey="A-family extension: CASE-routed dual counters per group "
+    "(TPC-H Q12 shape) — fact×fact equi-join on the order key with the "
+    "date filter pushed below the join, priorities split by CASE inside "
+    "one aggregate",
+)
+def a19_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High/low-priority line counts per return flag for 1997. The
+    ship-date predicate prunes lineitem BEFORE the join (visible as
+    PushedFilters on the scan); orders joins on its key — at 100 TB both
+    sides shuffle on o_orderkey unless pre-bucketed, so this query is
+    the bucketing-layout candidate (sources/layout.py)."""
+    li, orders = _ctx(spark, sf_dir, "lineitem", "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    survey="J1-shape S4 A1 O3 extension: returned-item revenue top-k "
+    "(TPC-H Q10 shape) — fact×fact join + two broadcast dims + "
+    "TakeOrderedAndProject(20), never a global sort",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned revenue, 1996H1. The returnflag
+    and orderdate filters push to the scans; customer and nation
+    broadcast; the single big shuffle is lineitem⋈orders on the order
+    key; LIMIT after orderBy plans as TakeOrderedAndProject (top-k
+    heap per partition + driver merge of 20-row heads, not a sort)."""
+    cust, orders, li, nat = _ctx(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    j = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )

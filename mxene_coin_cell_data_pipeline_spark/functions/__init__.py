@@ -4,6 +4,8 @@ from .text import (  # noqa: F401
     quality_score,
     language_id,
     fingerprint,
+    repetition_metrics,
+    redact_pii,
 )
 from .dedup import (  # noqa: F401
     exact_dedup,

@@ -241,3 +241,121 @@ def winnow_fingerprints(
             F.array_join(F.sort_array(F.collect_list("mh")).cast("array<string>"), ",")
         ).alias("fp_digest"),
     )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition screens per document: duplicate-n-gram
+    fractions and the top-bigram character fraction (the filters used to
+    drop boilerplate/spammy docs from LM training corpora).
+
+    The duplicate-{2,3}-gram fractions are ROW-LOCAL — n-gram arrays are
+    built with ``zip_with``/``slice`` higher-order functions and compared
+    via ``array_distinct``, all inside whole-stage codegen, so that part
+    needs no shuffle at any scale. Only the per-doc top bigram (a mode,
+    which array HOFs cannot express without a map accumulator) pays one
+    explode + groupBy + window on ``doc_id``.
+
+    Output: ``doc_id, n_words, dup_2gram_frac, dup_3gram_frac,
+    top_bigram, top_bigram_n, top_bigram_char_frac`` (fractions NULL when
+    the doc is too short to have the n-gram; char fraction uses the
+    normalized token stream, ties broken by bigram text asc).
+    """
+    from pyspark.sql import Window
+
+    w = tokenize(F.col(text_col))
+    n = F.size(w)
+    n1 = F.greatest(n - 1, F.lit(0))
+    n2 = F.greatest(n - 2, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, n1), F.slice(w, 2, n1), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    tg = F.zip_with(
+        F.slice(bg, 1, n2), F.slice(w, 3, n2), lambda p, c: F.concat_ws(" ", p, c)
+    )
+    base = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.length(F.array_join(w, " ")).alias("_n_chars"),
+        bg.alias("_bg"),
+        tg.alias("_tg"),
+    )
+
+    def _dup_frac(arr):
+        return F.when(
+            F.size(arr) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(arr)).cast("double")
+            / F.size(arr).cast("double"),
+        )
+
+    rowstats = base.select(
+        "doc_id",
+        "n_words",
+        "_n_chars",
+        _dup_frac(F.col("_bg")).alias("dup_2gram_frac"),
+        _dup_frac(F.col("_tg")).alias("dup_3gram_frac"),
+    )
+    wspec = Window.partitionBy("doc_id").orderBy(
+        F.desc("top_bigram_n"), F.asc("top_bigram")
+    )
+    top = (
+        base.select("doc_id", F.explode("_bg").alias("top_bigram"))
+        .groupBy("doc_id", "top_bigram")
+        .agg(F.count(F.lit(1)).alias("top_bigram_n"))
+        .withColumn("_rn", F.row_number().over(wspec))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        rowstats.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_2gram_frac",
+            "dup_3gram_frac",
+            "top_bigram",
+            "top_bigram_n",
+            F.when(
+                F.col("_n_chars") > 0,
+                F.col("top_bigram_n")
+                * F.length("top_bigram")
+                / F.col("_n_chars").cast("double"),
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
+# Redaction patterns are a fixed public contract (RE2-compatible so the
+# same regexes run on any engine auditing the scrub).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\b555-[0-9]{4}\b",
+}
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """PII scrub + audit: count matches of each pattern on the ORIGINAL
+    text, then replace every occurrence with a ``<NAME>`` token,
+    applying patterns in dict order. Pure ``regexp_extract_all`` /
+    ``regexp_replace`` — JVM codegen, no shuffle, linear at any scale.
+
+    Output: ``doc_id, n_<pattern>..., redacted_len, redacted_fp`` (md5
+    of the scrubbed text — lets an auditor verify the scrub without the
+    engine ever emitting the original).
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat in patterns.items()
+    ]
+    red = F.col(text_col)
+    for name, pat in patterns.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.length(red).alias("redacted_len"),
+        F.md5(red).alias("redacted_fp"),
+    )

@@ -3321,3 +3321,118 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# =====================================================================
+# Training-data text screens: repetition metrics, PII redaction
+# =====================================================================
+
+
+@_register(
+    "t08_repetition_metrics",
+    """
+    WITH arr AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, len(w) AS n_words,
+             length(array_to_string(w, ' ')) AS n_chars,
+             list_transform(range(1, len(w)),
+                            i -> w[i] || ' ' || w[i+1]) AS bg,
+             list_transform(range(1, len(w) - 1),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tg
+      FROM arr),
+    rowstats AS (
+      SELECT doc_id, n_words, n_chars,
+             CASE WHEN len(bg) > 0 THEN
+               1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE
+             END AS dup_2gram_frac,
+             CASE WHEN len(tg) > 0 THEN
+               1.0 - len(list_distinct(tg))::DOUBLE / len(tg)::DOUBLE
+             END AS dup_3gram_frac,
+             bg
+      FROM grams),
+    counts AS (
+      SELECT doc_id, b AS top_bigram, count(*) AS top_bigram_n
+      FROM (SELECT doc_id, unnest(bg) AS b FROM grams)
+      GROUP BY doc_id, b),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                   ORDER BY top_bigram_n DESC, top_bigram ASC) AS rn
+        FROM counts) WHERE rn = 1)
+    SELECT r.doc_id, r.n_words, r.dup_2gram_frac, r.dup_3gram_frac,
+           t.top_bigram, t.top_bigram_n,
+           CASE WHEN r.n_chars > 0 THEN
+             t.top_bigram_n * length(t.top_bigram) / r.n_chars::DOUBLE
+           END AS top_bigram_char_frac
+    FROM rowstats r LEFT JOIN top t USING (doc_id)
+    """,
+    survey="north-star text: Gopher-style repetition screens "
+    "(duplicate-2/3-gram fractions + top-bigram char fraction — the "
+    "boilerplate/spam filters of LM corpus curation); the n-gram duplicate "
+    "fractions are row-local array HOFs in codegen (zero shuffle), only the "
+    "per-doc mode (top bigram) pays an explode + doc_id groupBy + window",
+)
+def t08_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See functions.text.repetition_metrics. The repetition family is
+    the standard Gopher/C4 quality gate; at 100 TB the row-local part
+    scales embarrassingly and the mode's shuffle is keyed by doc_id
+    (uniform — no skew; hot docs don't exist by construction)."""
+    from ..functions.text import repetition_metrics
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return repetition_metrics(docs)
+
+
+@_register(
+    "t09_pii_redact",
+    """
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR || '@example.com'
+                  || ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' backup bob@mail.co' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\\b555-[0-9]{4}\\b')) AS n_phone,
+           length(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_len,
+           md5(regexp_replace(regexp_replace(text,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '\\b555-[0-9]{4}\\b', '<PHONE>', 'g')) AS redacted_fp
+    FROM pii
+    """,
+    survey="north-star text: PII scrub + audit (count matches on the "
+    "original, regexp_replace every occurrence, emit only length + md5 of "
+    "the scrubbed text) — RE2-compatible patterns so any engine can audit "
+    "the same scrub; pure codegen, no shuffle. The fixture instruments the "
+    "corpus with deterministic synthetic emails/phones (corpus text itself "
+    "is letters-only), so counts are non-vacuous and vary by doc",
+)
+def t09_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-PII instrumentation + the real scrubber. The md5 of the
+    redacted text proves the scrub byte-identically across engines
+    without either engine emitting raw PII into the comparison."""
+    from ..functions.text import redact_pii
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" backup bob@mail.co")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return redact_pii(pii)

@@ -3436,3 +3436,84 @@ def t09_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return redact_pii(pii)
+
+
+# =====================================================================
+# Time-series extensions: EWMA, interval-overlap sweep line
+# =====================================================================
+
+
+@_register(
+    "e05_ewma",
+    """
+    WITH ord AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS i
+      FROM events),
+    acc AS (
+      SELECT user_id, event_id, ts_us, value, i,
+             sum(value * pow(0.8, -i)) OVER (PARTITION BY user_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS s,
+             first_value(value) OVER (PARTITION BY user_id ORDER BY i
+               ROWS UNBOUNDED PRECEDING) AS x0
+      FROM ord)
+    SELECT user_id, event_id, ts_us, value,
+           pow(0.8, i) * (0.2 * s + 0.8 * x0) AS ewma
+    FROM acc
+    """,
+    survey="extension: per-key EWMA in event-time order (pandas "
+    "ewm(adjust=False) recurrence unrolled to a closed-form prefix-sum "
+    "window — one cumulative window per key, no Python, no iteration; "
+    "the documented trade is r^(-i) double range, bounded per-key "
+    "history → the applyInPandas recurrence is the unbounded-history "
+    "fallback)",
+)
+def e05_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=0.2) of event values per user. Both engines compute
+    the identical closed form with the identical accumulation order, so
+    floats agree to ~1e-15 relative."""
+    from ..functions.events import ewma
+
+    (events,) = _ctx(spark, sf_dir, "events")
+    return ewma(events, alpha=0.2)
+
+
+@_register(
+    "e06_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS t0,
+             epoch_us(ts) + (60 + event_id % 240) * 1000000 AS t1
+      FROM events),
+    pts AS (
+      SELECT event_type, t0 AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, t1 AS t, -1 AS delta FROM iv),
+    sw AS (
+      SELECT event_type, t, delta,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS conc,
+             lead(t) OVER (PARTITION BY event_type
+                           ORDER BY t, delta) AS nxt
+      FROM pts)
+    SELECT event_type,
+           max(conc) AS max_concurrency,
+           sum(CASE WHEN conc > 0 THEN nxt - t ELSE 0 END) AS covered_us,
+           sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_intervals
+    FROM sw GROUP BY event_type
+    """,
+    survey="extension: sweep-line interval overlap (max concurrency + "
+    "covered union time per key over [ts, ts+dur) intervals) — boundary "
+    "explode + one keyed window; the running sum IS the concurrency; "
+    "never the quadratic interval×interval self-join",
+)
+def e06_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrency/occupancy per event_type via the sweep line. Ends
+    sort before starts at the same instant (half-open intervals); tie
+    groups contribute zero-width segments so the result is
+    deterministic under any within-tie order."""
+    from ..functions.events import interval_coverage
+
+    (events,) = _ctx(spark, sf_dir, "events")
+    return interval_coverage(events)

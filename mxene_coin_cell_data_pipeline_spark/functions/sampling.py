@@ -82,3 +82,46 @@ def stratified_sample(
         df.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_per_stratum)
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    group: str | None = None,
+    n: int = 10,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row draws a reproducible uniform
+    ``u`` from ``md5(salt || key)`` and scores ``skey = -ln(u) / w``;
+    the ``n`` smallest scores per group are the sample. Inclusion
+    probability tracks the weight exactly as the classic algorithm,
+    but — because u is a keyed hash, not rand() — the sample is
+    reproducible across runs, engines, and partitionings, and adding
+    rows never reshuffles the survivors' relative order (nested
+    sub-samples stay valid, same rationale as hash_split).
+
+    One window per group (top-n heap under AQE TakeOrdered when
+    ungrouped); no collect, no global sort. Rows with NULL/non-positive
+    weight are excluded (they'd have undefined inclusion probability).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(4294967296.0)  # (0, 1]
+    skey = -F.log(u) / F.col(weight)
+    from pyspark.sql import Window
+
+    part = Window.partitionBy(group) if group else Window.partitionBy(F.lit(1))
+    w_ord = part.orderBy(F.asc("skey"), F.asc(key))
+    return (
+        df.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
+        .withColumn("skey", skey)
+        .withColumn("rank", F.row_number().over(w_ord))
+        .filter(F.col("rank") <= n)
+    )

@@ -3517,3 +3517,115 @@ def e06_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (events,) = _ctx(spark, sf_dir, "events")
     return interval_coverage(events)
+
+
+# =====================================================================
+# Deterministic weighted sampling, Z-order clustering layout
+# =====================================================================
+
+
+@_register(
+    "o08_weighted_sample",
+    """
+    WITH h AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+              + 1.0) / 4294967296.0 AS u
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    s AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             -ln(u) / o_totalprice AS skey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY -ln(u) / o_totalprice ASC,
+                                         o_orderkey ASC) AS rank
+      FROM h)
+    SELECT o_orderpriority, rank, o_orderkey, o_totalprice, skey
+    FROM s WHERE rank <= 10
+    """,
+    survey="extension: deterministic weighted sampling without replacement "
+    "(Efraimidis–Spirakis exponential keys, u drawn from md5 of the row "
+    "key instead of rand()) — inclusion probability tracks the weight, yet "
+    "the sample reproduces across runs/engines/partitionings; one window "
+    "per stratum, no collect",
+)
+def o08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 weighted sample per order priority, weight=o_totalprice.
+    See functions.sampling.weighted_sample_per_group."""
+    from ..functions.sampling import weighted_sample_per_group
+
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    return weighted_sample_per_group(
+        orders, key="o_orderkey", weight="o_totalprice", group="o_orderpriority", n=10
+    ).select("o_orderpriority", "rank", "o_orderkey", "o_totalprice", "skey")
+
+
+_ZO_TMIN = 1704067200000000  # epoch_us('2024-01-01')
+_ZO_TSPAN = 2678400000000  # 31 days in microseconds
+_ZO_QX = (
+    "greatest(least(CAST(floor(value / 500.0 * 65536.0) AS BIGINT), 65535), 0)"
+)
+_ZO_QY = (
+    "greatest(least(CAST(floor((epoch_us(ts) - {t0}) / {span}.0 * 65536.0)"
+    " AS BIGINT), 65535), 0)".format(t0=_ZO_TMIN, span=_ZO_TSPAN)
+)
+_ZO_Z = " + ".join(
+    "(((qx >> {b}) & 1) << {ox}) + (((qy >> {b}) & 1) << {oy})".format(
+        b=b, ox=2 * b + 1, oy=2 * b
+    )
+    for b in range(16)
+)
+
+
+@_register(
+    "o09_zorder_layout",
+    """
+    WITH q AS (
+      SELECT event_id, value, epoch_us(ts) AS ts_us,
+             {qx} AS qx, {qy} AS qy
+      FROM events),
+    z AS (
+      SELECT event_id, value, ts_us, ({z}) AS zkey FROM q)
+    SELECT zkey >> 22 AS bucket, count(*) AS n,
+           min(value) AS min_v, max(value) AS max_v,
+           min(ts_us) AS min_t, max(ts_us) AS max_t
+    FROM z GROUP BY 1
+    """.format(qx=_ZO_QX, qy=_ZO_QY, z=_ZO_Z),
+    survey="physical-layout extension: Z-order (Morton) clustering key — "
+    "bit-interleave of two quantized dimensions (value × event time) so "
+    "range-partitioning by ONE key clusters BOTH columns; the per-bucket "
+    "min/max output is exactly the file-statistics footprint a scan would "
+    "prune against (the multi-dimensional data-skipping layout of "
+    "lakehouse OPTIMIZE ZORDER); pure integer bit arithmetic in codegen",
+)
+def o09_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1024 Z-buckets (top 10 bits of the 32-bit Morton key) with the
+    min/max envelope of each dimension per bucket — small envelopes in
+    both dims at once are the whole point vs a single-column sort."""
+    from ..sources.layout import zorder_key_2d
+
+    (events,) = _ctx(spark, sf_dir, "events")
+    z = zorder_key_2d(
+        F.col("value"),
+        F.unix_micros(F.col("ts")).cast("double"),
+        0.0,
+        500.0,
+        float(_ZO_TMIN),
+        float(_ZO_TMIN + _ZO_TSPAN),
+        bits=16,
+    )
+    return (
+        events.select(
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "value",
+            z.alias("zkey"),
+        )
+        .groupBy(F.shiftright("zkey", 22).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+            F.min("ts_us").alias("min_t"),
+            F.max("ts_us").alias("max_t"),
+        )
+    )

@@ -139,3 +139,39 @@ def _reapply(expr: Column, name: str) -> Column:
         f"Aggregate {head!r} is not algebraic-combinable by re-application; "
         "use sum/count/min/max (avg = sum/count in two columns)."
     )
+
+
+def zorder_key_2d(
+    x: Column,
+    y: Column,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    bits: int = 16,
+) -> Column:
+    """Z-order (Morton) clustering key over two dimensions: quantize
+    each value to ``bits`` bits over its fixed range, then interleave
+    the bits (x on odd positions, y on even). Rows sorted/range-
+    partitioned by this key are clustered in BOTH dimensions at once,
+    so per-file min/max statistics bound both columns and a scan with a
+    predicate on either dimension prunes files — the multi-column
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) that a single-
+    column sort cannot give. Pure integer bit arithmetic in codegen;
+    the ranges are fixed constants so the key is stable as data grows
+    (re-clustering is a layout choice, not a correctness one).
+    """
+    scale = float(1 << bits)
+    qx = F.least(
+        F.floor((x - x_min) / (x_max - x_min) * scale), F.lit((1 << bits) - 1)
+    ).cast("long")
+    qx = F.greatest(qx, F.lit(0))
+    qy = F.least(
+        F.floor((y - y_min) / (y_max - y_min) * scale), F.lit((1 << bits) - 1)
+    ).cast("long")
+    qy = F.greatest(qy, F.lit(0))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z + F.shiftleft(F.shiftright(qx, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        z = z + F.shiftleft(F.shiftright(qy, b).bitwiseAND(F.lit(1)), 2 * b)
+    return z

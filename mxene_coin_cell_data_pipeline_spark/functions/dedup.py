@@ -415,3 +415,56 @@ def simhash_hamming_pairs(
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_words: int = 3,
+) -> DataFrame:
+    """Sub-document exact dedup with reassembly (the C4/CCNet
+    paragraph-dedup pattern): split each document into consecutive
+    ``chunk_words``-word chunks, keep only the globally FIRST occurrence
+    of each distinct chunk (first = smallest (doc_id, chunk_idx)), and
+    reassemble every document from its surviving chunks in order.
+
+    Production corpora chunk on paragraph/line boundaries; the fixed
+    word-window here is the same machinery with a deterministic
+    splitter. Two shuffles total, both keyed uniformly: one on the
+    chunk hash (the global first-occurrence ranking), one on doc_id
+    (reassembly). Emits per-doc audit columns only — length + md5 of
+    the deduplicated text — so the comparison never ships full text.
+    """
+    w = tokenize(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    ch = (
+        docs.filter(F.size(w) > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    )
+    first = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
+    ranked = ch.withColumn("rn", F.row_number().over(first))
+    kept = F.when(
+        F.col("rn") == 1,
+        F.struct(F.col("chunk_idx").alias("i"), F.col("chunk").alias("c")),
+    )
+    agg = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(kept)), lambda s: s["c"]),
+            " ",
+        ).alias("_new_text"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        F.when(F.col("n_kept") > 0, F.length("_new_text")).alias("dedup_len"),
+        F.when(F.col("n_kept") > 0, F.md5("_new_text")).alias("dedup_fp"),
+    )

@@ -3629,3 +3629,50 @@ def o09_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts_us").alias("max_t"),
         )
     )
+
+
+@_register(
+    "d10_chunk_dedup",
+    """
+    WITH arr AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents),
+    ch AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(w[(i*3+1):(i*3+3)], ' ') AS chunk
+      FROM arr,
+           LATERAL (SELECT unnest(range(0,
+                      CAST(ceil(len(w) / 3.0) AS BIGINT))) AS i) u
+      WHERE len(w) > 0),
+    k AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch)
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0 THEN
+             length(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY chunk_idx))
+           END AS dedup_len,
+           CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0 THEN
+             md5(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                            ORDER BY chunk_idx))
+           END AS dedup_fp
+    FROM k GROUP BY doc_id
+    """,
+    survey="north-star dedup: sub-document exact dedup with reassembly "
+    "(C4/CCNet paragraph-dedup pattern — chunk, keep the globally first "
+    "occurrence of each distinct chunk, rebuild docs from survivors in "
+    "order); two uniform shuffles (chunk-hash ranking, doc_id reassembly), "
+    "audit output is length+md5 so full text never crosses the compare",
+)
+def d10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See functions.dedup.chunk_dedup (3-word chunks over the
+    synthetic corpus so cross-doc duplicates actually occur; production
+    chunks on paragraph boundaries with the same plan shape)."""
+    from ..functions.dedup import chunk_dedup
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return chunk_dedup(docs, chunk_words=3)

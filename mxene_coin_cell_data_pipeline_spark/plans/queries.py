@@ -3676,3 +3676,53 @@ def d10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return chunk_dedup(docs, chunk_words=3)
+
+
+@_register(
+    "st06_stream_upsert_snapshot",
+    """
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    survey="streaming: incremental latest-per-key snapshot maintenance "
+    "(foreachBatch upsert — each micro-batch MERGEs into a persisted "
+    "parquet snapshot via window-dedup + atomic dir swap; the streaming "
+    "form of o07's CDC compaction, and the foreachBatch surface itself: "
+    "batch joins against storage state, no streaming state store). The "
+    "feed is split into 4 time-ranged files replayed one per micro-batch, "
+    "so the merge loop really runs 4 times; the total version order makes "
+    "the final snapshot independent of batching — oracle-checked against "
+    "the batch latest-by-key over the whole feed",
+)
+def st06_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events as 4 micro-batches through the foreachBatch
+    upsert, then read back the final snapshot."""
+    import os
+    import tempfile
+
+    from ..streaming.snapshot import run_stream_latest_snapshot
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (events,) = _ctx(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="st06_")
+    src = os.path.join(tmp, "feed")
+    snap = os.path.join(tmp, "snapshot")
+    events.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_latest_snapshot(
+        stream, snap, key="user_id", order_cols=["ts", "event_id"]
+    )
+    return spark.read.parquet(snap).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )

@@ -33,6 +33,7 @@ from .features import (
     windowed_event_rollup,
 )
 from .run import run_stream_to_memory
+from .snapshot import merge_latest_by_key, run_stream_latest_snapshot
 
 __all__ = [
     "read_cycler_stream",
@@ -44,4 +45,5 @@ __all__ = [
     "stream_exact_dedup",
     "windowed_event_rollup",
     "run_stream_to_memory",
+    "run_stream_latest_snapshot",
 ]

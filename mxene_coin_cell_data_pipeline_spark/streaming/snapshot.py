@@ -1,0 +1,79 @@
+"""Incremental snapshot maintenance over a stream (foreachBatch upsert).
+
+The lakehouse "changelog → queryable snapshot" loop: each micro-batch
+of an event/CDC feed is merged into a persisted latest-version-per-key
+snapshot (the streaming form of the batch ``o07`` latest-by-key
+compaction). ``foreachBatch`` is the right surface because the merge is
+a BATCH join/window against existing state on storage — bigger than
+executor memory is fine, no streaming-state store involvement, and the
+sink stays queryable between batches.
+
+Without an ACID table format the swap is the classic tmp-dir + rename
+(atomic on one filesystem); on Delta/Iceberg the body of ``_merge``
+becomes a single MERGE INTO and the rest is unchanged.
+
+Determinism contract (what the oracle checks): latest-per-key under a
+TOTAL version order (ts desc, event_id desc) is independent of how the
+feed is chopped into micro-batches — merging per batch and merging all
+at once give the same final snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def merge_latest_by_key(
+    current: DataFrame | None,
+    batch: DataFrame,
+    key: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """One merge step: union state with the new batch, keep the row
+    with the largest ``order_cols`` per key (total order required —
+    include a unique tie-break column last)."""
+    allr = batch if current is None else batch.unionByName(current)
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+    return (
+        allr.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_stream_latest_snapshot(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key: str = "user_id",
+    order_cols: list[str] | None = None,
+) -> None:
+    """Run the stream to completion (availableNow), maintaining the
+    parquet snapshot at ``snapshot_dir`` via per-batch merge + atomic
+    directory swap. Each batch rewrites only the snapshot (keys × 1
+    row), never the history."""
+    order_cols = order_cols or ["ts", "event_id"]
+    spark = stream_df.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        current = (
+            spark.read.parquet(snapshot_dir)
+            if os.path.exists(snapshot_dir)
+            else None
+        )
+        merged = merge_latest_by_key(current, batch_df, key, order_cols)
+        tmp = snapshot_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(tmp, snapshot_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -64,6 +64,15 @@ HEADLINE = [
     "m04_byte_features",
     "s05_kmeans_iteration",
     "w09_cube",
+    "q10_returned_revenue",
+    "j09_group_vs_global",
+    "a19_priority_counts",
+    "t08_repetition_metrics",
+    "d10_chunk_dedup",
+    "e05_ewma",
+    "e06_interval_coverage",
+    "o08_weighted_sample",
+    "o09_zorder_layout",
 ]
 
 

@@ -262,7 +262,9 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from pyspark.sql import Window
 
-    w = tokenize(F.col(text_col))
+    # NULL text behaves as empty (size(NULL) is -1 non-ANSI / NULL ANSI —
+    # neither is a word count)
+    w = tokenize(F.coalesce(F.col(text_col), F.lit("")))
     n = F.size(w)
     n1 = F.greatest(n - 1, F.lit(0))
     n2 = F.greatest(n - 2, F.lit(0))

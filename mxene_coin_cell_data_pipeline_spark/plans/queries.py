@@ -3726,3 +3726,233 @@ def st06_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
+
+
+# =====================================================================
+# Nation-pair volume (Q7), PageRank iterations, sketch bound check,
+# one-pass table profile
+# =====================================================================
+
+
+@_register(
+    "q07_nation_pair_volume",
+    """
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           year(l.l_shipdate) AS ship_year,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS volume,
+           count(*) AS n
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE n1.n_name < n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    survey="J-family extension: bidirectional nation-pair trade volume "
+    "(TPC-H Q7 shape) — the SAME dimension broadcast twice under two "
+    "aliases (customer-side and supplier-side nation), an asymmetric "
+    "pair filter, and a year rollup; one fact shuffle, four broadcasts",
+)
+def q07_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between nation pairs by ship year. nation enters
+    the plan twice (aliased) — both copies broadcast; customer and
+    supplier broadcast too, so the only shuffle is lineitem⋈orders and
+    the final pair-year aggregate."""
+    li, orders, cust, sup, nat = _ctx(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_G01_ITER = 3
+_G01_D = 0.85
+
+
+def _g01_edges_sql() -> str:
+    return """
+    edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    back AS (SELECT dst AS src, src AS dst FROM edges),
+    g AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM back),
+    deg AS (SELECT src, count(*) AS outdeg FROM g GROUP BY src),
+    verts AS (SELECT DISTINCT src AS v FROM g)
+    """
+
+
+@_register(
+    "g01_pagerank",
+    """
+    WITH {edges},
+    r0 AS (SELECT v, 1.0 AS pr FROM verts),
+    r1 AS (
+      SELECT g.dst AS v, 0.15 + 0.85 * sum(r0.pr / deg.outdeg) AS pr
+      FROM g JOIN r0 ON r0.v = g.src JOIN deg ON deg.src = g.src
+      GROUP BY g.dst),
+    r2 AS (
+      SELECT g.dst AS v, 0.15 + 0.85 * sum(r1.pr / deg.outdeg) AS pr
+      FROM g JOIN r1 ON r1.v = g.src JOIN deg ON deg.src = g.src
+      GROUP BY g.dst),
+    r3 AS (
+      SELECT g.dst AS v, 0.15 + 0.85 * sum(r2.pr / deg.outdeg) AS pr
+      FROM g JOIN r2 ON r2.v = g.src JOIN deg ON deg.src = g.src
+      GROUP BY g.dst)
+    SELECT v AS node, pr FROM r3
+    """.format(edges=_g01_edges_sql()),
+    survey="extension: iterative graph algorithm (3 unrolled PageRank "
+    "rounds over the customer–supplier trade graph) — each round is one "
+    "edges⋈ranks shuffle + a dst aggregate; degree table computed once and "
+    "re-joined (broadcast when vertices are small); the undirected graph "
+    "is symmetrized via union, distinct-deduped. The driver loop "
+    "materializes nothing — the whole 3-round DAG is one lazy plan "
+    "(checkpoint/persist every k rounds is the long-chain production knob, "
+    "same as s05's k-means loop)",
+)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 synchronous rounds, init pr=1) on the
+    symmetrized customer→supplier graph derived from lineitem⋈orders.
+    Every vertex has outdeg ≥ 1 by construction (edges define the
+    vertex set), so no dangling-mass term is needed and float op order
+    matches the SQL exactly: sum over incoming (pr/outdeg)."""
+    li, orders = _ctx(spark, sf_dir, "lineitem", "orders")
+    fwd = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    g = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ge = g.join(deg, "src")
+    ranks = g.select(F.col("src").alias("v")).distinct().withColumn("pr", F.lit(1.0))
+    for _ in range(_G01_ITER):
+        ranks = (
+            ge.join(ranks, ge["src"] == ranks["v"])
+            .groupBy(F.col("dst").alias("_v"))
+            .agg(
+                (
+                    F.lit(1 - _G01_D)
+                    + F.lit(_G01_D) * F.sum(F.col("pr") / F.col("outdeg"))
+                ).alias("pr")
+            )
+            .withColumnRenamed("_v", "v")
+        )
+    return ranks.select(F.col("v").alias("node"), "pr")
+
+
+@_register(
+    "a20_approx_distinct_bound",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    survey="A-family extension: sketch-based approximate distinct "
+    "(HyperLogLog++ approx_count_distinct) validated against the exact "
+    "count in the same aggregate — the query RETURNS the exact count plus "
+    "a bound check (relative error < 3·rsd), so the oracle stays "
+    "hash-comparable while the sketch path is genuinely executed; at "
+    "100 TB the sketch is the only mergeable constant-memory distinct",
+)
+def a20_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct vs exact distinct per event_type. approx is
+    deterministic (hash-based, no RNG); the emitted boolean asserts
+    |approx − exact| < 3·rsd·exact with rsd=0.05."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.05).cast("double")
+                - F.count_distinct(F.col("user_id")).cast("double")
+            )
+            < F.lit(0.15) * F.count_distinct(F.col("user_id")).cast("double")
+        ).alias("approx_ok"),
+    )
+
+
+@_register(
+    "o10_table_profile",
+    """
+    WITH s AS (SELECT * FROM orders)
+    SELECT 'o_orderkey' AS col, count(*) AS n,
+           count(*) - count(o_orderkey) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           min(o_orderkey)::DOUBLE AS min_v, max(o_orderkey)::DOUBLE AS max_v
+    FROM s
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey),
+           min(o_custkey)::DOUBLE, max(o_custkey)::DOUBLE FROM s
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           min(o_totalprice), max(o_totalprice) FROM s
+    """,
+    survey="extension: one-pass table profiling (per-column null count, "
+    "distinct count, min/max envelope — the stats layer every lakehouse "
+    "maintenance/data-quality loop runs) — all columns profiled in a "
+    "SINGLE aggregate over one scan, then unpivoted to the long "
+    "(column, stats) shape; never one scan per column",
+)
+def o10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile three orders columns in one scan: the wide single-row
+    aggregate computes every per-column stat at once (mergeable,
+    map-side partial), and the long output shape comes from stacking
+    the struct per column — the inverse-of-pivot trick (w07) applied
+    to profiling."""
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__n").alias("n"),
+                        F.col(f"{c}__n_null").alias("n_null"),
+                        F.col(f"{c}__n_distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_v"),
+                        F.col(f"{c}__max").alias("max_v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")

@@ -3956,3 +3956,133 @@ def o10_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+@_register(
+    "e07_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+    SELECT v.user_id,
+           epoch_us(v.t_view) AS view_us,
+           epoch_us(c.t_click) AS click_us,
+           epoch_us(p.t_purchase) AS purchase_us,
+           epoch_us(p.t_purchase) - epoch_us(v.t_view) AS view_to_purchase_us
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    survey="extension: ordered funnel analysis (first view → first click "
+    "after it → first purchase after that, per user) — the SQL literal is "
+    "three grouped self-joins; the Spark plan is three chained conditional "
+    "window minima over ONE user_id partitioning (the exchange is planned "
+    "once and reused — zero extra shuffles, no self-join rescans)",
+)
+def e07_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage timestamps + end-to-end latency per funnel user. Each
+    stage's 'earliest event after the previous stage' is a conditional
+    min window over the same user partition; rows collapse to one per
+    user at the end. Users who never viewed are out (inner semantics on
+    the first stage); later stages are NULL when unreached."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros(F.col("ts"))
+    s1 = ev.select(
+        "user_id",
+        "event_type",
+        us.alias("ts_us"),
+        F.min(F.when(F.col("event_type") == "view", us)).over(w).alias("view_us"),
+    )
+    s2 = s1.withColumn(
+        "click_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("view_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "purchase_us",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("click_us")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    return (
+        s3.filter(F.col("view_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("view_us").alias("view_us"),
+            F.first("click_us").alias("click_us"),
+            F.first("purchase_us").alias("purchase_us"),
+            (F.first("purchase_us") - F.first("view_us")).alias(
+                "view_to_purchase_us"
+            ),
+        )
+    )
+
+
+@_register(
+    "o11_compaction_bins",
+    """
+    WITH f AS (
+      SELECT source, doc_id, n_chars,
+             coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM documents),
+    b AS (
+      SELECT source, doc_id, n_chars,
+             CAST(floor(prior / 4000.0) AS BIGINT) AS bin_id
+      FROM f)
+    SELECT source, bin_id, count(*) AS n_files, sum(n_chars) AS bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM b GROUP BY source, bin_id
+    """,
+    survey="extension: small-file compaction planning (the OPTIMIZE/"
+    "bin-packing pass of lakehouse table maintenance) — files assigned to "
+    "~target-size compaction groups by exclusive running size within each "
+    "partition (floor(cumsum/target): deterministic, one window, no "
+    "driver-side loop; true first-fit is sequential and gains little), "
+    "emitting per-bin manifests a rewrite job would execute",
+)
+def o11_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan ~4000-char compaction bins per source over the documents
+    'file listing'. One shuffle on source; the manifest (first/last
+    doc, file count, total bytes) is exactly what the rewrite tasks
+    consume."""
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_chars").over(w), F.lit(0))
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.floor(prior / F.lit(4000.0)).alias("bin_id"),
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -468,3 +468,20 @@ def chunk_dedup(
         F.when(F.col("n_kept") > 0, F.length("_new_text")).alias("dedup_len"),
         F.when(F.col("n_kept") > 0, F.md5("_new_text")).alias("dedup_fp"),
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """URL canonicalization for web-corpus dedup: strip the fragment,
+    strip trailing ``?utm_*`` tracking params, lowercase the
+    scheme://host[:port] prefix (path/query stay case-sensitive), drop
+    an explicit ``:443`` default port, drop a trailing slash. Pure
+    RE2-compatible regexp chain (no lookahead — RE2 has none), codegen,
+    no shuffle. The canonical string is the dedup key crawl pipelines
+    group on before any content-based pass."""
+    c = F.regexp_replace(url, r"#.*$", "")
+    c = F.regexp_replace(c, r"\?utm_[a-z_]+=[^&#]*$", "")
+    pre = F.regexp_extract(c, r"^([A-Za-z]+://[^/]+)", 1)
+    rest = F.substring(c, F.length(pre) + 1, F.lit(1 << 30))
+    pre = F.regexp_replace(F.lower(pre), r":443$", "")
+    c = F.concat(pre, rest)
+    return F.regexp_replace(c, r"/$", "")

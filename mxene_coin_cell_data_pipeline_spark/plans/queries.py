@@ -4086,3 +4086,87 @@ def o11_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@_register(
+    "d11_url_dedup",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             doc_id // 4 AS base, doc_id % 4 AS v,
+             'www.src' || (doc_id // 4 % 20)::VARCHAR || '.example.com' AS host
+      FROM documents),
+    raw AS (
+      SELECT doc_id,
+             CASE v
+               WHEN 0 THEN 'https://' || host || '/doc/' || base::VARCHAR
+               WHEN 1 THEN 'HTTPS://' || upper(host) || '/doc/' || base::VARCHAR
+                           || '#sec2'
+               WHEN 2 THEN 'https://' || host || ':443/doc/' || base::VARCHAR
+                           || '?utm_source=feed'
+               ELSE 'https://' || host || '/doc/' || base::VARCHAR || '/'
+             END AS url
+      FROM u),
+    stripped AS (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(url, '#.*$', '', 'g'),
+                            '\\?utm_[a-z_]+=[^&#]*$', '', 'g') AS s
+      FROM raw),
+    canon AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               lower(regexp_extract(s, '^([A-Za-z]+://[^/]+)', 1)),
+               ':443$', '')
+             || substr(s, length(regexp_extract(s, '^([A-Za-z]+://[^/]+)', 1))
+                          + 1) AS c3
+      FROM stripped),
+    fin AS (SELECT doc_id, url, regexp_replace(c3, '/$', '') AS canonical
+            FROM canon)
+    SELECT canonical, count(*) AS n_variants,
+           count(DISTINCT url) AS n_raw_forms,
+           min(doc_id) AS keeper
+    FROM fin GROUP BY canonical
+    """,
+    survey="north-star dedup: URL canonicalization dedup (the crawl-"
+    "pipeline pre-pass: strip fragment + utm tracking params, lowercase "
+    "scheme/host, drop default port and trailing slash, then group by the "
+    "canonical form) — RE2-compatible regexp chain (no lookahead), all "
+    "codegen, one groupBy shuffle; the fixture derives four messy variants "
+    "per logical URL so the collapse is non-vacuous",
+)
+def d11_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic messy URLs (case/port/fragment/tracking/slash variants)
+    collapsed by functions.dedup.canonicalize_url."""
+    from ..functions.dedup import canonicalize_url
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    base = F.floor(F.col("doc_id") / 4).cast("long")
+    v = F.col("doc_id") % 4
+    host = F.concat(
+        F.lit("www.src"), (base % 20).cast("string"), F.lit(".example.com")
+    )
+    b = base.cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), host, F.lit("/doc/"), b))
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://"), F.upper(host), F.lit("/doc/"), b, F.lit("#sec2")),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://"), host, F.lit(":443/doc/"), b, F.lit("?utm_source=feed")
+            ),
+        )
+        .otherwise(F.concat(F.lit("https://"), host, F.lit("/doc/"), b, F.lit("/")))
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    return (
+        raw.withColumn("canonical", canonicalize_url(F.col("url")))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.count_distinct(F.col("url")).alias("n_raw_forms"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )

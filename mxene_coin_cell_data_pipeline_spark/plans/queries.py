@@ -4170,3 +4170,192 @@ def d11_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper"),
         )
     )
+
+
+# =====================================================================
+# TPC-H shape completion: Q6, Q8, Q9, Q16 analogues — with these, every
+# TPC-H query (1-22) has a registered plan-shape analogue (see COVERAGE)
+# =====================================================================
+
+
+@_register(
+    "q06_forecast_revenue",
+    """
+    SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey="TPC-H Q6 shape: pure scan-filter-aggregate — every predicate "
+    "pushes to the parquet scan (PushedFilters on shipdate/discount/"
+    "quantity), zero joins, one partial+final agg; the I/O-bound floor of "
+    "the benchmark suite",
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change: the canonical pushdown showcase."""
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "q08_market_share",
+    """
+    WITH vol AS (
+      SELECT year(o.o_orderdate) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT yr,
+           sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
+             / sum(volume) AS mkt_share,
+           count(*) AS n
+    FROM vol GROUP BY yr
+    """,
+    survey="TPC-H Q8 shape: market-share ratio — snowflake join (two "
+    "nation aliases + region filter on the customer side), then a "
+    "CASE-routed share-of-total per year in ONE aggregate; the region "
+    "filter prunes the broadcast dim chain before it touches the fact",
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_3's share of ASIA-customer trade volume per order year."""
+    li, orders, cust, sup, nat, reg = _ctx(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
+    )
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n1_region"),
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+            / F.sum(vol)
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "q09_product_profit",
+    """
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+           sum(l.l_extendedprice * (1 - l.l_discount)
+               - 0.01 * p.p_retailprice * l.l_quantity) AS profit
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE contains(lower(p.p_name), 'a')
+    GROUP BY 1, 2
+    """,
+    survey="TPC-H Q9 shape: product-type profit — substring filter on the "
+    "part dim pushed into the broadcast build side, fact joined to three "
+    "dims + orders, profit expression mixing columns of two tables inside "
+    "the aggregate, nation×year rollup (the reference has no partsupp "
+    "table; supplycost is modeled as a retail-price fraction)",
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation × order year over name-matched parts."""
+    li, orders, part, sup, nat = _ctx(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    j = (
+        li.join(
+            F.broadcast(part.filter(F.lower(F.col("p_name")).contains("a"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.01
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
+    ).agg(F.sum(profit).alias("profit"))
+
+
+@_register(
+    "q16_supplier_cnt",
+    """
+    SELECT p.p_brand, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    survey="TPC-H Q16 shape: NOT IN exclusion subquery (planned as a "
+    "null-aware anti join against the blacklist) + count(DISTINCT) per "
+    "group over the surviving join — the distinct expands map-side under "
+    "partial aggregation, never a second scan",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, size) excluding negative-balance
+    suppliers. The NOT IN blacklist (no NULL keys by construction)
+    becomes a broadcast left-anti join; count_distinct rides the same
+    (brand, size) shuffle."""
+    li, part, sup = _ctx(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti"
+        )
+        .join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#11")
+                    & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )

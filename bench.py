@@ -73,6 +73,10 @@ HEADLINE = [
     "e06_interval_coverage",
     "o08_weighted_sample",
     "o09_zorder_layout",
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "d11_url_dedup",
+    "g01_pagerank",
 ]
 
 

@@ -4359,3 +4359,70 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
+
+
+@_register(
+    "t10_unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    n AS (SELECT count(*)::DOUBLE AS total FROM toks)
+    SELECT t.doc_id, count(*) AS n_tokens,
+           avg(-ln(v.cnt / n.total)) AS score_neglogp
+    FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+    survey="north-star text: unigram-LM document scoring (average token "
+    "negative log-probability under the corpus's own unigram model — the "
+    "cheap stand-in for CCNet's LM-perplexity quality gate; low score = "
+    "boilerplate, high = rare-token noise) — one vocab aggregate broadcast "
+    "back onto the token stream + one doc aggregate; the vocab is "
+    "Zipf-bounded so the broadcast holds at corpus scale",
+)
+def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg(-ln p(token)) per document. Three shuffles total (vocab agg,
+    doc agg, and the token join rides the broadcast) — the token stream
+    is never materialized twice thanks to the explode-barrier trick
+    shared with the shingle path."""
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    from ..functions.text import tokenize
+
+    toks = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    n = toks.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("score_neglogp"),
+        )
+    )
+
+
+@_register(
+    "c14_calendar_rollup",
+    """
+    SELECT date_part('week', ts) AS iso_week,
+           date_part('dow', ts) + 1 AS dow,
+           count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    survey="C-family extension: calendar-hierarchy rollup (ISO week × "
+    "day-of-week) — engine date-part semantics reconciled across engines "
+    "(Spark dayofweek is 1=Sunday, DuckDB dow is 0=Sunday; ISO week "
+    "agrees), the off-by-one traps of every cross-engine date pipeline",
+)
+def c14_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events by ISO week and day-of-week with value totals."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.weekofyear("ts").cast("bigint").alias("iso_week"),
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))

@@ -9,6 +9,7 @@ import math
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 from hypothesis import given, settings, strategies as st
 
@@ -122,3 +123,130 @@ def test_union_filter_commute(spark):
     right = a.filter(pred).unionByName(b.filter(pred))
     assert left.exceptAll(right).count() == 0
     assert right.exceptAll(left).count() == 0
+
+
+# ------------------------------------------------- fourth-session operators
+def test_chunk_dedup_unique_corpus_is_identity(spark):
+    """On a corpus with no repeated chunks, dedup keeps everything and
+    the reassembled text equals the normalized original."""
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import chunk_dedup
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(1000)]
+    rows = []
+    pos = 0
+    for d in range(20):
+        n = int(rng.integers(3, 40))
+        rows.append((d, " ".join(words[pos : pos + n])))  # disjoint vocab slices
+        pos += n
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_dedup(docs, chunk_words=3).collect()
+    for r in out:
+        assert r["n_kept"] == r["n_chunks"]
+    by_id = {r["doc_id"]: r for r in out}
+    for d, text in rows:
+        assert by_id[d]["dedup_len"] == len(text)
+
+
+def test_ewma_bounded_by_running_extremes(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.events import ewma
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, 300),
+            "event_id": np.arange(300),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(np.arange(300), unit="s"),
+            "value": rng.normal(0, 10, 300),
+        }
+    )
+    out = ewma(spark.createDataFrame(pdf), alpha=0.3).toPandas()
+    out = out.sort_values(["user_id", "event_id"])
+    for _, g in out.groupby("user_id"):
+        run_min = g["value"].cummin()
+        run_max = g["value"].cummax()
+        assert ((g["ewma"] >= run_min - 1e-9) & (g["ewma"] <= run_max + 1e-9)).all()
+
+
+def test_interval_coverage_bounds(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.events import interval_coverage
+
+    rng = np.random.default_rng(13)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "event_type": rng.choice(["a", "b", "c"], n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 3600, n), unit="s"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = interval_coverage(df, duration_s=F.lit(90)).collect()
+    per_type = pdf.groupby("event_type").size()
+    for r in out:
+        n_t = per_type[r["event_type"]]
+        assert r["n_intervals"] == n_t
+        assert 1 <= r["max_concurrency"] <= n_t
+        # union length ≤ total length, and ≥ longest single interval
+        assert 90_000_000 <= r["covered_us"] <= n_t * 90_000_000
+
+
+def test_weighted_sample_inclusion_tracks_weight(spark):
+    """Heavier keys must be sampled (much) more often across salts."""
+    from mxene_coin_cell_data_pipeline_spark.functions.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(k, "g", 100.0 if k < 10 else 1.0) for k in range(110)],
+        "k long, g string, w double",
+    )
+    heavy_hits = 0
+    for salt in ["s0", "s1", "s2", "s3", "s4"]:
+        out = weighted_sample_per_group(
+            df, key="k", weight="w", group="g", n=10, salt=salt
+        ).collect()
+        heavy_hits += sum(1 for r in out if r["k"] < 10)
+    # 10 heavy keys at weight 100 vs 100 light at weight 1: heavy keys
+    # should dominate every draw (expected ~9/10 per draw)
+    assert heavy_hits >= 35
+
+
+def test_snapshot_upsert_invariant_to_batch_count(spark, tmp_path):
+    """The foreachBatch snapshot is identical whether the feed arrives
+    as 1, 2, or 5 micro-batches (total version order)."""
+    from mxene_coin_cell_data_pipeline_spark.streaming.snapshot import (
+        run_stream_latest_snapshot,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user_id": rng.integers(0, 25, n),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "value": rng.normal(size=n),
+        }
+    )
+    src_df = spark.createDataFrame(pdf)
+    results = []
+    for i, nfiles in enumerate([1, 5]):
+        src = str(tmp_path / f"src{i}")
+        snap = str(tmp_path / f"snap{i}")
+        src_df.repartition(nfiles).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_latest_snapshot(
+            stream, snap, key="user_id", order_cols=["ts", "event_id"]
+        )
+        results.append(
+            sorted(map(tuple, spark.read.parquet(snap).collect()))
+        )
+    assert results[0] == results[1]

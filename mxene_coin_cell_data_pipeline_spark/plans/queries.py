@@ -4426,3 +4426,84 @@ def c14_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("ts").cast("bigint").alias("iso_week"),
         F.dayofweek("ts").cast("bigint").alias("dow"),
     ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+
+
+@_register(
+    "st07_stream_stateful_energy",
+    """
+    WITH ts AS (
+      SELECT CAST(user_id AS VARCHAR) AS cell_id,
+             ts AS t, event_id,
+             (epoch_us(ts) // 86400000000) // 7 AS cycle_index,
+             CASE WHEN event_type IN ('purchase','view') THEN 'CC_DIS'
+                  WHEN event_type IN ('click','signup') THEN 'CC_CHG'
+                  ELSE 'REST' END AS step_type,
+             value AS v
+      FROM events),
+    dis AS (
+      SELECT cell_id, cycle_index, t,
+             (3.0 + v % 1.5) * (- v / 100.0) AS p,
+             epoch_us(t) / 1000000.0 AS tsec
+      FROM ts WHERE step_type = 'CC_DIS'),
+    seg AS (
+      SELECT cell_id, cycle_index,
+             0.5 * (p + lag(p) OVER win) * (tsec - lag(tsec) OVER win) AS s
+      FROM dis
+      WINDOW win AS (PARTITION BY cell_id, cycle_index ORDER BY t))
+    SELECT cell_id, cycle_index,
+           CASE WHEN count(*) >= 2 THEN abs(sum(s)) / 3600.0 END AS E_dis_Wh,
+           count(*) AS n_points
+    FROM seg GROUP BY cell_id, cycle_index
+    """,
+    survey="streaming: custom stateful operator surface "
+    "(applyInPandasWithState — per-(cell,cycle) trapezoid integral "
+    "advanced incrementally across micro-batches, state = 4 scalars per "
+    "open cycle) replayed over 4 chronological micro-batches and "
+    "oracle-checked against the batch lag-window trapezoid (A5): the "
+    "stateful stream's final value per key IS the batch integral",
+)
+def st07_stream_stateful_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed the events-mapped timeseries through the stateful energy
+    operator as a 4-batch chronological replay. The feed files are
+    written sequentially (distinct mtimes — the file-stream source
+    admits files in modification order) with boundaries MID-cycle, so
+    most (cell, cycle) groups genuinely accumulate state across
+    micro-batches; final state per key = the emission with the highest
+    n_points (monotone per key)."""
+    import tempfile
+    import time as _time
+
+    from ..streaming import run_stream_to_memory
+    from ..streaming.features import stream_energy_trapezoid
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts = events_as_timeseries(spark, sf_dir).select(
+        "cell_id", "timestamp", "cycle_index", "step_type", "voltage_v", "current_a"
+    )
+    src = tempfile.mkdtemp(prefix="st07_") + "/feed"
+    day = F.expr("unix_micros(timestamp) div 86400000000")
+    d0 = 19723  # 2024-01-01; splits at days +4/+11/+18 cut cycles mid-week
+    bounds = [d0 + 4, d0 + 11, d0 + 18]
+    lo = None
+    for i, hi in enumerate(bounds + [None]):
+        part = ts
+        if lo is not None:
+            part = part.filter(day >= lo)
+        if hi is not None:
+            part = part.filter(day < hi)
+        part.coalesce(1).write.mode("append").parquet(src)
+        lo = hi
+        if i < 3:
+            _time.sleep(1.05)  # distinct mtimes → deterministic file order
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream_to_memory(
+        stream_energy_trapezoid(stream), output_mode="update"
+    )
+    return out.groupBy("cell_id", "cycle_index").agg(
+        F.max_by("E_dis_Wh", "n_points").alias("E_dis_Wh"),
+        F.max("n_points").alias("n_points"),
+    )

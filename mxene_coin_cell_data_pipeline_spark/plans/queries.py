@@ -4507,3 +4507,77 @@ def st07_stream_stateful_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("E_dis_Wh", "n_points").alias("E_dis_Wh"),
         F.max("n_points").alias("n_points"),
     )
+
+
+@_register(
+    "w10_navigation_functions",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           lead(value, 1, -1.0) OVER w AS next_value,
+           lag(value, 2, 0.0) OVER w AS prev2_value,
+           nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_value,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    survey="O-family completion: navigation window functions — lead/lag "
+    "with explicit defaults, nth_value over a running frame, and "
+    "last_value IGNORE NULLS as a conditional carry-forward (the "
+    "last-observation pattern under one shared partition sort)",
+)
+def w10_navigation_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four navigation functions over ONE (user, time) sort — the
+    planner runs a single window exchange+sort for the lot."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.lead("value", 1, -1.0).over(w).alias("next_value"),
+        F.lag("value", 2, 0.0).over(w).alias("prev2_value"),
+        F.nth_value("value", 3).over(run).alias("third_value"),
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(run).alias("last_purchase_value"),
+    )
+
+
+@_register(
+    "a21_sliding_median",
+    """
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_win
+    FROM events
+    """,
+    survey="A-family completion: EXACT sliding median (7-row trailing "
+    "frame per key) — the robust-smoothing companion to e05's EWMA; frame "
+    "size bounds the per-row work so the window is O(n·w log w) per key, "
+    "no global buffer (contrast a17's two-pass global quantiles)",
+)
+def a21_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-sample exact median of event values per user
+    (interpolating median — matches quantile_cont)."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.percentile("value", 0.5).over(w).alias("med7"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    )

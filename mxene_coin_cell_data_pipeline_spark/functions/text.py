@@ -297,16 +297,26 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         _dup_frac(F.col("_bg")).alias("dup_2gram_frac"),
         _dup_frac(F.col("_tg")).alias("dup_3gram_frac"),
     )
-    wspec = Window.partitionBy("doc_id").orderBy(
-        F.desc("top_bigram_n"), F.asc("top_bigram")
-    )
-    top = (
+    # mode = min_by on the (−count, bigram) composite key: the second
+    # doc_id aggregate replaces a window rank, so no per-partition sort —
+    # both shuffles stay pure hash aggregates with map-side partials
+    counts = (
         base.select("doc_id", F.explode("_bg").alias("top_bigram"))
         .groupBy("doc_id", "top_bigram")
         .agg(F.count(F.lit(1)).alias("top_bigram_n"))
-        .withColumn("_rn", F.row_number().over(wspec))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    )
+    top = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.min_by(
+                F.struct("top_bigram", "top_bigram_n"),
+                F.struct(
+                    (-F.col("top_bigram_n")).alias("k1"),
+                    F.col("top_bigram").alias("k2"),
+                ),
+            ).alias("_t")
+        )
+        .select("doc_id", "_t.top_bigram", "_t.top_bigram_n")
     )
     return (
         rowstats.join(top, "doc_id", "left")

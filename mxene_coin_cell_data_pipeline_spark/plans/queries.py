@@ -4586,3 +4586,82 @@ def a21_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.5).over(w).alias("med7"),
         F.count(F.lit(1)).over(w).alias("n_win"),
     )
+
+
+# =====================================================================
+# Source-format roundtrips: JSONL scan, semicolon-CSV delimiter fallback
+# =====================================================================
+
+
+@_register(
+    "src01_jsonl_roundtrip",
+    """
+    SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+           min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
+    FROM events GROUP BY event_type
+    """,
+    survey="S-family extension: JSON-lines source — events written to "
+    "JSONL (ISO-8601 timestamps) and re-read with an EXPLICIT schema "
+    "(never schema inference: one sampling pass saved, and types are a "
+    "declared contract, not a guess), aggregated identically to the "
+    "parquet path; timestamps survive the text roundtrip to the "
+    "microsecond",
+)
+def src01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events to JSONL, read back with explicit schema, rollup.
+    The oracle reads the original parquet — equality proves the text
+    roundtrip is lossless."""
+    import tempfile
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (ev,) = _ctx(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="src01_") + "/events_jsonl"
+    # default JSON timestampFormat truncates to milliseconds — declare
+    # microsecond precision explicitly on BOTH sides of the roundtrip
+    fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    ev.write.mode("overwrite").option("timestampFormat", fmt).json(path)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    back = spark.read.schema(schema).option("timestampFormat", fmt).json(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min(F.unix_micros(F.col("ts"))).alias("min_ts_us"),
+        F.max(F.unix_micros(F.col("ts"))).alias("max_ts_us"),
+    )
+
+
+@_register(
+    "src02_csv_fallback",
+    """
+    SELECT event_type, count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    survey="S1 registered in the driver set: semicolon-delimited CSV "
+    "(EU-export convention) read through the delimiter-fallback sniffer "
+    "(header-line sniff driver-side, ONE distributed scan with the right "
+    "sep — never a failed full parse + retry) with all-string schema + "
+    "explicit casts; equality against the parquet oracle proves the "
+    "fallback path end to end",
+)
+def src02_csv_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events as ';'-separated CSV, re-read via read_cycler_csv's
+    sniffer (which must choose ';'), cast, rollup."""
+    import tempfile
+
+    from ..sources.cycler_csv import read_cycler_csv
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (ev,) = _ctx(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="src02_") + "/events_semi.csv"
+    ev.select("event_id", "event_type", "value").coalesce(1).write.mode(
+        "overwrite"
+    ).option("header", True).option("sep", ";").csv(path)
+    back = read_cycler_csv(spark, path)  # sniffer must pick ';'
+    assert len(back.columns) == 3, "delimiter sniff failed"
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("double")).alias("sum_value"),
+    )

@@ -4665,3 +4665,137 @@ def src02_csv_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("double")).alias("sum_value"),
     )
+
+
+# =====================================================================
+# API-surface completion: MapType, null-safe equality join, bag set ops
+# =====================================================================
+
+
+@_register(
+    "c15_map_column_ops",
+    """
+    WITH pairs AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type)
+    SELECT user_id, event_type, n,
+           sum(n) OVER (PARTITION BY user_id) AS user_total
+    FROM pairs
+    """,
+    survey="C-family extension: MapType column surface — per-user counts "
+    "collected into a map<string,bigint> (map_from_entries over "
+    "collect_list of structs), totals computed ON the map with array "
+    "HOFs (aggregate over map_values), then exploded back to rows; the "
+    "map is the wire format for per-entity feature bundles, the oracle "
+    "checks the relational image of the same content",
+)
+def c15_map_column_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build map columns, compute on them, explode them back — the
+    row-wise map surface end to end. At scale the map bundle rides ONE
+    user_id shuffle; the window in the oracle is the relational
+    equivalent."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    bundled = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("counts")
+        )
+        .withColumn(
+            "user_total",
+            F.aggregate(
+                F.map_values("counts"), F.lit(0).cast("bigint"), lambda a, x: a + x
+            ),
+        )
+    )
+    return bundled.select(
+        "user_id", F.explode("counts").alias("event_type", "n"), "user_total"
+    )
+
+
+@_register(
+    "j12_nullsafe_join",
+    """
+    WITH k AS (
+      SELECT event_id, user_id,
+             CASE WHEN value < 50 THEN NULL
+                  ELSE CAST(floor(value / 50) AS BIGINT) END AS band
+      FROM events),
+    agg AS (SELECT band, count(*) AS band_n FROM k GROUP BY band)
+    SELECT k.band, agg.band_n, count(*) AS n_rows,
+           count(DISTINCT k.user_id) AS n_users
+    FROM k JOIN agg ON k.band IS NOT DISTINCT FROM agg.band
+    GROUP BY k.band, agg.band_n
+    """,
+    survey="J-family extension: null-safe equality join (<=> / IS NOT "
+    "DISTINCT FROM) — NULL keys match each other in the hash join instead "
+    "of silently dropping (the classic inner-join data-loss trap when the "
+    "key is derived and partially NULL); same hash-join plan, NULL hashes "
+    "to a regular bucket",
+)
+def j12_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join rows back to their band rollup where band is NULL for low
+    values — the NULL band keeps its rows under <=> (an equi-join would
+    lose them)."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    k = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("value") < 50, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(F.col("value") / 50).cast("bigint"))
+        .alias("band"),
+    )
+    agg = (
+        k.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("band_n"))
+        .withColumnRenamed("band", "band_r")
+    )
+    return (
+        k.join(F.broadcast(agg), F.col("band").eqNullSafe(F.col("band_r")))
+        .select("band", "band_n", "user_id")
+        .groupBy("band", "band_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+    )
+
+
+@_register(
+    "u04_bag_set_ops",
+    """
+    WITH a AS (SELECT l_orderkey, l_partkey FROM lineitem
+               WHERE l_quantity >= 10),
+    b AS (SELECT l_orderkey, l_partkey FROM lineitem
+          WHERE l_returnflag = 'R')
+    SELECT 'except_all' AS op, count(*) AS n FROM
+      (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+    UNION ALL
+    SELECT 'intersect_all', count(*) FROM
+      (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+    """,
+    survey="U-family completion: EXCEPT ALL / INTERSECT ALL bag "
+    "semantics (multiplicity-preserving difference/intersection via "
+    "count-matching hash aggregate — duplicates survive per the SQL "
+    "standard, unlike u02's set forms which collapse them); the "
+    "reconciliation primitive for row-level table diffs",
+)
+def u04_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference and intersection between two overlapping lineitem
+    projections (duplicates on (orderkey, partkey) preserved)."""
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 10).select("l_orderkey", "l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_partkey")
+    return (
+        a.exceptAll(b)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "n")
+        .unionByName(
+            a.intersectAll(b)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("intersect_all").alias("op"), "n")
+        )
+    )

@@ -4799,3 +4799,41 @@ def u04_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("intersect_all").alias("op"), "n")
         )
     )
+
+
+@_register(
+    "st08_stream_incremental_agg",
+    """
+    SELECT event_type, count(*) AS n, sum(value) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    survey="streaming: incremental aggregate maintenance (foreachBatch "
+    "merges each micro-batch's PARTIAL count/sum into stored per-key "
+    "totals by addition — the mergeable-partial pattern behind every "
+    "incremental rollup; state is O(keys), independent of history, and "
+    "additive merge makes the final totals batching-invariant) replayed "
+    "over 4 micro-batches, oracle-checked against the batch GROUP BY",
+)
+def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-batch replay through the partial-merge rollup; read back the
+    final totals."""
+    import os
+    import tempfile
+
+    from ..streaming.snapshot import run_stream_agg_snapshot
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (ev,) = _ctx(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="st08_")
+    src = os.path.join(tmp, "feed")
+    snap = os.path.join(tmp, "snapshot")
+    ev.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_agg_snapshot(stream, snap, key="event_type", agg_cols={"value": "sum"})
+    return spark.read.parquet(snap).select(
+        "event_type", "n", F.col("sum_value").alias("sum_value")
+    )

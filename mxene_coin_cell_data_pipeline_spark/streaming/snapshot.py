@@ -77,3 +77,52 @@ def run_stream_latest_snapshot(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_agg_snapshot(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    agg_cols: dict[str, str] | None = None,
+) -> None:
+    """Incremental aggregate maintenance: each micro-batch computes its
+    PARTIAL (count/sum per key) and merges it into the stored totals by
+    addition — the mergeable-aggregate pattern behind every incremental
+    rollup (and the reason avg must be carried as (sum, n), never as a
+    stored average). State size is O(keys), independent of history."""
+    agg_cols = agg_cols or {"value": "sum"}
+    spark = stream_df.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        partial = batch_df.groupBy(key).agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(c).alias(f"sum_{c}") for c in agg_cols],
+        )
+        if os.path.exists(snapshot_dir):
+            current = spark.read.parquet(snapshot_dir)
+            merged = (
+                current.unionByName(partial)
+                .groupBy(key)
+                .agg(
+                    F.sum("n").alias("n"),
+                    *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in agg_cols],
+                )
+            )
+        else:
+            merged = partial
+        tmp = snapshot_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(tmp, snapshot_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -564,3 +564,20 @@ def test_merge_latest_by_key_batch_invariance(spark):
     step = merge_latest_by_key(merge_latest_by_key(None, b1, "k", ["ver"]), b2, "k", ["ver"])
     assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, step.collect()))
     assert all(r["ver"] == 3 for r in whole.collect())
+
+
+def test_canonicalize_url_variants(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import canonicalize_url
+
+    cases = [
+        ("https://www.x.org/a/b", "https://www.x.org/a/b"),  # already canonical
+        ("HTTPS://WWW.X.ORG/a/b#frag", "https://www.x.org/a/b"),
+        ("https://www.x.org:443/a/b?utm_source=f", "https://www.x.org/a/b"),
+        ("https://www.x.org/a/b/", "https://www.x.org/a/b"),
+        ("http://x.org:8080/A/B?q=1", "http://x.org:8080/A/B?q=1"),  # real port+query kept, path case kept
+        ("https://x.org", "https://x.org"),  # bare host
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], "i long, url string")
+    out = {r["i"]: r["c"] for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)

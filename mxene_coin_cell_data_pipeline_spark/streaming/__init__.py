@@ -33,7 +33,11 @@ from .features import (
     windowed_event_rollup,
 )
 from .run import run_stream_to_memory
-from .snapshot import merge_latest_by_key, run_stream_latest_snapshot
+from .snapshot import (
+    merge_latest_by_key,
+    run_stream_agg_snapshot,
+    run_stream_latest_snapshot,
+)
 
 __all__ = [
     "read_cycler_stream",
@@ -46,4 +50,5 @@ __all__ = [
     "windowed_event_rollup",
     "run_stream_to_memory",
     "run_stream_latest_snapshot",
+    "run_stream_agg_snapshot",
 ]

@@ -4837,3 +4837,162 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(snap).select(
         "event_type", "n", F.col("sum_value").alias("sum_value")
     )
+
+
+# =====================================================================
+# Spatial bucketed proximity join, running distinct, cohort retention
+# =====================================================================
+
+
+@_register(
+    "e08_spatial_join",
+    """
+    WITH pts AS (
+      SELECT event_id,
+             value % 10 AS lat,
+             (event_id % 1000) / 100.0 AS lon
+      FROM events),
+    cells AS (
+      SELECT event_id, lat, lon,
+             CAST(floor(lon / 0.1) AS BIGINT) AS cx,
+             CAST(floor(lat / 0.1) AS BIGINT) AS cy
+      FROM pts),
+    probes AS (
+      SELECT c.event_id, c.lat, c.lon, c.cx + dx.i AS px, c.cy + dy.i AS py
+      FROM cells c,
+           (SELECT unnest(range(-1, 2)) AS i) dx,
+           (SELECT unnest(range(-1, 2)) AS i) dy),
+    pairs AS (
+      SELECT p.event_id AS a, b.event_id AS b
+      FROM probes p JOIN cells b ON b.cx = p.px AND b.cy = p.py
+      WHERE p.event_id < b.event_id
+        AND (p.lon - b.lon) * (p.lon - b.lon)
+            + (p.lat - b.lat) * (p.lat - b.lat) < 0.01)
+    SELECT a % 16 AS bucket, count(*) AS n_pairs
+    FROM pairs GROUP BY 1
+    """,
+    survey="extension: spatial proximity join via grid bucketing — points "
+    "hashed to 0.1° cells, each probe exploded to its 3×3 neighborhood, "
+    "equi-join on cell, exact squared-distance residual post-join (the "
+    "2-D generalization of e03's band join; candidate volume tracks local "
+    "point density × 9, never corpus² — the PostGIS/Sedona "
+    "grid-partitioned join shape in pure DataFrame ops). Distance kept in "
+    "squared-euclidean form: +,*,sqrt are IEEE-exact across engines, "
+    "sin/cos (haversine) are not — a boundary-membership trap for any "
+    "cross-engine spatial comparison",
+)
+def e08_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All point pairs within 0.1° (synthetic lat/lon derived from the
+    events table), bucketed pair counts as the stable output."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        (F.col("value") % 10).alias("lat"),
+        ((F.col("event_id") % 1000) / 100.0).alias("lon"),
+    )
+    cells = pts.select(
+        "event_id",
+        "lat",
+        "lon",
+        F.floor(F.col("lon") / 0.1).alias("cx"),
+        F.floor(F.col("lat") / 0.1).alias("cy"),
+    )
+    off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
+    probes = (
+        cells.select("event_id", "lat", "lon", "cx", "cy", off.alias("dx"))
+        .select("event_id", "lat", "lon", "cx", "cy", "dx", off.alias("dy"))
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("lat").alias("a_lat"),
+            F.col("lon").alias("a_lon"),
+            (F.col("cx") + F.col("dx")).alias("px"),
+            (F.col("cy") + F.col("dy")).alias("py"),
+        )
+    )
+    j = probes.join(
+        cells, (F.col("px") == F.col("cx")) & (F.col("py") == F.col("cy"))
+    ).filter(
+        (F.col("a_id") < F.col("event_id"))
+        & (
+            (F.col("a_lon") - F.col("lon")) * (F.col("a_lon") - F.col("lon"))
+            + (F.col("a_lat") - F.col("lat")) * (F.col("a_lat") - F.col("lat"))
+            < 0.01
+        )
+    )
+    return j.groupBy((F.col("a_id") % 16).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@_register(
+    "e09_running_distinct",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id),
+    days AS (
+      SELECT epoch_us(date_trunc('day', first_ts)) AS day_us,
+             count(*) AS n_new
+      FROM firsts GROUP BY 1)
+    SELECT day_us, n_new,
+           sum(n_new) OVER (ORDER BY day_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cum
+    FROM days
+    """,
+    survey="extension: running distinct count (cumulative unique users "
+    "by day) — the naive per-day COUNT(DISTINCT) over a growing window "
+    "rescans history quadratically; the first-occurrence decomposition "
+    "(min ts per user → new-users per day → cumsum) is one user shuffle "
+    "+ one tiny day window, linear at any scale",
+)
+def e09_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user and cumulative-user counts via first-occurrence
+    decomposition (the day-level window runs over ~30 rows — the
+    single-partition window is on the AGGREGATE, never the fact)."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    days = firsts.groupBy(
+        F.unix_micros(F.date_trunc("day", F.col("first_ts"))).alias("day_us")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day_us").rowsBetween(Window.unboundedPreceding, 0)
+    return days.select("day_us", "n_new", F.sum("n_new").over(w).alias("n_cum"))
+
+
+@_register(
+    "o12_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS activity_day
+      FROM events e)
+    SELECT epoch_us(f.cohort_day) AS cohort_us,
+           date_diff('day', f.cohort_day, a.activity_day) AS day_offset,
+           count(*) AS n_active
+    FROM activity a JOIN firsts f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    survey="extension: cohort retention matrix (users bucketed by first-"
+    "seen day × activity-day offset — the standard product-analytics "
+    "retention triangle) — one distinct per (user, day), cohort label "
+    "broadcast back onto activity, one (cohort, offset) aggregate",
+)
+def o12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: active-user counts per cohort × day offset."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("activity_day")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.unix_micros(F.col("cohort_day")).alias("cohort_us"),
+            F.datediff(F.col("activity_day"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

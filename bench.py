@@ -77,6 +77,12 @@ HEADLINE = [
     "q08_market_share",
     "d11_url_dedup",
     "g01_pagerank",
+    "e08_spatial_join",
+    "e09_running_distinct",
+    "o12_cohort_retention",
+    "c15_map_column_ops",
+    "j12_nullsafe_join",
+    "s06_label_centroids",
 ]
 
 

@@ -4996,3 +4996,67 @@ def o12_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@_register(
+    "s06_label_centroids",
+    """
+    WITH dims AS (
+      SELECT e.label, i.i AS dim, e.embedding[i.i]::DOUBLE AS v
+      FROM embeddings e,
+           LATERAL (SELECT unnest(generate_series(1, 64)) AS i) i),
+    cent AS (
+      SELECT label, array_agg(c ORDER BY dim) AS centroid
+      FROM (SELECT label, dim, avg(v) AS c FROM dims GROUP BY label, dim)
+      GROUP BY label),
+    scored AS (
+      SELECT e.label,
+             list_dot_product(e.embedding::DOUBLE[], c.centroid)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+      FROM embeddings e JOIN cent c ON c.label = e.label)
+    SELECT label, count(*) AS n_vecs, avg(cos) AS mean_cos, min(cos) AS min_cos
+    FROM scored GROUP BY label
+    """,
+    survey="north-star similarity: per-label embedding mean-pooling "
+    "(centroid via posexplode → (label, dim) aggregate — the per-dimension "
+    "shuffle is (labels × dims) rows, never vectors × dims concentrated on "
+    "one reducer) + per-vector cosine-to-own-centroid residuals (zip_with "
+    "fold, same sequential order as the SQL dot product) — the class-"
+    "compactness / outlier-screen primitive of embedding-corpus curation",
+)
+def s06_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + cohesion stats (mean/min cosine of members
+    to their centroid)."""
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("label", "dim", "v")
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    v = F.col("embedding").cast("array<double>")
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label",
+        (
+            dot(v, F.col("centroid"))
+            / (F.sqrt(dot(v, v)) * F.sqrt(dot(F.col("centroid"), F.col("centroid"))))
+        ).alias("cos"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("cos").alias("mean_cos"),
+        F.min("cos").alias("min_cos"),
+    )

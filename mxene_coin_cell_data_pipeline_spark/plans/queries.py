@@ -5060,3 +5060,130 @@ def s06_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("cos").alias("mean_cos"),
         F.min("cos").alias("min_cos"),
     )
+
+
+@_register(
+    "o13_winsorize",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           count(*) AS n,
+           sum(CASE WHEN e.value < q.p05 OR e.value > q.p95
+                    THEN 1 ELSE 0 END) AS n_clipped,
+           avg(CASE WHEN e.value < q.p05 THEN q.p05
+                    WHEN e.value > q.p95 THEN q.p95
+                    ELSE e.value END) AS mean_winsorized,
+           avg(e.value) AS mean_raw
+    FROM events e JOIN q ON q.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    survey="extension: winsorization (clip at per-key exact p05/p95 and "
+    "compare trimmed vs raw means — the outlier-robust normalization pass "
+    "of feature pipelines) — quantiles computed once per key, broadcast "
+    "back onto the fact, clip + re-aggregate in one pass",
+)
+def o13_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorized means with clip counts."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.05).alias("p05"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    clipped = (
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")), 1
+            ).otherwise(0)
+        ).alias("n_clipped"),
+        F.avg(clipped).alias("mean_winsorized"),
+        F.avg("value").alias("mean_raw"),
+    )
+
+
+@_register(
+    "e10_twap",
+    """
+    WITH s AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT user_id,
+           sum(value * (nxt - t)) / sum(nxt - t) AS twap,
+           avg(value) AS mean_unweighted,
+           count(*) AS n_intervals
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+    survey="extension: time-weighted average over irregular samples "
+    "(each sample weighted by its holding interval to the next — the "
+    "TWAP/step-function integral; the unweighted mean is biased wherever "
+    "sampling density correlates with level) — one lead window + one "
+    "keyed aggregate",
+)
+def e10_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TWAP vs naive mean (last open-ended sample excluded)."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    s = ev.select(
+        "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    dt = F.col("nxt") - F.col("t")
+    return s.groupBy("user_id").agg(
+        (F.sum(F.col("value") * dt) / F.sum(dt)).alias("twap"),
+        F.avg("value").alias("mean_unweighted"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@_register(
+    "e11_ohlc_bars",
+    """
+    SELECT user_id,
+           epoch_us(date_trunc('day', ts)) AS bar_us,
+           min_by(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max_by(value, printf('%020d-%012d', epoch_us(ts), event_id)) AS close,
+           count(*) AS n_ticks
+    FROM events
+    GROUP BY 1, 2
+    """,
+    survey="extension: OHLC bar aggregation (open/high/low/close per "
+    "key × day) — open/close are ordered firsts/lasts expressed as "
+    "min_by/max_by on a composite (time, id) key, so the whole bar is ONE "
+    "hash aggregate with map-side partials; never a sort or window over "
+    "the tick stream",
+)
+def e11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per user from the event tick stream."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    # composite order key as a zero-padded string: lexicographic ==
+    # (time, id) numeric order, and portable to engines whose
+    # min_by/max_by lack array/struct keys
+    okey = F.format_string(
+        "%020d-%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return ev.groupBy(
+        "user_id",
+        F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("bar_us"),
+    ).agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count(F.lit(1)).alias("n_ticks"),
+    )

@@ -292,3 +292,32 @@ def interval_coverage(
         ),
         F.sum("is_start").alias("n_intervals"),
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """For each left row, the EARLIEST right row with ``right.on >=
+    left.on`` within the same ``by`` group (forward as-of, ties
+    included) — the mirror of ``asof_join_backward``: same union trick,
+    descending sort with right-before-left on ties, values carried
+    backward with ``last_value ignorenulls``. One shuffle, no range
+    join."""
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
+    l_tag = left.withColumn("_side", F.lit(1))
+    r_tag = right.select(*by, on, *value_cols).withColumn("_side", F.lit(0))
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side")

@@ -5187,3 +5187,157 @@ def e11_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", okey).alias("close"),
         F.count(F.lit(1)).alias("n_ticks"),
     )
+
+
+# =====================================================================
+# Gaps-and-islands, forward as-of, z-score, inter-arrival histogram
+# =====================================================================
+
+
+@_register(
+    "o14_gaps_islands",
+    """
+    WITH ids AS (
+      SELECT event_id,
+             event_id - row_number() OVER (ORDER BY event_id) AS grp
+      FROM events WHERE event_id % 97 <> 0),
+    islands AS (
+      SELECT min(event_id) AS island_start, max(event_id) AS island_end,
+             count(*) AS island_len
+      FROM ids GROUP BY grp)
+    SELECT island_start, island_end, island_len FROM islands
+    """,
+    survey="extension: gaps-and-islands (maximal consecutive-id runs via "
+    "the id − row_number() constant-per-run trick — one sort, one "
+    "aggregate; the completeness/missing-range audit for sequenced "
+    "ingest). The global row_number is the documented single-sort cost; "
+    "at 100 TB the id space is range-bucketed first and the trick runs "
+    "per bucket with boundary stitching",
+)
+def o14_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands of consecutive event_ids after deleting every 97th —
+    finds the deletions as island boundaries."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    ids = ev.filter(F.col("event_id") % 97 != 0).select("event_id")
+    w = Window.orderBy("event_id")
+    grp = (F.col("event_id") - F.row_number().over(w)).alias("grp")
+    return (
+        ids.select("event_id", grp)
+        .groupBy("grp")
+        .agg(
+            F.min("event_id").alias("island_start"),
+            F.max("event_id").alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .drop("grp")
+    )
+
+
+@_register(
+    "e12_asof_forward",
+    """
+    WITH probes AS (
+      SELECT user_id, epoch_us(ts) AS probe_us, event_id AS probe_id
+      FROM events WHERE event_type = 'view'),
+    readings AS (
+      SELECT user_id, epoch_us(ts) AS r_us, value AS next_value
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.user_id, p.probe_id, p.probe_us,
+           (SELECT min(r.r_us) FROM readings r
+            WHERE r.user_id = p.user_id AND r.r_us >= p.probe_us) AS next_us,
+           (SELECT min_by(r.next_value, r.r_us) FROM readings r
+            WHERE r.user_id = p.user_id AND r.r_us >= p.probe_us) AS next_value
+    FROM probes p
+    """,
+    survey="extension: FORWARD as-of join (earliest right row at-or-after "
+    "each probe — the mirror of e01's backward form; next-reading / "
+    "time-to-next-event alignment) — same union trick, descending sort, "
+    "one shuffle; the correlated-subquery SQL literal would rescan "
+    "readings per probe",
+)
+def e12_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next purchase value at-or-after each view, per user."""
+    from ..functions.events import asof_join_forward
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("probe_us"),
+        F.col("event_id").alias("probe_id"),
+    )
+    readings = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("probe_us"),
+        F.unix_micros(F.col("ts")).alias("next_us"),
+        F.col("value").alias("next_value"),
+    )
+    out = asof_join_forward(
+        probes,
+        readings.select("user_id", "probe_us", "next_us", "next_value"),
+        on="probe_us",
+        by=["user_id"],
+        value_cols=["next_us", "next_value"],
+    )
+    return out.select("user_id", "probe_id", "probe_us", "next_us", "next_value")
+
+
+@_register(
+    "a22_zscore",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           (e.value - s.mu) / s.sigma AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    """,
+    survey="A-family extension: per-key z-score normalization (the "
+    "standard feature-scaling pass) — group moments computed once, "
+    "broadcast back onto the fact, one scan each way; the window "
+    "formulation (avg/stddev OVER key) is equivalent but re-sorts the "
+    "fact — the join-back is the scale shape",
+)
+def a22_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized event values per event_type."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+    )
+
+
+@_register(
+    "e13_interarrival_histogram",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT event_type,
+           CAST(floor(gap_us / 60000000.0) AS BIGINT) AS gap_minutes,
+           count(*) AS n
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    survey="extension: inter-arrival-time histogram (lag gap per key → "
+    "fixed-width minute buckets → counts; the burstiness/heartbeat "
+    "diagnostic for event feeds) — one keyed window + one aggregate, "
+    "bucket id by integer floor so the histogram is engine-exact",
+)
+def e13_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of gaps between consecutive same-type events."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "event_type", (t - F.lag(t).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy(
+        "event_type",
+        F.floor(F.col("gap_us") / 60000000.0).alias("gap_minutes"),
+    ).agg(F.count(F.lit(1)).alias("n"))

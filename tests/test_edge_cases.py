@@ -581,3 +581,55 @@ def test_canonicalize_url_variants(spark):
     out = {r["i"]: r["c"] for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
     for i, (_, want) in enumerate(cases):
         assert out[i] == want, (i, out[i], want)
+
+
+def test_asof_forward_no_future_match(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.events import asof_join_forward
+
+    left = spark.createDataFrame(
+        [("u", 100, 1), ("u", 500, 2)], "user_id string, t long, probe_id long"
+    )
+    right = spark.createDataFrame(
+        [("u", 200, 7.0)], "user_id string, t long, v double"
+    )
+    out = {
+        r["probe_id"]: r
+        for r in asof_join_forward(
+            left, right, on="t", by=["user_id"], value_cols=["v"]
+        ).collect()
+    }
+    assert out[1]["v"] == 7.0  # reading at 200 >= probe 100
+    assert out[2]["v"] is None  # no reading at/after 500
+    # tie: reading exactly AT the probe time is included
+    right_tie = spark.createDataFrame(
+        [("u", 500, 9.0)], "user_id string, t long, v double"
+    )
+    out2 = {
+        r["probe_id"]: r["v"]
+        for r in asof_join_forward(
+            left, right_tie, on="t", by=["user_id"], value_cols=["v"]
+        ).collect()
+    }
+    assert out2[2] == 9.0
+
+
+def test_gaps_islands_shapes(spark):
+    from pyspark.sql import Window
+
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 7, 8, 20]], "event_id long"
+    )
+    w = Window.orderBy("event_id")
+    grp = (F.col("event_id") - F.row_number().over(w)).alias("grp")
+    islands = (
+        ids.select("event_id", grp)
+        .groupBy("grp")
+        .agg(
+            F.min("event_id").alias("s"),
+            F.max("event_id").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .drop("grp")
+    )
+    got = sorted(map(tuple, islands.collect()))
+    assert got == [(1, 3, 3), (7, 8, 2), (20, 20, 1)]

@@ -5341,3 +5341,52 @@ def e13_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("gap_us") / 60000000.0).alias("gap_minutes"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_register(
+    "t11_feature_hashing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 256 AS feat_idx,
+             CASE WHEN (('0x' || substr(md5('s|' || tok), 1, 8))::BIGINT) % 2
+                  = 0 THEN 1 ELSE -1 END AS sign
+      FROM toks)
+    SELECT doc_id, feat_idx, sum(sign) AS weight, count(*) AS n_tokens
+    FROM hashed GROUP BY doc_id, feat_idx
+    HAVING sum(sign) <> 0
+    """,
+    survey="north-star text: feature hashing (the hashing-trick "
+    "vectorizer — tokens hashed to a fixed 256-dim index space with a "
+    "second salted hash as the collision-debiasing sign, per-doc sparse "
+    "weights) — fixed dimensionality with NO vocabulary table to build, "
+    "broadcast, or keep consistent across corpus versions; one (doc, "
+    "index) aggregate, md5-derived so any engine reproduces the exact "
+    "same feature space",
+)
+def t11_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hashed bag-of-words (256 dims) per document; zero-sum
+    collision cells dropped as in the standard formulation."""
+    from ..functions.sampling import hash_bucket
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    from ..functions.text import tokenize
+
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    sign = F.when(
+        hash_bucket(F.col("tok"), n_buckets=2, salt="s|") == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    hashed = toks.select(
+        "doc_id",
+        hash_bucket(F.col("tok"), n_buckets=256).alias("feat_idx"),
+        sign.alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "feat_idx")
+        .agg(F.sum("sign").alias("weight"), F.count(F.lit(1)).alias("n_tokens"))
+        .filter(F.col("weight") != 0)
+    )

@@ -5441,3 +5441,133 @@ def u05_bag_counts_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# =====================================================================
+# Python-integration surface completion: scalar + grouped-agg pandas
+# UDFs, Spark 4 pure-Python DataSource
+# =====================================================================
+
+
+@_register(
+    "a23_scalar_pandas_udf",
+    """
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_id,
+           1.0 / (1.0 + exp(-((e.value - s.mu) / s.sigma))) AS sigmoid_z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    """,
+    survey="UDF-surface completion: SCALAR Arrow-vectorized pandas_udf "
+    "(sigmoid scoring over z-scores — numpy on Arrow batches, ~10-100× "
+    "a row-at-a-time Python UDF; the JVM expression would be faster "
+    "still, used here to verify the vectorized scalar path end to end "
+    "against the SQL formula)",
+)
+def a23_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar UDF over the broadcast-normalized value."""
+    from ..functions.pyudf import sigmoid
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        sigmoid((F.col("value") - F.col("mu")) / F.col("sigma")).alias("sigmoid_z"),
+    )
+
+
+@_register(
+    "a24_grouped_agg_pandas_udf",
+    """
+    SELECT event_type, exp(avg(ln(value))) AS geo_mean
+    FROM events WHERE value > 0 GROUP BY event_type
+    """,
+    survey="UDF-surface completion: GROUPED_AGG pandas_udf (per-key "
+    "geometric mean — a whole group's values arrive as one pandas "
+    "Series, reduced in numpy; the custom-aggregate escape hatch when "
+    "no built-in composition exists). CAVEAT encoded in the docstring: "
+    "grouped-agg UDFs have no partial aggregation — every raw value "
+    "shuffles to its reducer, unlike built-in aggs; prefer "
+    "exp(avg(ln)) composition where it exists",
+)
+def a24_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean per event_type via a grouped-agg pandas UDF,
+    verified against the exp(avg(ln)) SQL identity (same float op
+    order inside numpy: mean of logs, then exp)."""
+    from ..functions.pyudf import geo_mean
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        # grouped-agg pandas UDFs cannot mix with built-in aggregates in
+        # one agg (INVALID_PANDAS_UDF_PLACEMENT) — single-UDF aggregate
+        .agg(geo_mean(F.col("value")).alias("geo_mean"))
+    )
+
+
+@_register(
+    "src03_python_datasource",
+    """
+    WITH g AS (
+      SELECT p.p AS part, i.i AS i
+      FROM (SELECT unnest(range(0, 4)) AS p) p,
+           (SELECT unnest(range(0, 2500)) AS i) i)
+    SELECT part, count(*) AS n, sum(reading) AS sum_reading,
+           min(tick) AS min_tick, max(tick) AS max_tick
+    FROM (SELECT part, part * 2500 + i AS tick,
+                 sin(part * 2500 + i) * 100 AS reading
+          FROM g)
+    GROUP BY part
+    """,
+    survey="S-family extension: Spark 4 pure-Python DataSource API — a "
+    "custom batch connector (DataSource/DataSourceReader with 4 "
+    "partition splits, deterministic rows as a pure function of "
+    "(partition, index)) registered and consumed via "
+    "spark.read.format(); the surface any bespoke lab-equipment or "
+    "vendor-API connector plugs into, each partition read "
+    "independently by its executor",
+)
+def src03_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Register a synthetic telemetry DataSource and aggregate it; the
+    oracle regenerates the same deterministic stream relationally."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _SimReader(DataSourceReader):
+        def __init__(self, n_parts: int = 4, rows_per_part: int = 2500):
+            self.n_parts = n_parts
+            self.rows = rows_per_part
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_parts)]
+
+        def read(self, partition):
+            import math
+
+            p = partition.value
+            for i in range(self.rows):
+                tick = p * self.rows + i
+                yield (p, tick, math.sin(tick) * 100.0)
+
+    class CyclerSimSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "cycler_sim"
+
+        def schema(self):
+            return "part int, tick long, reading double"
+
+        def reader(self, schema):
+            return _SimReader()
+
+    spark.dataSource.register(CyclerSimSource)
+    df = spark.read.format("cycler_sim").load()
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("reading").alias("sum_reading"),
+        F.min("tick").alias("min_tick"),
+        F.max("tick").alias("max_tick"),
+    )

@@ -5571,3 +5571,124 @@ def src03_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tick").alias("min_tick"),
         F.max("tick").alias("max_tick"),
     )
+
+
+@_register(
+    "a25_approx_percentile_bound",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             percent_rank() OVER (PARTITION BY event_type ORDER BY value)
+               AS pr
+      FROM events)
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_exact,
+           TRUE AS approx_in_bounds
+    FROM events GROUP BY event_type
+    """,
+    survey="A-family completion: mergeable approximate percentile "
+    "(percentile_approx / GK sketch) validated in-query — the sketch's "
+    "p50 must land within the value range whose exact percent_rank is "
+    "0.5 ± accuracy; the emitted boolean keeps the oracle hash-"
+    "comparable while the sketch path genuinely executes. The sketch is "
+    "the 100 TB shape: bounded memory, mergeable partials (contrast "
+    "a17's exact two-pass)",
+)
+def a25_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx(0.5, accuracy=1000) vs exact median: assert
+    the approx value's true rank is within 0.5 ± 1/1000 (the GK
+    guarantee), emit exact p50 + the bound check."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("p50_approx")
+    )
+    j = ev.join(F.broadcast(approx), "event_type")
+    # true rank of the approx value = fraction of values strictly below
+    rank_of_approx = F.sum(
+        F.when(F.col("value") < F.col("p50_approx"), 1).otherwise(0)
+    ) / F.count(F.lit(1))
+    return j.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("p50_exact"),
+        ((rank_of_approx - 0.5) < 0.01).alias("approx_in_bounds"),
+    )
+
+
+@_register(
+    "j13_param_grid",
+    """
+    SELECT r.r_name, p.g_priority AS o_orderpriority, count(x.o_orderkey) AS n
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority AS g_priority FROM orders) p
+    LEFT JOIN (
+      SELECT o.o_orderkey, o.o_orderpriority, n.n_regionkey
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey) x
+      ON x.o_orderpriority = p.g_priority AND x.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, p.g_priority
+    """,
+    survey="J-family completion: explicit CROSS JOIN (small dim × small "
+    "dim parameter grid, every combination present even at zero count — "
+    "the dense-report/experiment-grid shape an inner join silently "
+    "drops) followed by left joins back onto the fact; the cartesian is "
+    "|regions|×|priorities| rows, never fact-sized",
+)
+def j13_param_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense region × priority grid with order counts (zero-count
+    cells retained)."""
+    orders, cust, nat, reg = _ctx(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    prios = (
+        orders.select(F.col("o_orderpriority").alias("g_priority")).distinct()
+    )
+    grid = reg.crossJoin(prios)
+    enriched = (
+        orders.join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            F.col("o_orderkey").alias("e_orderkey"),
+            F.col("o_orderpriority").alias("e_priority"),
+            F.col("n_regionkey").alias("e_regionkey"),
+        )
+    )
+    j = grid.join(
+        enriched,
+        (F.col("g_priority") == F.col("e_priority"))
+        & (F.col("r_regionkey") == F.col("e_regionkey")),
+        "left",
+    )
+    return j.groupBy(
+        "r_name", F.col("g_priority").alias("o_orderpriority")
+    ).agg(F.count("e_orderkey").alias("n"))
+
+
+@_register(
+    "t12_explode_outer",
+    """
+    WITH toks AS (
+      SELECT d.doc_id, t.tok
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[ab][a-z0-9]*') AS ws
+            FROM documents) d
+      LEFT JOIN LATERAL (SELECT unnest(d.ws) AS tok) t ON TRUE)
+    SELECT doc_id, count(tok) AS n_ab_tokens,
+           count(*) AS n_rows
+    FROM toks GROUP BY doc_id
+    """,
+    survey="generate-surface completion: explode_outer (LATERAL VIEW "
+    "OUTER) — docs whose token filter matches nothing keep ONE row with "
+    "a NULL token instead of vanishing (the silent-row-loss trap of "
+    "plain explode when downstream re-aggregates per doc); count(col) "
+    "vs count(*) distinguishes empties",
+)
+def t12_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens starting with a/b per doc via explode_outer — zero-match
+    docs survive with n_ab_tokens=0, n_rows=1."""
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[ab][a-z0-9]*"), 0)
+    return (
+        docs.select("doc_id", F.explode_outer(ws).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.count("tok").alias("n_ab_tokens"), F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -9,7 +9,10 @@ Reference semantics (/root/reference/pipeline.py:157-166):
 - ``CE`` = Q_dis/Q_chg, NULL when Q_chg is NULL or 0 (guarded division,
   lazy per-row so it is ANSI-safe).
 - ``q_norm`` = Q_dis / Q_dis(first cycle), an unbounded first_value
-  window per cell.
+  window per cell. ``try_divide`` so a zero first-cycle capacity yields
+  NULL instead of raising under ANSI sessions (Spark 4 default) —
+  matching both the reference's NaN propagation (pipeline.py:165) and
+  DuckDB's NULL-on-zero-divide oracle semantics.
 
 Plan shape: one hash aggregate (map-side partial agg) + one tiny window
 over the per-cycle output (thousands of rows per cell, not samples) —
@@ -45,5 +48,7 @@ def capacity_ce_per_cycle(df: DataFrame) -> DataFrame:
         .orderBy("cycle_index")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    agg = agg.withColumn("q_norm", F.col("Q_dis_Ah") / F.first("Q_dis_Ah").over(w))
+    agg = agg.withColumn(
+        "q_norm", F.try_divide(F.col("Q_dis_Ah"), F.first("Q_dis_Ah").over(w))
+    )
     return agg

@@ -20,7 +20,6 @@ RATED_AH = 2.0  # C/2 target = 1.0, inside the mapped current range
 
 def events_as_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic events → canonical timeseries mapping."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     # integer division end to end: float-division-then-cast would
     # diverge from SQL engines that round rather than truncate
@@ -46,6 +45,15 @@ def events_as_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dis = F.col("step_type") == "CC_DIS"
     chg = F.col("step_type") == "CC_CHG"
+    # Cumulative capacity is accumulated as INTEGER centi-units and
+    # divided once at the end: float running sums are order-sensitive
+    # (Spark's sequential window sum vs DuckDB's segment-tree window
+    # aggregation differ in the last ulp), while integer accumulation
+    # is exact under any association — bit-stable across engines.
+    # round(v*100) is exact for the 2-decimal source values; /1e5
+    # yields the same Ah scale as the previous v/1000 increments.
+    chg_inc = F.when(chg, F.round(F.col("_v") * 100).cast("long")).otherwise(F.lit(0))
+    dis_inc = F.when(dis, F.round(F.col("_v") * 100).cast("long")).otherwise(F.lit(0))
     return base.select(
         "cell_id",
         "timestamp",
@@ -58,8 +66,8 @@ def events_as_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("current_a"),
         (3.0 + F.col("_v") % 1.5).alias("voltage_v"),
         F.lit(None).cast("double").alias("temp_c"),
-        F.sum(F.when(chg, F.col("_v") / 1000.0).otherwise(0.0)).over(w).alias("charge_ah"),
-        F.sum(F.when(dis, F.col("_v") / 1000.0).otherwise(0.0)).over(w).alias("discharge_ah"),
+        (F.sum(chg_inc).over(w) / 100000.0).alias("charge_ah"),
+        (F.sum(dis_inc).over(w) / 100000.0).alias("discharge_ah"),
     )
 
 

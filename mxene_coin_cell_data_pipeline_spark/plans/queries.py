@@ -47,8 +47,13 @@ def _register(name: str, oracle: str | None, survey: str, note: str = ""):
 
 
 def _ctx(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    """Load tables with session prepared (UTC, nanos compat)."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Load tables (nanos-compat parquet read; see sources/tables.py).
+
+    Pure with respect to session state: query functions never mutate
+    session conf (timezone etc.) — all registered expressions are
+    timezone-independent (integer ``unix_micros`` arithmetic) or align
+    with the driver's UTC session by construction.
+    """
     return [load_table(spark, sf_dir, n) for n in names]
 
 
@@ -496,27 +501,44 @@ def a10_running_first_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a11_regr_fade",
     """
+    WITH e AS (
+      -- x centered at the per-group origin: raw epoch-seconds (~1.7e9,
+      -- x^2 ~ 3e18) eat double precision and make slope/intercept
+      -- summation-order-sensitive across engines; centered x is small
+      -- and exact (integer microsecond delta / 1e6)
+      SELECT user_id, value,
+             (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+               / 1000000.0 AS x
+      FROM events)
     SELECT user_id,
-           CASE WHEN count(*) >= 2 THEN regr_slope(value, epoch_us(ts) / 1000000.0) END
+           -- round(.,9): regr_* internal summation order still differs in
+           -- the last ulp across engines; 9 decimals is far inside both
+           -- engines' agreement and the rounded doubles are bit-identical.
+           -- t_to_80 is derived from the ROUNDED slope/intercept so the
+           -- final division sees identical operands on both sides.
+           CASE WHEN count(*) >= 2 THEN round(regr_slope(value, x), 9) END
              AS slope,
-           CASE WHEN count(*) >= 2 THEN regr_intercept(value, epoch_us(ts) / 1000000.0) END
+           CASE WHEN count(*) >= 2 THEN round(regr_intercept(value, x), 9) END
              AS intercept,
-           CASE WHEN count(*) >= 2 AND regr_slope(value, epoch_us(ts) / 1000000.0) <> 0
-                THEN (80.0 - regr_intercept(value, epoch_us(ts) / 1000000.0))
-                     / regr_slope(value, epoch_us(ts) / 1000000.0) END
+           CASE WHEN count(*) >= 2 AND round(regr_slope(value, x), 9) <> 0
+                THEN (80.0 - round(regr_intercept(value, x), 9))
+                     / round(regr_slope(value, x), 9) END
              AS t_to_80
-    FROM events GROUP BY user_id
+    FROM e GROUP BY user_id
     """,
-    survey="A11 A12 (OLS fade fit via regr_slope/regr_intercept + RUL arithmetic)",
+    survey="A11 A12 (OLS fade fit via regr_slope/regr_intercept + RUL arithmetic; "
+    "x centered per group for cross-engine bit-stability)",
 )
 def a11_regr_fade(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _ctx(spark, sf_dir, "events")
-    x = F.unix_micros(F.col("ts")) / F.lit(1000000.0)
+    us = F.unix_micros(F.col("ts"))
+    ev = ev.withColumn("_x0", F.min(us).over(Window.partitionBy("user_id")))
+    x = (us - F.col("_x0")) / F.lit(1000000.0)
     y = F.col("value")
     agg = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.regr_slope(y, x).alias("_m"),
-        F.regr_intercept(y, x).alias("_b"),
+        F.round(F.regr_slope(y, x), 9).alias("_m"),
+        F.round(F.regr_intercept(y, x), 9).alias("_b"),
     )
     ok = F.col("_n") >= 2
     m, b = F.col("_m"), F.col("_b")
@@ -606,7 +628,8 @@ def c04_c08_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT count(*)                                   AS n_rows,
            count(DISTINCT l_orderkey)                 AS n_orders,
-           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS null_qty,
            min(l_discount)                            AS disc_min,
            max(l_discount)                            AS disc_max,
            median(l_extendedprice)                    AS price_median,
@@ -615,7 +638,8 @@ def c04_c08_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT l_extendedprice FROM lineitem
             ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC LIMIT 1)
              AS last_price,
-           sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)   AS n_nonpos
+           CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                    AS n_nonpos
     FROM lineitem
     """,
     survey="Q1-Q7 (single one-row QC aggregate: null counts, range, exact median, ordered first/last)",
@@ -1014,11 +1038,16 @@ def p01_cycler_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              value AS v
       FROM events),
     w AS (
+      -- integer centi-unit accumulation (exact under any association),
+      -- one float division at the end — matches the Spark side and is
+      -- immune to DuckDB's segment-tree window summation order
       SELECT *,
-             sum(CASE WHEN step_type = 'CC_CHG' THEN v / 1000.0 ELSE 0.0 END)
-               OVER win AS charge_ah,
-             sum(CASE WHEN step_type = 'CC_DIS' THEN v / 1000.0 ELSE 0.0 END)
-               OVER win AS discharge_ah
+             sum(CASE WHEN step_type = 'CC_CHG'
+                      THEN CAST(round(v * 100) AS BIGINT) ELSE 0 END)
+               OVER win / 100000.0 AS charge_ah,
+             sum(CASE WHEN step_type = 'CC_DIS'
+                      THEN CAST(round(v * 100) AS BIGINT) ELSE 0 END)
+               OVER win / 100000.0 AS discharge_ah
       FROM ts
       WINDOW win AS (PARTITION BY cell_id, cycle_index ORDER BY t, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -1096,7 +1125,6 @@ def st01_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch bucketing (epoch-aligned windows, UTC session)."""
     from ..streaming import read_events_stream, run_stream_to_memory, windowed_event_rollup
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     rolled = windowed_event_rollup(read_events_stream(spark, sf_dir))
     out = run_stream_to_memory(rolled, output_mode="complete")
     return out.select(
@@ -1128,7 +1156,6 @@ def st02_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, run_stream_to_memory
     from ..streaming.features import stream_segment_rollup
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cust = load_table(spark, sf_dir, "customer")
     rolled = stream_segment_rollup(read_events_stream(spark, sf_dir), cust)
     return run_stream_to_memory(rolled, output_mode="complete")
@@ -1259,7 +1286,6 @@ def p03_dqdv_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-max argmax (see the registered SQL)."""
     from ..operators.dqdv import dqdv_peak_per_cycle
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     step_type = (
         F.when(F.col("event_type").isin("purchase", "view"), "CC_DIS")
@@ -1333,7 +1359,9 @@ def p03_dqdv_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN a.n_pre = 0 OR a.n_post = 0
                      OR (a.post_i - a.pre_i) IS NULL
                      OR (a.post_i - a.pre_i) = 0 THEN NULL
-                ELSE abs((a.post_v - a.pre_v) / (a.post_i - a.pre_i))
+                -- +0.0 canonicalizes -0.0: DuckDB's abs() preserves the
+                -- sign bit of -0.0 while Spark's clears it
+                ELSE abs((a.post_v - a.pre_v) / (a.post_i - a.pre_i)) + 0.0
            END AS IR_C2_ohm
     FROM cycles c LEFT JOIN agg a
       ON c.cell_id = a.cell_id AND c.cycle_index = a.cycle_index
@@ -1348,7 +1376,6 @@ def p04_ir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin + neighbor-median-band + guarded-ratio pipeline."""
     from ..operators.ir import ir_c2_per_cycle
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load_table(spark, sf_dir, "events")
     step_type = (
         F.when(F.col("event_type").isin("purchase", "view"), "CC_DIS")
@@ -1575,12 +1602,14 @@ def e01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT user_id, ts, event_id,
-             sum(CASE WHEN prev_us IS NULL
+             -- BIGINT cast: DuckDB window sums of integers return
+             -- HUGEINT which pandas widens to float64 ("1.0" vs "1")
+             CAST(sum(CASE WHEN prev_us IS NULL
                        OR epoch_us(ts) - prev_us > 1800 * 1000000
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_id
+               AS BIGINT) AS session_id
       FROM (SELECT user_id, ts, event_id,
                    lag(epoch_us(ts)) OVER (PARTITION BY user_id
                                            ORDER BY ts, event_id) AS prev_us
@@ -1688,9 +1717,12 @@ def t05_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'REST' END AS step_type
       FROM events)
     SELECT cycle_index,
-           sum(CASE WHEN step_type = 'CC_CHG' THEN 1 ELSE 0 END) AS CC_CHG,
-           sum(CASE WHEN step_type = 'CC_DIS' THEN 1 ELSE 0 END) AS CC_DIS,
-           sum(CASE WHEN step_type = 'REST'   THEN 1 ELSE 0 END) AS REST
+           CAST(sum(CASE WHEN step_type = 'CC_CHG' THEN 1 ELSE 0 END) AS BIGINT)
+             AS CC_CHG,
+           CAST(sum(CASE WHEN step_type = 'CC_DIS' THEN 1 ELSE 0 END) AS BIGINT)
+             AS CC_DIS,
+           CAST(sum(CASE WHEN step_type = 'REST'   THEN 1 ELSE 0 END) AS BIGINT)
+             AS REST
     FROM ts GROUP BY cycle_index
     """,
     survey="pivot: step_type distribution per cycle (groupBy().pivot() with "
@@ -2457,7 +2489,6 @@ def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_table_stream, run_stream_to_memory
     from ..streaming.features import stream_exact_dedup
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = read_table_stream(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
@@ -2726,7 +2757,6 @@ def st04_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, run_stream_to_memory
     from ..streaming.features import stream_sessionize
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     sess = stream_sessionize(read_events_stream(spark, sf_dir))
     out = run_stream_to_memory(sess, output_mode="complete")
     return out.select(
@@ -2970,7 +3000,6 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import read_events_stream, run_stream_to_memory
     from ..streaming.features import stream_click_attribution
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     joined = stream_click_attribution(read_events_stream(spark, sf_dir))
     out = run_stream_to_memory(joined, output_mode="append")
     return out.select(
@@ -3705,7 +3734,6 @@ def st06_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.snapshot import run_stream_latest_snapshot
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     (events,) = _ctx(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="st06_")
     src = os.path.join(tmp, "feed")
@@ -4481,7 +4509,6 @@ def st07_stream_stateful_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import run_stream_to_memory
     from ..streaming.features import stream_energy_trapezoid
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ts = events_as_timeseries(spark, sf_dir).select(
         "cell_id", "timestamp", "cycle_index", "step_type", "voltage_v", "current_a"
     )
@@ -4613,7 +4640,6 @@ def src01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip is lossless."""
     import tempfile
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     (ev,) = _ctx(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="src01_") + "/events_jsonl"
     # default JSON timestampFormat truncates to milliseconds — declare
@@ -4653,7 +4679,6 @@ def src02_csv_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.cycler_csv import read_cycler_csv
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     (ev,) = _ctx(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="src02_") + "/events_semi.csv"
     ev.select("event_id", "event_type", "value").coalesce(1).write.mode(
@@ -4822,7 +4847,6 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.snapshot import run_stream_agg_snapshot
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     (ev,) = _ctx(spark, sf_dir, "events")
     tmp = tempfile.mkdtemp(prefix="st08_")
     src = os.path.join(tmp, "feed")

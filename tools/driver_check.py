@@ -1,0 +1,179 @@
+"""Driver-faithful correctness check: every registered query vs its
+DuckDB oracle, under a Spark session configured like the DRIVER's
+(ANSI enabled — the Spark 4 default the driver runs with — not the
+lenient builder session from session.py).
+
+The compare is tolerance-free by design: columns sorted by name, rows
+sorted canonically, every value stringified with its pandas dtype
+intact, sha256 over the whole relation. A dtype difference (int64 "0"
+vs float64 "0.0") fails the hash exactly as it does in the driver —
+this is the gap that let 5 representation mismatches ship in round 1.
+
+Usage:
+    python tools/driver_check.py [--sf /root/testdata/sf0.01]
+        [--only name1,name2] [--tz America/New_York] [--out report.json]
+
+Exit code 0 iff every oracle-backed query hash-matches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import math
+import os
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mxene_coin_cell_data_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def driver_like_session(cpus: int = 8, tz: str | None = None):
+    """A session with the DRIVER's semantics: ANSI on (Spark 4 default),
+    no lenient overrides. nanosAsLong is NOT pre-set here — load_table
+    must set it itself, as it must under the real driver session."""
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("driver-check")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+    )
+    if tz:
+        b = b.config("spark.sql.session.timeZone", tz)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def canon_cell(v) -> str:
+    """Stringify one value, dtype-faithful (int 0 != float 0.0)."""
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NULL"
+        return repr(v)
+    if isinstance(v, (pd.Timestamp,)):
+        if pd.isna(v):
+            return "\x00NULL"
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "\x00NULL"
+    except (TypeError, ValueError):
+        pass
+    return f"{type(v).__name__}:{v}"
+
+
+def canon_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    rows = []
+    for row in df[cols].itertuples(index=False):
+        rows.append("\x01".join(canon_cell(v) for v in row))
+    rows.sort()
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode("utf-8", "surrogatepass"))
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def first_diff(sp: pd.DataFrame, du: pd.DataFrame) -> str:
+    cols = sorted(sp.columns)
+    a = sorted("\x01".join(canon_cell(v) for v in r) for r in sp[cols].itertuples(index=False))
+    b = sorted("\x01".join(canon_cell(v) for v in r) for r in du[cols].itertuples(index=False))
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if ra != rb:
+            pa, pb = ra.split("\x01"), rb.split("\x01")
+            for c, va, vb in zip(cols, pa, pb):
+                if va != vb:
+                    return f"row {i} col {c}: spark={va!r} oracle={vb!r}"
+    if len(a) != len(b):
+        return f"row count {len(a)} vs {len(b)}"
+    return "identical?"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--only", default="")
+    ap.add_argument("--tz", default=None, help="session timezone override (stress TZ purity)")
+    ap.add_argument("--out", default="")
+    ap.add_argument("--cpus", default=8, type=int)
+    args = ap.parse_args()
+
+    spark = driver_like_session(cpus=args.cpus, tz=args.tz)
+    from mxene_coin_cell_data_pipeline_spark.plans import oracle_sqls, query_fns
+
+    fns, sqls = query_fns(), oracle_sqls()
+    names = [n.strip() for n in args.only.split(",") if n.strip()] or list(fns)
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+
+    report: dict[str, dict] = {}
+    n_pass = n_fail = n_crash = n_noorc = 0
+    for name in names:
+        t0 = time.time()
+        row: dict = {"sec": None}
+        try:
+            sp = fns[name](spark, args.sf).toPandas()
+            row["rows_spark"] = len(sp)
+            if name not in sqls:
+                row["status"] = "no_oracle"
+                n_noorc += 1
+            else:
+                du = con.execute(sqls[name]).fetchdf()
+                row["rows_oracle"] = len(du)
+                row["schema_match"] = sorted(sp.columns) == sorted(du.columns)
+                if not row["schema_match"]:
+                    row["status"] = "schema_fail"
+                    row["detail"] = f"spark={sorted(sp.columns)} oracle={sorted(du.columns)}"
+                    n_fail += 1
+                elif canon_hash(sp) == canon_hash(du):
+                    row["status"] = "pass"
+                    n_pass += 1
+                else:
+                    row["status"] = "hash_fail"
+                    row["detail"] = first_diff(sp, du)
+                    row["dtypes_spark"] = {c: str(t) for c, t in sp.dtypes.items()}
+                    row["dtypes_oracle"] = {c: str(t) for c, t in du.dtypes.items()}
+                    n_fail += 1
+        except Exception:
+            row["status"] = "crash"
+            row["detail"] = traceback.format_exc(limit=20)[-2000:]
+            n_crash += 1
+        row["sec"] = round(time.time() - t0, 2)
+        report[name] = row
+        flag = {"pass": ".", "no_oracle": "o", "hash_fail": "F", "schema_fail": "S", "crash": "X"}[
+            row["status"]
+        ]
+        print(f"{flag} {name:34s} {row['sec']:6.2f}s {row.get('detail','')[:140]}", flush=True)
+
+    print(
+        f"\n== {n_pass} pass, {n_fail} fail, {n_crash} crash, {n_noorc} no-oracle "
+        f"of {len(names)} ({args.sf})"
+    )
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1, default=str)
+    return 0 if (n_fail == 0 and n_crash == 0) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

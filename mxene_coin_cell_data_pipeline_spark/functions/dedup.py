@@ -20,7 +20,13 @@ from .text import tokenize
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
-SIMHASH_BITS = 16  # one high-bit per leading md5 hex char
+#: production fingerprint width: 64 bits = 4 bands × 16 bits, so the
+#: pigeonhole band join buckets on 2^16 values per band and candidate
+#: volume tracks true near-dups instead of corpus²/2^4 (the quadratic
+#: trap of narrow fingerprints — see SCALING.md d09). Bit j of the
+#: fingerprint is bit (3 - j%4) of md5 hex char j//4, so any width up
+#: to 128 shares one code path and one oracle formulation.
+SIMHASH_BITS = 64
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -227,29 +233,34 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over word tokens.
+def simhash(
+    docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``bits``-wide SimHash over word tokens (default 64).
 
-    Bit j is set when the majority of the doc's tokens have the high
-    bit of md5-hex-char j set (chars '89abcdef'). Fully expressible as
-    16 conditional-sum aggregates — engine-portable, oracle-checkable.
+    Bit j of the fingerprint is set when the majority of the doc's
+    tokens have bit ``3 - j%4`` of md5-hex-char ``j//4`` set — i.e. the
+    md5 hex digest is consumed nibble-by-nibble, giving up to 128
+    independent bits from one hash. Fully expressible as ``bits``
+    conditional-sum aggregates — one token shuffle, map-side partials,
+    engine-portable and oracle-checkable at any width.
     """
+    if not 1 <= bits <= 128:
+        raise ValueError("md5 provides at most 128 fingerprint bits")
     toks = docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("tok"))
     h = F.md5(F.col("tok"))
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.substring(h, j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                1,
-            ).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
+
+    def tok_bit(j: int) -> Column:
+        v = F.conv(F.substring(h, j // 4 + 1, 1), 16, 10).cast("int")
+        mask = 1 << (3 - j % 4)
+        return F.when(v.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
+
+    bit_sums = [F.sum(tok_bit(j)).alias(f"s{j}") for j in range(bits)]
     agg = toks.groupBy("doc_id").agg(*bit_sums)
-    bits = F.concat(
-        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(SIMHASH_BITS)]
+    out_bits = F.concat(
+        *[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(bits)]
     )
-    return agg.select("doc_id", bits.alias("simhash_bits"))
+    return agg.select("doc_id", out_bits.alias("simhash_bits"))
 
 
 def near_dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
@@ -362,33 +373,41 @@ def simhash_hamming_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     text_col: str = "text",
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
     found via the pigeonhole band join: split the fingerprint into
     ``n_bands`` equal bands — ≤ ``n_bands - 1`` differing bits cannot
     touch every band, so hamming-close pairs MUST share at least one
     exact band. Bucket-join per (band index, band value), dedupe, then
-    refine with ``bit_count(xor)`` — all JVM built-ins.
+    refine with ``bit_count(xor)`` over 32-bit fingerprint words — all
+    JVM built-ins (32-bit words keep every intermediate inside a
+    non-overflowing signed int64 under ANSI mode, at any width).
 
-    Guaranteed recall needs ``max_hamming < n_bands``. With this
-    module's 16-bit fingerprint each band has only 2⁴ values, so
-    bucket occupancy (and candidate volume) is corpus²/2⁴-ish — fine
-    for the oracle corpus, but the production configuration is a
-    64-bit fingerprint with 4×16-bit bands (2¹⁶ values per band),
-    where candidates track true near-dups. The plan shape is identical
-    at either width.
+    Guaranteed recall needs ``max_hamming < n_bands``. At the default
+    64-bit/4-band configuration each band carries 2¹⁶ values, so
+    bucket occupancy (and candidate volume) tracks true near-dups; a
+    16-bit fingerprint (``bits=16``) has only 2⁴ values per band and
+    candidate volume degrades to corpus²/2⁴ — kept available as the
+    cross-check width, never the production path (SCALING.md d09).
     """
     if max_hamming >= n_bands:
         raise ValueError("guaranteed recall needs max_hamming < n_bands")
-    band_w = SIMHASH_BITS // n_bands
-    sh = simhash(docs, text_col).select(
-        "doc_id",
-        F.conv("simhash_bits", 2, 10).cast("long").alias("_v"),
-        F.col("simhash_bits"),
-    )
+    if bits % n_bands:
+        raise ValueError("bits must divide evenly into n_bands")
+    band_w = bits // n_bands
+    n_words = (bits + 31) // 32
+    word_cols = [f"_w{i}" for i in range(n_words)]
+    words = [
+        F.conv(F.substring("simhash_bits", i * 32 + 1, min(32, bits - i * 32)), 2, 10)
+        .cast("long")
+        .alias(word_cols[i])
+        for i in range(n_words)
+    ]
+    sh = simhash(docs, text_col, bits=bits).select("doc_id", "simhash_bits", *words)
     bands = sh.select(
         "doc_id",
-        "_v",
+        *word_cols,
         F.posexplode(
             F.array(
                 *[
@@ -399,18 +418,30 @@ def simhash_hamming_pairs(
         ).alias("_j", "_band"),
     )
     a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("_v").alias("_va"), "_j", "_band"
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(w).alias(f"{w}a") for w in word_cols],
+        "_j",
+        "_band",
     )
     b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("_v").alias("_vb"), "_j", "_band"
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(w).alias(f"{w}b") for w in word_cols],
+        "_j",
+        "_band",
     )
     cand = (
         a.join(b, ["_j", "_band"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "_va", "_vb")
+        .select(
+            "doc_a",
+            "doc_b",
+            *[c for w in word_cols for c in (f"{w}a", f"{w}b")],
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.bit_count(F.col("_va").bitwiseXOR(F.col("_vb")))
+    hamming = sum(
+        F.bit_count(F.col(f"{w}a").bitwiseXOR(F.col(f"{w}b"))) for w in word_cols
+    )
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

@@ -231,7 +231,18 @@ def ewma(
     w_ord = Window.partitionBy(key).orderBy(ts, tie_break)
     frame = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     i = (F.row_number().over(w_ord) - 1).cast("double")
-    s = F.sum(F.col(value) * F.pow(F.lit(r), -i)).over(frame)
+    # the prefix sum accumulates in DECIMAL(38,12): the x_j * r^(-j)
+    # doubles are identical on any engine, and the exact associative
+    # decimal sum removes the accumulation-order sensitivity (cumulative
+    # window sums associate differently across engines — segment tree vs
+    # streaming). Decimal bound 1e26 tightens the documented per-key
+    # length limit from n ≲ 3000 (double range) to n ≲ 246 at a=0.2;
+    # the applyInPandas recurrence remains the unbounded fallback.
+    s = (
+        F.sum((F.col(value) * F.pow(F.lit(r), -i)).cast("decimal(38,12)"))
+        .over(frame)
+        .cast("double")
+    )
     x0 = F.first(value).over(frame)
     y = F.pow(F.lit(r), i) * (F.lit(alpha) * s + F.lit(r) * x0)
     return events.select(
@@ -239,7 +250,10 @@ def ewma(
         tie_break,
         F.unix_micros(F.col(ts)).alias("ts_us"),
         F.col(value).alias(value),
-        y.alias("ewma"),
+        # round(,6): the decimal prefix-sum leaves ≤ ~1e-13 cross-engine
+        # slack (large-magnitude addends cast at shortest-repr vs exact
+        # expansion); value-scale outputs at a 1e-6 grid absorb it
+        F.round(y, 6).alias("ewma"),
     )
 
 
@@ -313,9 +327,14 @@ def asof_join_forward(
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.select(*by, on, *value_cols).withColumn("_side", F.lit(0))
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # tie-break on the carried value columns so right-side rows sharing
+    # the same `on` resolve identically across runs/partitionings (the
+    # bare (on, _side) order is not total when right has duplicate
+    # timestamps — last_value would pick an arbitrary one)
+    tiebreak = [F.col(c).desc_nulls_last() for c in value_cols]
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).desc(), F.col("_side").asc())
+        .orderBy(F.col(on).desc(), F.col("_side").asc(), *tiebreak)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in value_cols:

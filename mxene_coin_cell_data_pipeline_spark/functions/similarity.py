@@ -197,7 +197,10 @@ def embedding_near_dup_pairs_blas(
         xn = x / nrm[:, None]
         s = xn @ xn.T
         ia, ib = _np.triu_indices(len(ids), k=1)
-        keep = s[ia, ib] >= threshold
+        # pre-filter with a margin below threshold: the exact inclusion
+        # decision happens JVM-side on the rounded score, so a gemm-vs-
+        # fold ulp wobble at the threshold cannot flip membership
+        keep = s[ia, ib] >= threshold - 1e-6
         return _pd.DataFrame(
             {
                 "vec_a": ids[ia[keep]],
@@ -210,6 +213,11 @@ def embedding_near_dup_pairs_blas(
         embeddings.select(block_col, id_col, vec_col)
         .groupBy(block_col)
         .applyInPandas(pairs, schema="vec_a long, vec_b long, cosine double")
+        # round(,9): cosine ∈ [-1,1] so 9dp is far above ulp noise;
+        # rounding + thresholding on the rounded value is reproducible
+        # across engines and partition layouts
+        .withColumn("cosine", F.round("cosine", 9))
+        .filter(F.col("cosine") >= threshold)
     )
 
 

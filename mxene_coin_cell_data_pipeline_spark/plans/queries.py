@@ -111,7 +111,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_top_revenue_orders",
     """
     SELECT o_orderkey,
-           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
            epoch_us(o_orderdate)                   AS orderdate_us
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -134,7 +134,14 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            # round to 6dp on BOTH engines: addends have exactly 4
+            # intrinsic decimals (2dp price × 2dp discount), so the true
+            # sum is on the 1e-4 grid — never at a 0.5e-6 rounding
+            # boundary; summation-order ulp noise (~1e-9) cannot flip
+            # the rounded value. Deterministic, engine-independent.
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
         )
         .select(
             "o_orderkey",
@@ -771,9 +778,13 @@ def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs)
 
 
+# bit j of the fingerprint = bit (3 - j%4) of md5 hex char j//4 — the
+# same nibble-consuming scheme as functions.dedup.simhash, generated
+# for the full SIMHASH_BITS width
 _SIM_SUMS = ",\n           ".join(
-    f"sum(CASE WHEN substr(md5(tok), {j + 1}, 1) IN "
-    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".format(j=j)
+    f"sum(CASE WHEN ((strpos('0123456789abcdef', "
+    f"substr(md5(tok), {j // 4 + 1}, 1)) - 1) >> {3 - j % 4}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS s{j}"
     for j in range(SIMHASH_BITS)
 )
 _SIM_BITS = " || ".join(
@@ -868,7 +879,8 @@ def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS cosine
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.2
+    SELECT vec_a, vec_b, round(cosine, 9) AS cosine
+    FROM scored WHERE round(cosine, 9) >= 0.2
     """,
     survey="north-star dedup: embedding-cosine near-dup (label-blocked pairwise, "
     "per-block BLAS gemm kernel)",
@@ -998,8 +1010,35 @@ def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "m02_decode_stub",
-    None,  # mapInPandas decode path: rows-only check (no SQL equivalent)
-    survey="north-star multimodal: mapInPandas decode plumbing (stubbed codec)",
+    """
+    WITH d AS (
+      SELECT doc_id, encode(text) AS p FROM documents),
+    h AS (
+      SELECT doc_id, octet_length(p) AS n,
+             substr(lower(hex(p)), 1, 512) AS hx
+      FROM d),
+    luma AS (
+      SELECT doc_id, n,
+             sum((strpos('0123456789abcdef', substr(hx, 2*u.i-1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 2*u.i,   1)) - 1))
+               AS byte_sum
+      FROM h, LATERAL (SELECT unnest(generate_series(1, least(n, 256)))
+                       AS i) u
+      WHERE n > 0
+      GROUP BY doc_id, n)
+    SELECT h.doc_id, CAST(h.n AS INT) AS n_bytes,
+           CAST(greatest(1, h.n % 64) AS INT) AS width,
+           CAST(greatest(1, (h.n // 64) % 64) AS INT) AS height,
+           (CAST(l.byte_sum AS DOUBLE) / greatest(1, least(h.n, 256)))
+             / 255.0 AS mean_luma
+    FROM h LEFT JOIN luma l USING (doc_id)
+    """,
+    survey="north-star multimodal: mapInPandas decode plumbing — the "
+    "deterministic stub codec (dimensions from byte length, luminance "
+    "from the first-256-byte mean) is reproduced relationally from hex "
+    "nibbles, so the WHOLE distributed decode path (Arrow batching, "
+    "NULL-payload handling, schema contract) is oracle-checked; a real "
+    "PIL/ffmpeg codec drops into the same harness unchecked by SQL",
 )
 def m02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_images
@@ -1108,7 +1147,7 @@ def p02_cycler_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS window_start_us,
            event_type,
            count(*) AS n_events,
-           sum(value) AS sum_value
+           round(sum(value), 6) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1131,14 +1170,15 @@ def st01_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("window_start")).alias("window_start_us"),
         "event_type",
         "n_events",
-        "sum_value",
+        F.round("sum_value", 6).alias("sum_value"),
     )
 
 
 @_register(
     "st02_stream_static_join",
     """
-    SELECT c.c_mktsegment, count(*) AS n_events, sum(e.value) AS sum_value
+    SELECT c.c_mktsegment, count(*) AS n_events,
+           round(sum(e.value), 6) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -1158,7 +1198,8 @@ def st02_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     rolled = stream_segment_rollup(read_events_stream(spark, sf_dir), cust)
-    return run_stream_to_memory(rolled, output_mode="complete")
+    out = run_stream_to_memory(rolled, output_mode="complete")
+    return out.withColumn("sum_value", F.round("sum_value", 6))
 
 
 @_register(
@@ -1457,25 +1498,41 @@ def d09_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(docs, max_hamming=3, n_bands=4)
 
 
-def _d09_oracle() -> str:
+def _d09_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4) -> str:
+    """Pigeonhole band join over the ``bits``-wide fingerprint, hamming
+    refined via 32-bit fingerprint words (matches the Spark plan — no
+    signed-int64 overflow at any width)."""
     sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
-    val = " + ".join(
-        f"(CASE WHEN substr(simhash_bits, {j + 1}, 1) = '1' "
-        f"THEN {1 << (15 - j)} ELSE 0 END)"
-        for j in range(16)
+    band_w = bits // n_bands
+    n_words = (bits + 31) // 32
+    word_exprs = []
+    for i in range(n_words):
+        w = min(32, bits - i * 32)
+        val = " + ".join(
+            f"(CASE WHEN substr(simhash_bits, {i * 32 + j + 1}, 1) = '1' "
+            f"THEN {1 << (w - 1 - j)} ELSE 0 END)"
+            for j in range(w)
+        )
+        word_exprs.append(f"({val}) AS w{i}")
+    words_sel = ", ".join(word_exprs)
+    wcols = ", ".join(f"w{i}" for i in range(n_words))
+    wcols_ab = ", ".join(
+        f"a.w{i} AS w{i}a, b2.w{i} AS w{i}b" for i in range(n_words)
     )
+    ham = " + ".join(f"bit_count(xor(w{i}a, w{i}b))" for i in range(n_words))
     return f"""
     WITH sh AS ({sh_sql}),
-    v AS (SELECT doc_id, simhash_bits, {val} AS iv FROM sh),
-    b AS (SELECT doc_id, iv, u.j, substr(simhash_bits, u.j * 4 + 1, 4) AS band
-          FROM v, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) u),
+    v AS (SELECT doc_id, simhash_bits, {words_sel} FROM sh),
+    b AS (SELECT doc_id, {wcols}, u.j,
+                 substr(simhash_bits, u.j * {band_w} + 1, {band_w}) AS band
+          FROM v, LATERAL (SELECT unnest(generate_series(0, {n_bands - 1}))
+                           AS j) u),
     cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-                      a.iv AS va, b2.iv AS vb
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, {wcols_ab}
       FROM b a JOIN b b2 ON a.j = b2.j AND a.band = b2.band
                         AND a.doc_id < b2.doc_id)
-    SELECT doc_a, doc_b, bit_count(xor(va, vb)) AS hamming
-    FROM cand WHERE bit_count(xor(va, vb)) <= 3
+    SELECT doc_a, doc_b, {ham} AS hamming
+    FROM cand WHERE {ham} <= 3
     """
 
 
@@ -1695,7 +1752,8 @@ def e04_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf DESC, term ASC) AS rank
       FROM scored)
-    SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+    SELECT doc_id, term, tf, df, round(tfidf, 9) AS tfidf, rank
+    FROM ranked WHERE rank <= 3
     """,
     survey="north-star text: TF-IDF top-k terms per doc (explode + two keyed "
     "aggs + broadcast scalar N + window top-k, codegen end to end)",
@@ -1704,7 +1762,9 @@ def t05_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import tfidf_top_terms
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return tfidf_top_terms(docs, k=3)
+    # score ∈ O(1): round(,9) absorbs libm/association ulp noise while
+    # the ranking runs on the raw score (term gaps dwarf the noise)
+    return tfidf_top_terms(docs, k=3).withColumn("tfidf", F.round("tfidf", 9))
 
 
 @_register(
@@ -1872,7 +1932,7 @@ def j01_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           sum(c_acctbal) AS sum_acctbal
+           round(sum(c_acctbal), 6) AS sum_acctbal
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -1896,7 +1956,9 @@ def j02_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("c_acctbal").alias("sum_acctbal"),
+            # 2dp addends → sum on the 1e-2 grid; round(,6) absorbs
+            # summation-order ulp noise identically on both engines
+            F.round(F.sum("c_acctbal"), 6).alias("sum_acctbal"),
         )
     )
 
@@ -2112,7 +2174,7 @@ def w05_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
-           sum(value) AS sum_value
+           round(sum(value), 6) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -2131,7 +2193,9 @@ def a14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum("value").alias("sum_value"),
+        # value has 2 intrinsic decimals → grid-aligned round absorbs
+        # summation-order noise identically on both engines
+        F.round(F.sum("value"), 6).alias("sum_value"),
     )
 
 
@@ -2140,7 +2204,7 @@ def a14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(props->>'k' AS BIGINT)) AS max_k
     FROM events
     WHERE CAST(props->>'k' AS BIGINT) IS NOT NULL
@@ -2251,14 +2315,15 @@ def t06_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine DESC, neighbor_id ASC)
                   AS rank
       FROM scored)
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 3
+    SELECT query_id, neighbor_id, round(cosine, 9) AS cosine, rank
+    FROM ranked WHERE rank <= 3
     """,
     survey="north-star similarity: exact k-NN JOIN (batch of queries × "
     "corpus, broadcast probe side, per-query window top-k) — the "
     "multi-query companion to s01's single-probe top-k",
-    note="DuckDB list_dot_product folds in the same order as Spark's "
-    "aggregate/zip_with fold; norms factor per side, so cosine is "
-    "bit-comparable under the hash tolerance.",
+    note="ranking runs on the raw cosine (gaps between distinct vectors "
+    "dwarf gemm-vs-fold ulp noise); the emitted score is round(,9) on "
+    "both sides so the hash is partition-layout independent.",
 )
 def s04_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 nearest label≠0 neighbors for every label-0 vector — the gemm
@@ -2268,11 +2333,12 @@ def s04_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import knn_join_blas
 
     (emb,) = _ctx(spark, sf_dir, "embeddings")
-    return knn_join_blas(
+    out = knn_join_blas(
         emb.filter(F.col("label") == 0),
         emb.filter(F.col("label") != 0),
         k=3,
     )
+    return out.withColumn("cosine", F.round("cosine", 9))
 
 
 @_register(
@@ -2408,24 +2474,75 @@ def a15_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a16_stats_agg",
     """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(l_quantity * l_extendedprice, 4)
+                  AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(round(l_quantity * l_quantity, 4)
+                  AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 4)
+                  AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           corr(l_quantity, l_extendedprice)       AS corr_qty_price,
-           covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
-           stddev_samp(l_quantity)                 AS sd_qty,
-           var_samp(l_extendedprice)               AS var_price
-    FROM lineitem GROUP BY l_returnflag
+           round((sxy - sx * sy / n)
+             / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12)
+             AS corr_qty_price,
+           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
+           (syy - sy * sy / n) / (n - 1) AS var_price
+    FROM m
     """,
     survey="A-family extension: statistical aggregates (corr / covar_samp / "
-    "stddev_samp / var_samp) — single-pass mergeable moment sketches, "
-    "cross-engine agreement ~1e-15 (verified), map-side partials",
+    "stddev_samp / var_samp) from mergeable moments — the moments are "
+    "summed in DECIMAL(38,6) (exact, associative, so partition-layout and "
+    "engine independent: the per-row doubles are IEEE-identical on both "
+    "engines, the decimal sum has no order sensitivity), then combined "
+    "with one shared closed form; map-side partials throughout",
 )
 def a16_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr/covar/stddev/var per return flag via exact decimal moments.
+
+    The built-in single-pass moment sketches (F.corr &c) accumulate in
+    doubles, so their last ulp depends on partition layout — fine for
+    analytics, fatal for a tolerance-free cross-engine hash. Decimal
+    moments cost one extra expression per column and are bit-stable."""
     (li,) = _ctx(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
-        F.stddev_samp("l_quantity").alias("sd_qty"),
-        F.var_samp("l_extendedprice").alias("var_price"),
+
+    # round at the data's INTRINSIC decimal count (quantity integer,
+    # price 2dp → every product ≤ 4dp) before the decimal cast: the
+    # per-row doubles sit within ~ulp of the 1e-4 grid and never near a
+    # rounding boundary, so both engines quantize to the same exact
+    # decimal; the decimal sum is then exact and associative
+    def mom(c):
+        return F.sum(F.round(c, 4).cast("decimal(38,4)")).cast("double")
+
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        mom(F.col("l_quantity")).alias("sx"),
+        mom(F.col("l_extendedprice")).alias("sy"),
+        mom(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        mom(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        mom(F.col("l_extendedprice") * F.col("l_extendedprice")).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        # |corr| ≤ 1: round(,12) absorbs the ≤ few-ulp disagreement the
+        # two engines' decimal→double conversion chains leave behind
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            12,
+        ).alias("corr_qty_price"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("sd_qty"),
+        ((syy - sy * sy / n) / (n - 1)).alias("var_price"),
     )
 
 
@@ -2590,7 +2707,7 @@ def o06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j05_correlated_avg",
     """
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT round(sum(l_extendedprice), 6) / 7.0 AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
       AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -2618,14 +2735,20 @@ def j05_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.select("l_extendedprice", "l_quantity", thr)
         .filter(F.col("l_quantity") < F.col("_thr"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg(
+            # grid-aligned round before the /7 division: the rounded
+            # sums are bit-identical across engines, and IEEE division
+            # of identical doubles is deterministic
+            (F.round(F.sum("l_extendedprice"), 6) / 7.0).alias("avg_yearly")
+        )
     )
 
 
 @_register(
     "j06_disjunctive_join",
     """
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           count(*) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -2657,7 +2780,9 @@ def j06_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
     )
     return j.filter(cond).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2786,7 +2911,7 @@ def st04_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent AS (
       SELECT doc_id, n, hx,
              sum(byte * c)::DOUBLE / n AS mean_byte,
-             -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS entropy
+             round(-sum((c::DOUBLE / n) * log2(c::DOUBLE / n)), 8) AS entropy
       FROM hist GROUP BY doc_id, n, hx)
     SELECT d.doc_id, coalesce(e.n, 0) AS n_bytes, e.mean_byte, e.entropy,
            substr(e.hx, 1, 8) AS magic_hex
@@ -2803,7 +2928,11 @@ def m04_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import byte_features, with_fake_payload
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return byte_features(with_fake_payload(docs))
+    # entropy ≤ 8 bits: round(,8) absorbs histogram summation-order ulp
+    # noise (mean_byte is an integer sum / n — already deterministic)
+    return byte_features(with_fake_payload(docs)).withColumn(
+        "entropy", F.round("entropy", 8)
+    )
 
 
 @_register(
@@ -2911,7 +3040,7 @@ def o07_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j08_salted_skew_agg",
     """
-    SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
            min(value) AS min_value, max(value) AS max_value
     FROM events GROUP BY event_type
     """,
@@ -2939,7 +3068,14 @@ def j08_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_value": F.min("value"),
             "max_value": F.max("value"),
         },
-    ).select("event_type", "n", "sum_value", "min_value", "max_value")
+    ).select(
+        "event_type",
+        "n",
+        # rounded after the two-phase combine (2dp addends → 1e-2 grid)
+        F.round("sum_value", 6).alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
 
 
 @_register(
@@ -3267,10 +3403,10 @@ def a18_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a19_priority_counts",
     """
     SELECT l.l_returnflag,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
@@ -3482,13 +3618,14 @@ def t09_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     acc AS (
       SELECT user_id, event_id, ts_us, value, i,
-             sum(value * pow(0.8, -i)) OVER (PARTITION BY user_id ORDER BY i
-               ROWS UNBOUNDED PRECEDING) AS s,
+             CAST(sum(CAST(value * pow(0.8, -i) AS DECIMAL(38,12)))
+               OVER (PARTITION BY user_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s,
              first_value(value) OVER (PARTITION BY user_id ORDER BY i
                ROWS UNBOUNDED PRECEDING) AS x0
       FROM ord)
     SELECT user_id, event_id, ts_us, value,
-           pow(0.8, i) * (0.2 * s + 0.8 * x0) AS ewma
+           round(pow(0.8, i) * (0.2 * s + 0.8 * x0), 6) AS ewma
     FROM acc
     """,
     survey="extension: per-key EWMA in event-time order (pandas "
@@ -3527,9 +3664,11 @@ def e05_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ORDER BY t, delta) AS nxt
       FROM pts)
     SELECT event_type,
-           max(conc) AS max_concurrency,
-           sum(CASE WHEN conc > 0 THEN nxt - t ELSE 0 END) AS covered_us,
-           sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_intervals
+           CAST(max(conc) AS BIGINT) AS max_concurrency,
+           CAST(sum(CASE WHEN conc > 0 THEN nxt - t ELSE 0 END) AS BIGINT)
+             AS covered_us,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_intervals
     FROM sw GROUP BY event_type
     """,
     survey="extension: sweep-line interval overlap (max concurrency + "
@@ -3680,7 +3819,7 @@ def o09_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ch)
     SELECT doc_id,
            count(*) AS n_chunks,
-           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0 THEN
              length(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                                ORDER BY chunk_idx))
@@ -3767,7 +3906,7 @@ def st06_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            year(l.l_shipdate) AS ship_year,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS volume,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS volume,
            count(*) AS n
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -3814,13 +3953,16 @@ def q07_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
     ).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("volume"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 _G01_ITER = 3
 _G01_D = 0.85
+_G01_BASE = 0.15  # teleport mass; keep as a literal (see agg comment)
 
 
 def _g01_edges_sql() -> str:
@@ -3841,15 +3983,24 @@ def _g01_edges_sql() -> str:
     WITH {edges},
     r0 AS (SELECT v, 1.0 AS pr FROM verts),
     r1 AS (
-      SELECT g.dst AS v, 0.15 + 0.85 * sum(r0.pr / deg.outdeg) AS pr
+      SELECT g.dst AS v,
+             0.15 + 0.85 * (CAST(sum(CAST(floor(r0.pr / deg.outdeg
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0) AS pr
       FROM g JOIN r0 ON r0.v = g.src JOIN deg ON deg.src = g.src
       GROUP BY g.dst),
     r2 AS (
-      SELECT g.dst AS v, 0.15 + 0.85 * sum(r1.pr / deg.outdeg) AS pr
+      SELECT g.dst AS v,
+             0.15 + 0.85 * (CAST(sum(CAST(floor(r1.pr / deg.outdeg
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0) AS pr
       FROM g JOIN r1 ON r1.v = g.src JOIN deg ON deg.src = g.src
       GROUP BY g.dst),
     r3 AS (
-      SELECT g.dst AS v, 0.15 + 0.85 * sum(r2.pr / deg.outdeg) AS pr
+      SELECT g.dst AS v,
+             0.15 + 0.85 * (CAST(sum(CAST(floor(r2.pr / deg.outdeg
+               * 1000000000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1000000000000.0) AS pr
       FROM g JOIN r2 ON r2.v = g.src JOIN deg ON deg.src = g.src
       GROUP BY g.dst)
     SELECT v AS node, pr FROM r3
@@ -3890,13 +4041,37 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("_v"))
             .agg(
                 (
-                    F.lit(1 - _G01_D)
-                    + F.lit(_G01_D) * F.sum(F.col("pr") / F.col("outdeg"))
+                    # literal 0.15, NOT python `1 - 0.85` (which is
+                    # 0.15000000000000002 — one ulp off the SQL literal)
+                    F.lit(_G01_BASE)
+                    + F.lit(_G01_D)
+                    # pure-double fixed-point: quantize each pr/outdeg
+                    # contribution to integer pico-units with
+                    # floor(x*1e12 + 0.5) — multiply, add, floor are all
+                    # IEEE-deterministic, so both engines derive the
+                    # SAME int64 (unlike round()/decimal casts, whose
+                    # tie-breaking differs across engines) — then the
+                    # integer sum is exact and associative: bit-stable
+                    # under any partition layout, any engine
+                    * (
+                        F.sum(
+                            F.floor(
+                                F.col("pr") / F.col("outdeg") * 1e12 + 0.5
+                            ).cast("long")
+                        ).cast("double")
+                        / 1e12
+                    )
                 ).alias("pr")
             )
             .withColumnRenamed("_v", "v")
         )
-    return ranks.select(F.col("v").alias("node"), "pr")
+    out = ranks.select(F.col("v").alias("node"), "pr")
+    # materialize the final ranks, then release the iteration input —
+    # otherwise the persist pins executor storage for the rest of the
+    # session (it taxed every later query in the r02 bench)
+    out = out.localCheckpoint(eager=True)
+    ge.unpersist()
+    return out
 
 
 @_register(
@@ -4081,7 +4256,8 @@ def e07_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, doc_id, n_chars,
              CAST(floor(prior / 4000.0) AS BIGINT) AS bin_id
       FROM f)
-    SELECT source, bin_id, count(*) AS n_files, sum(n_chars) AS bytes,
+    SELECT source, bin_id, count(*) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bytes,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM b GROUP BY source, bin_id
     """,
@@ -4313,8 +4489,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_product_profit",
     """
     SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
-           sum(l.l_extendedprice * (1 - l.l_discount)
-               - 0.01 * p.p_retailprice * l.l_quantity) AS profit
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+               - 0.01 * p.p_retailprice * l.l_quantity), 6) AS profit
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN part p     ON p.p_partkey = l.l_partkey
@@ -4348,7 +4524,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return j.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
-    ).agg(F.sum(profit).alias("profit"))
+    ).agg(F.round(F.sum(profit), 6).alias("profit"))
 
 
 @_register(
@@ -4404,7 +4580,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
     n AS (SELECT count(*)::DOUBLE AS total FROM toks)
     SELECT t.doc_id, count(*) AS n_tokens,
-           avg(-ln(v.cnt / n.total)) AS score_neglogp
+           round(avg(-ln(v.cnt / n.total)), 9) AS score_neglogp
     FROM toks t JOIN vocab v ON v.tok = t.tok CROSS JOIN n
     GROUP BY t.doc_id
     """,
@@ -4434,7 +4610,10 @@ def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("score_neglogp"),
+            # score ∈ O(1-10): round(,9) absorbs summation-order noise
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.col("total"))), 9
+            ).alias("score_neglogp"),
         )
     )
 
@@ -4444,7 +4623,7 @@ def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_part('week', ts) AS iso_week,
            date_part('dow', ts) + 1 AS dow,
-           count(*) AS n, sum(value) AS sum_value
+           count(*) AS n, round(sum(value), 6) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     survey="C-family extension: calendar-hierarchy rollup (ISO week × "
@@ -4458,7 +4637,10 @@ def c14_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         F.weekofyear("ts").cast("bigint").alias("iso_week"),
         F.dayofweek("ts").cast("bigint").alias("dow"),
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
 
 
 @_register(
@@ -4484,7 +4666,8 @@ def c14_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dis
       WINDOW win AS (PARTITION BY cell_id, cycle_index ORDER BY t))
     SELECT cell_id, cycle_index,
-           CASE WHEN count(*) >= 2 THEN abs(sum(s)) / 3600.0 END AS E_dis_Wh,
+           CASE WHEN count(*) >= 2
+                THEN round(abs(sum(s)) / 3600.0, 6) END AS E_dis_Wh,
            count(*) AS n_points
     FROM seg GROUP BY cell_id, cycle_index
     """,
@@ -4704,7 +4887,7 @@ def src02_csv_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, count(*) AS n
       FROM events GROUP BY user_id, event_type)
     SELECT user_id, event_type, n,
-           sum(n) OVER (PARTITION BY user_id) AS user_total
+           CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS user_total
     FROM pairs
     """,
     survey="C-family extension: MapType column surface — per-user counts "
@@ -4829,7 +5012,7 @@ def u04_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "st08_stream_incremental_agg",
     """
-    SELECT event_type, count(*) AS n, sum(value) AS sum_value
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
     FROM events GROUP BY event_type
     """,
     survey="streaming: incremental aggregate maintenance (foreachBatch "
@@ -4859,7 +5042,11 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_stream_agg_snapshot(stream, snap, key="event_type", agg_cols={"value": "sum"})
     return spark.read.parquet(snap).select(
-        "event_type", "n", F.col("sum_value").alias("sum_value")
+        "event_type",
+        "n",
+        # grid-aligned round (2dp addends) absorbs the micro-batch
+        # partial-merge accumulation-order noise
+        F.round(F.col("sum_value"), 6).alias("sum_value"),
     )
 
 
@@ -4958,8 +5145,9 @@ def e08_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) AS n_new
       FROM firsts GROUP BY 1)
     SELECT day_us, n_new,
-           sum(n_new) OVER (ORDER BY day_us
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_cum
+           CAST(sum(n_new) OVER (ORDER BY day_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_cum
     FROM days
     """,
     survey="extension: running distinct count (cumulative unique users "
@@ -5096,8 +5284,8 @@ def s06_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type)
     SELECT e.event_type,
            count(*) AS n,
-           sum(CASE WHEN e.value < q.p05 OR e.value > q.p95
-                    THEN 1 ELSE 0 END) AS n_clipped,
+           CAST(sum(CASE WHEN e.value < q.p05 OR e.value > q.p95
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
            avg(CASE WHEN e.value < q.p05 THEN q.p05
                     WHEN e.value > q.p95 THEN q.p95
                     ELSE e.value END) AS mean_winsorized,
@@ -5269,8 +5457,11 @@ def o14_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.user_id, p.probe_id, p.probe_us,
            (SELECT min(r.r_us) FROM readings r
             WHERE r.user_id = p.user_id AND r.r_us >= p.probe_us) AS next_us,
-           (SELECT min_by(r.next_value, r.r_us) FROM readings r
-            WHERE r.user_id = p.user_id AND r.r_us >= p.probe_us) AS next_value
+           (SELECT min(r.next_value) FROM readings r
+            WHERE r.user_id = p.user_id
+              AND r.r_us = (SELECT min(r2.r_us) FROM readings r2
+                            WHERE r2.user_id = p.user_id
+                              AND r2.r_us >= p.probe_us)) AS next_value
     FROM probes p
     """,
     survey="extension: FORWARD as-of join (earliest right row at-or-after "
@@ -5380,7 +5571,8 @@ def e13_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN (('0x' || substr(md5('s|' || tok), 1, 8))::BIGINT) % 2
                   = 0 THEN 1 ELSE -1 END AS sign
       FROM toks)
-    SELECT doc_id, feat_idx, sum(sign) AS weight, count(*) AS n_tokens
+    SELECT doc_id, feat_idx, CAST(sum(sign) AS BIGINT) AS weight,
+           count(*) AS n_tokens
     FROM hashed GROUP BY doc_id, feat_idx
     HAVING sum(sign) <> 0
     """,
@@ -5477,10 +5669,15 @@ def u05_bag_counts_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a23_scalar_pandas_udf",
     """
     WITH stats AS (
-      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      SELECT event_type,
+             round(sum(value), 6) / count(*) AS mu,
+             sqrt((round(sum(value * value), 6)
+                   - round(sum(value), 6) * round(sum(value), 6) / count(*))
+                  / (count(*) - 1)) AS sigma
       FROM events GROUP BY event_type)
     SELECT e.event_id,
-           1.0 / (1.0 + exp(-((e.value - s.mu) / s.sigma))) AS sigmoid_z
+           round(1.0 / (1.0 + exp(-((e.value - s.mu) / s.sigma))), 9)
+             AS sigmoid_z
     FROM events e JOIN stats s ON s.event_type = e.event_type
     """,
     survey="UDF-surface completion: SCALAR Arrow-vectorized pandas_udf "
@@ -5494,19 +5691,28 @@ def a23_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.pyudf import sigmoid
 
     (ev,) = _ctx(spark, sf_dir, "events")
+    # mu/sigma from grid-rounded sums (2dp data) with the same closed
+    # form as the oracle — deterministic inputs to the UDF; the output
+    # rounds at 9dp to absorb numpy-vs-libm exp() ulp differences
+    n = F.count(F.lit(1))
+    s1 = F.round(F.sum("value"), 6)
+    s2 = F.round(F.sum(F.col("value") * F.col("value")), 6)
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("sigma"),
     )
     return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
-        sigmoid((F.col("value") - F.col("mu")) / F.col("sigma")).alias("sigmoid_z"),
+        F.round(
+            sigmoid((F.col("value") - F.col("mu")) / F.col("sigma")), 9
+        ).alias("sigmoid_z"),
     )
 
 
 @_register(
     "a24_grouped_agg_pandas_udf",
     """
-    SELECT event_type, exp(avg(ln(value))) AS geo_mean
+    SELECT event_type, round(exp(avg(ln(value))), 9) AS geo_mean
     FROM events WHERE value > 0 GROUP BY event_type
     """,
     survey="UDF-surface completion: GROUPED_AGG pandas_udf (per-key "
@@ -5529,7 +5735,7 @@ def a24_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         # grouped-agg pandas UDFs cannot mix with built-in aggregates in
         # one agg (INVALID_PANDAS_UDF_PLACEMENT) — single-UDF aggregate
-        .agg(geo_mean(F.col("value")).alias("geo_mean"))
+        .agg(F.round(geo_mean(F.col("value")), 9).alias("geo_mean"))
     )
 
 
@@ -5633,7 +5839,7 @@ def a25_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.count(F.lit(1))
     return j.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50_exact"),
-        ((rank_of_approx - 0.5) < 0.01).alias("approx_in_bounds"),
+        (F.abs(rank_of_approx - 0.5) < 0.01).alias("approx_in_bounds"),
     )
 
 

@@ -10,16 +10,23 @@ Driver parquet has shipped two physical encodings across rounds:
   the long nanoseconds back JVM-side (``timestamp_micros(ns div 1000)``
   — pure integer math, no UDF, exactly DuckDB's nanos->micros
   truncation).
-- TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 default
-  (``spark.sql.parquet.inferTimestampNTZ.enabled=true``) reads these as
-  TIMESTAMP_NTZ, which integer-time functions (``unix_micros``) reject.
-  Normalize with ``to_utc_timestamp(col, 'UTC')`` — interprets the
-  stored wall-clock micros as UTC instants, i.e. the identity on the
-  underlying int64, independent of the session timezone.
+- TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 schema inference
+  (``spark.sql.parquet.inferTimestampNTZ.enabled=true``) surfaces these
+  as TIMESTAMP_NTZ, which integer-time functions (``unix_micros``) and
+  streaming watermarks reject. Normalize by *reading with an explicit
+  schema* whose NTZ fields are rewritten to TIMESTAMP (LTZ): the parquet
+  reader then decodes the stored int64 micros directly as the instant —
+  the identity on the underlying int64, genuinely independent of
+  ``spark.sql.session.timeZone`` (verified: identical ``unix_micros``
+  under UTC and America/Los_Angeles sessions). Post-read expression
+  rewrites (``to_utc_timestamp``/CAST) are NOT equivalent: Spark first
+  implicitly casts NTZ->LTZ using the *session* timezone, shifting the
+  stored micros under any non-UTC session.
 
-Both conversions are projections fused into the scan (no shuffle);
-filter pushdown / column pruning on all other columns is preserved.
-At 100 TB the same loader applies unchanged.
+The nanos conversion is a projection fused into the scan (no shuffle);
+the NTZ rewrite happens at decode time (no projection at all). Filter
+pushdown / column pruning on all other columns is preserved. At 100 TB
+the same loader applies unchanged.
 """
 
 from __future__ import annotations
@@ -28,6 +35,15 @@ import os
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    MapType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 #: tables available at every scale factor (TESTDATA.md)
 TABLE_NAMES = [
@@ -62,22 +78,49 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     return out
 
 
+def _ntz_as_ltz(dt: DataType) -> DataType:
+    """Rewrite TIMESTAMP_NTZ to TIMESTAMP (LTZ) anywhere in a type tree.
+
+    Recurses into struct/array/map so nested NTZ fields are covered too
+    (the driver tables are flat, but the loader shouldn't assume it).
+    """
+    if isinstance(dt, TimestampNTZType):
+        return TimestampType()
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _ntz_as_ltz(f.dataType), f.nullable, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_ntz_as_ltz(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _ntz_as_ltz(dt.keyType), _ntz_as_ltz(dt.valueType), dt.valueContainsNull
+        )
+    return dt
+
+
+def ntz_free_schema(spark: SparkSession, path: str) -> StructType:
+    """Inferred parquet schema with every NTZ field rewritten to LTZ.
+
+    Supplying this as the *read* schema makes the parquet decoder emit
+    the stored int64 micros as the instant — session-tz independent
+    (see module docstring). Shared by the batch and streaming loaders.
+    """
+    return _ntz_as_ltz(spark.read.parquet(path).schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table, normalizing timestamps to LTZ."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = spark.read.schema(ntz_free_schema(spark, path)).parquet(path)
     for col in _nano_timestamp_columns(path):
         # integer division keeps full µs precision (ns values overflow
         # double mantissa); truncation matches DuckDB TIMESTAMP_NS→µs.
         df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
-    for field in df.schema.fields:
-        if field.dataType.typeName() == "timestamp_ntz":
-            # stored micros ARE the instant (identity on int64); LTZ so
-            # unix_micros & friends resolve under any session
-            df = df.withColumn(
-                field.name, F.to_utc_timestamp(F.col(field.name), "UTC")
-            )
     return df
 
 

@@ -94,7 +94,16 @@ def stream_energy_trapezoid(ts: DataFrame) -> DataFrame:
             last_t, last_p, acc, n = 0.0, 0.0, 0.0, 0
         for pdf in pdfs:
             pdf = pdf.sort_values("timestamp", kind="stable")
-            ts_s = pdf["timestamp"].astype("int64").to_numpy() / 1e9
+            # exact integer µs first, THEN one float division: int64
+            # nanoseconds (~1.7e18) exceed 2^53, so ns→float64 rounds
+            # away ~100ns per sample — enough to shift every segment by
+            # ~1e-6 and diverge from any µs-based engine. µs fit in the
+            # double mantissa, and µs/1e6 is the correctly-rounded
+            # seconds value every µs-native engine computes.
+            ts_s = (
+                pdf["timestamp"].to_numpy(dtype="datetime64[us]").astype("int64")
+                / 1e6
+            )
             p = (pdf["voltage_v"] * pdf["current_a"]).to_numpy(dtype=float)
             for i in range(len(pdf)):
                 if n > 0:
@@ -102,7 +111,9 @@ def stream_energy_trapezoid(ts: DataFrame) -> DataFrame:
                 last_t, last_p = ts_s[i], p[i]
                 n += 1
         state.update((last_t, last_p, acc, n))
-        energy = abs(acc) / 3600.0 if n >= 2 else None
+        # round(,6): Wh values are O(1e2-1e3), sequential-vs-grouped
+        # summation association costs ~1e-12 — absorbed at 1e-6 grid
+        energy = round(abs(acc) / 3600.0, 6) if n >= 2 else None
         yield pd.DataFrame([(*key, energy, n)], columns=list(keys) + ["E_dis_Wh", "n_points"])
 
     dis = ts.filter(is_dis()).filter(F.col("cycle_index").isNotNull()).select(

@@ -68,19 +68,28 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Streaming scan of any driver table parquet.
 
-    Mirrors ``sources.tables.load_table``: the files store timestamps
-    as TIMESTAMP(NANOS), which Spark reads as long under
-    ``nanosAsLong`` — converted back to µs timestamps with integer
-    math fused into the scan. Accepts both single-file tables and
-    directory-layout datasets.
+    Mirrors ``sources.tables.load_table`` for both parquet timestamp
+    encodings the driver has shipped (see that module's docstring):
+
+    - TIMESTAMP(NANOS) reads as long under ``nanosAsLong`` — converted
+      back to µs timestamps with integer math fused into the scan;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) would infer as
+      TIMESTAMP_NTZ, which ``withWatermark``/``session_window`` reject —
+      the explicit read schema rewrites NTZ fields to TIMESTAMP (LTZ) so
+      the decoder emits the stored micros as the instant directly
+      (session-tz independent, no projection).
+
+    Accepts both single-file tables and directory-layout datasets.
     """
     import os
 
     import pyarrow.parquet as pq
 
+    from ..sources.tables import ntz_free_schema
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    schema = ntz_free_schema(spark, path)
     if os.path.isdir(path):
         # dataset laid out as a directory of part files: stream it directly
         df = spark.readStream.schema(schema).parquet(path)

@@ -71,6 +71,10 @@ def main() -> None:
                     ),
                 ).otherwise(F.col("text")),
             )
+            # keep the derived length column consistent with the
+            # mutated text (replicas grew by the ' replica N' suffix)
+            if "n_chars" in rep.columns:
+                rep = rep.withColumn("n_chars", F.length("text"))
         rep.drop("_replica").write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )

@@ -8,6 +8,18 @@ exit-1-on-warning automation contract.
 
 Medians are exact (``F.median``) to match pandas, per SURVEY.md §7's
 watch list — not ``percentile_approx``.
+
+SCALE BOUNDARY: this module targets the FEATURES layer — one row per
+(cell, cycle), i.e. thousands of rows per cell, millions for a whole
+fleet — never the raw sample-level timeseries. The exact ``F.median``
+and ``countDistinct`` here are TypedImperativeAggregates whose final
+merge buffers the column on a single node: perfectly fine at features
+cardinality, not a 100 TB raw-data shape. For exact quantiles over
+fact-scale data use the two-pass bucketed selection in
+``functions.stats.exact_quantiles_2pass`` (query a17's plan — no
+single-node buffer), or ``percentile_approx`` when a sketch bound is
+acceptable (a25's plan). ``tests/test_qc.py::test_qc_targets_features_layer``
+pins this contract.
 """
 
 from __future__ import annotations

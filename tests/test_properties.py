@@ -166,7 +166,10 @@ def test_ewma_bounded_by_running_extremes(spark):
     for _, g in out.groupby("user_id"):
         run_min = g["value"].cummin()
         run_max = g["value"].cummax()
-        assert ((g["ewma"] >= run_min - 1e-9) & (g["ewma"] <= run_max + 1e-9)).all()
+        # tolerance 1e-6: ewma emits on a 1e-6 grid (cross-engine
+        # stability rounding, functions/events.py), so a value equal to
+        # the running extreme may sit up to half a grid step outside it
+        assert ((g["ewma"] >= run_min - 1e-6) & (g["ewma"] <= run_max + 1e-6)).all()
 
 
 def test_interval_coverage_bounds(spark):

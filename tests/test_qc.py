@@ -59,3 +59,32 @@ def test_qc_missing_optional_columns(spark):
         _clean_features()[["cycle_index", "Q_dis_Ah", "Q_chg_Ah", "CE", "q_norm"]]
     )
     assert qc_checks(df).passed
+
+
+def test_qc_targets_features_layer(spark):
+    """Scale-boundary contract (operators/qc.py module docstring): the
+    QC aggregate consumes the per-cycle FEATURES schema — where its
+    exact-median / countDistinct single-merge shape is safe — and the
+    full pipeline wires it to exactly that layer. Exact quantiles over
+    raw fact-scale data go through the two-pass bucketed selection
+    instead (functions.stats.exact_quantiles_2pass, query a17)."""
+    from mxene_coin_cell_data_pipeline_spark.operators.features import (
+        full_feature_pipeline,
+    )
+    from mxene_coin_cell_data_pipeline_spark.operators.normalize import (
+        normalize_cycler,
+    )
+    from tests.fixtures import arbin_frame
+
+    ts = spark.createDataFrame(arbin_frame(n_cycles=3))
+    features = full_feature_pipeline(normalize_cycler(ts), rated_ah=2.0)
+    # the features layer is per-cycle — QC input cardinality is bounded
+    # by cycle count, not sample count
+    assert features.count() <= 3
+    res = qc_checks(features)
+    assert res.exit_code in (0, 1)  # runs end-to-end on this layer
+    # and the boundary is documented where the medians live
+    import mxene_coin_cell_data_pipeline_spark.operators.qc as qc_mod
+
+    assert "SCALE BOUNDARY" in qc_mod.__doc__
+    assert "exact_quantiles_2pass" in qc_mod.__doc__

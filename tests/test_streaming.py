@@ -109,7 +109,10 @@ def test_stream_energy_stateful_matches_batch(spark, feed_dir, batch_ts):
         if want is None or (isinstance(want, float) and math.isnan(want)):
             assert got is None or math.isnan(got)
         else:
-            assert got == pytest.approx(want, abs=1e-12)
+            # the stateful stream emits on a 1e-6 grid (cross-engine
+            # stability rounding, streaming/features.py); the batch
+            # trapezoid is unrounded — equal to within half a grid step
+            assert got == pytest.approx(want, abs=5e-7)
 
 
 def test_windowed_event_rollup_matches_batch(spark, sf_dir):

@@ -9,7 +9,7 @@ fingerprints and shingles agree across the engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 TOKEN_RE = "[a-z0-9]+"
 
@@ -370,4 +370,104 @@ def redact_pii(
         *counts,
         F.length(red).alias("redacted_len"),
         F.md5(red).alias("redacted_fp"),
+    )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 5,
+) -> DataFrame:
+    """C4/CCNet-style curation funnel in one pass: language filter →
+    quality filter → length filter → exact near-dup (normalized-token
+    fingerprint, keep-first), emitting every document with the FIRST
+    stage that dropped it (``kept`` for survivors) — the per-doc audit
+    trail a training-data pipeline keeps so filters can be tuned
+    without re-running upstream stages.
+
+    Scale shape: every stage is row-local (regexp + arithmetic in one
+    projection, ONE scan — not a join of the four standalone
+    operators); the only shuffle is the keep-first ranking over the
+    fingerprint, and only documents surviving the cheap filters enter
+    it — so the exchange shrinks with filter selectivity, exactly how
+    production curation orders its stages (cheap row-local screens
+    before the expensive global dedup).
+    """
+    # NULL text is an empty document, NOT Spark's size(NULL) = -1
+    # (which would leak engine-specific NULL semantics into the stage
+    # decision — DuckDB keeps NULL through the same expressions)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = tokenize(txt)
+    n_tokens = F.size(toks)
+    n_chars = F.length(txt).cast("double")
+    stop_re = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(txt), F.lit(stop_re), 0)
+    ).cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(txt, F.lit(r"[.,;:!?]"), 0)
+    ).cast("double")
+    stop_ratio = F.when(n_tokens.cast("double") > 0, n_stop / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    quality = 0.5 * len_score + 0.3 * (1.0 - punct_ratio) + 0.2 * stop_ratio
+
+    lowered = F.lower(txt)
+    hits = {
+        lg: F.size(
+            F.regexp_extract_all(lowered, F.lit(r"\b(" + "|".join(w) + r")\b"), 0)
+        )
+        for lg, w in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    guess = F.when(best == 0, F.lit("und"))
+    for lg in LANG_MARKERS:  # insertion order = tie priority
+        guess = guess.when(hits[lg] == best, F.lit(lg))
+
+    base = docs.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        n_tokens.alias("n_tokens"),
+        # quality is deterministic per row (one IEEE expression over
+        # exact counts) so the threshold compare needs no tolerance;
+        # the EMITTED column rounds at 9dp for cross-engine hashing
+        quality.alias("_q"),
+        F.md5(F.array_join(toks, " ")).alias("_fp"),
+    )
+    survivor = (
+        (F.col("lang_guess") == lang)
+        & (F.col("_q") >= min_quality)
+        & (F.col("n_tokens") >= min_tokens)
+    )
+    # rank ONLY survivor rows (dedup competes among documents that
+    # passed the cheap filters — the filtered exchange is the point),
+    # then join the rank back onto the full audit set
+    w = Window.partitionBy("_fp").orderBy("doc_id")
+    ranked = (
+        base.filter(survivor)
+        .select(
+            "doc_id",
+            F.row_number().over(w).alias("_rn"),
+            F.first("doc_id").over(w).alias("_keeper"),
+        )
+        .join(base, "doc_id", "right")
+    )
+    stage = (
+        F.when(F.col("lang_guess") != lang, F.lit("lang"))
+        .when(F.col("_q") < min_quality, F.lit("quality"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("length"))
+        .when(F.col("_rn") > 1, F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+    )
+    return ranked.select(
+        "doc_id",
+        "lang_guess",
+        "n_tokens",
+        F.round(F.col("_q"), 9).alias("quality"),
+        stage.alias("stage"),
+        F.when(F.col("_rn") > 1, F.col("_keeper")).alias("kept_as"),
     )

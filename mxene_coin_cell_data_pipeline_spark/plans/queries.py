@@ -50,9 +50,17 @@ def _ctx(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load tables (nanos-compat parquet read; see sources/tables.py).
 
     Pure with respect to session state: query functions never mutate
-    session conf (timezone etc.) — all registered expressions are
-    timezone-independent (integer ``unix_micros`` arithmetic) or align
-    with the driver's UTC session by construction.
+    session conf (timezone etc.). The LOADERS are session-timezone
+    independent (verified: tests/test_timezone_independence.py and a
+    full driver_check sweep). Registered expressions fall in two
+    classes: most use integer ``unix_micros`` arithmetic and are
+    timezone-independent outright; 14 use calendar functions or
+    timestamp literals (year/weekofyear/date_trunc, ``lit(date).cast``)
+    whose SQL-standard semantics are session-zone-relative on BOTH
+    engines — those align with the engine's pinned UTC session
+    (session.py) and the driver's UTC session by construction
+    (measured boundary: a full sweep under America/New_York fails
+    exactly those 14 and nothing else).
     """
     return [load_table(spark, sf_dir, n) for n in names]
 
@@ -5999,3 +6007,84 @@ def t12_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("tok").alias("n_ab_tokens"), F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@_register(
+    "t13_curation_funnel",
+    None,  # filled below from LANG_MARKERS
+    survey="north-star capstone: C4/CCNet-style curation funnel — "
+    "langID -> quality -> length -> exact dedup composed in ONE scan "
+    "plus one survivor-only fingerprint shuffle, emitting every doc "
+    "with the first stage that dropped it (and its keeper when the "
+    "stage is 'duplicate') — the per-doc audit trail that lets filter "
+    "thresholds be tuned without re-running upstream stages; cheap "
+    "row-local screens run before the global dedup exchange, so the "
+    "shuffle shrinks with filter selectivity (the production stage "
+    "ordering at corpus scale)",
+)
+def t13_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdicts over the documents corpus."""
+    from ..functions.text import curation_funnel
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return curation_funnel(docs)
+
+
+def _t13_oracle() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    hit_cols = ",\n             ".join(
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(words)
+        + ")\\b')) AS hits_" + lang
+        for lang, words in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    guess = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lg in langs:  # insertion order = tie priority, matches Spark
+        guess += f"WHEN hits_{lg} = {best} THEN '{lg}' "
+    guess += "END"
+    en_re = "\\b(" + "|".join(LANG_MARKERS["en"]) + ")\\b"
+    return f"""
+    WITH src AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    base AS (
+      SELECT doc_id,
+             {hit_cols},
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text), '{en_re}')) AS DOUBLE)
+               AS n_stop,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+               AS n_punct,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             md5(array_to_string(
+               regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+      FROM src),
+    scored AS (
+      SELECT doc_id, n_tokens, fp, {guess} AS lang_guess,
+             0.5 * least(n_chars / 500.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                 ELSE 0.0 END)
+             + 0.2 * (CASE WHEN n_tokens > 0
+                           THEN n_stop / CAST(n_tokens AS DOUBLE)
+                           ELSE 0.0 END) AS q
+      FROM base),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+             min(doc_id) OVER (PARTITION BY fp) AS keeper
+      FROM scored
+      WHERE lang_guess = 'en' AND q >= 0.5 AND n_tokens >= 5)
+    SELECT s.doc_id, s.lang_guess, s.n_tokens, round(s.q, 9) AS quality,
+           CASE WHEN s.lang_guess <> 'en' THEN 'lang'
+                WHEN s.q < 0.5 THEN 'quality'
+                WHEN s.n_tokens < 5 THEN 'length'
+                WHEN r.rn > 1 THEN 'duplicate'
+                ELSE 'kept' END AS stage,
+           CASE WHEN r.rn > 1 THEN r.keeper END AS kept_as
+    FROM scored s LEFT JOIN ranked r ON r.doc_id = s.doc_id
+    """
+
+
+QUERIES["t13_curation_funnel"].oracle = _t13_oracle()

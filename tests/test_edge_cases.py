@@ -633,3 +633,34 @@ def test_gaps_islands_shapes(spark):
     )
     got = sorted(map(tuple, islands.collect()))
     assert got == [(1, 3, 3), (7, 8, 2), (20, 20, 1)]
+
+
+def test_curation_funnel_stages(spark):
+    """Each funnel stage fires in order; duplicates point at their
+    keeper; non-survivors never enter the dedup ranking."""
+    from mxene_coin_cell_data_pipeline_spark.functions.text import curation_funnel
+
+    good = (
+        "the project is moving to completion and it is clear that the "
+        "design of the engine is sound in that it scales to the volume"
+    )
+    rows = [
+        (1, good),                      # kept (keeper of fp group)
+        (2, good),                      # duplicate of 1 (same tokens)
+        (3, "el la de que los las una por el la de que los las"),  # lang
+        (4, "the and of to is in that it"),  # quality: 8 tokens but short
+        (5, None),                      # null text -> und -> lang
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in curation_funnel(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["stage"] == "kept" and out[1]["kept_as"] is None
+    assert out[2]["stage"] == "duplicate" and out[2]["kept_as"] == 1
+    assert out[3]["stage"] == "lang"
+    assert out[5]["stage"] == "lang" and out[5]["lang_guess"] in ("und", None)
+    # doc 4 is english and >=5 tokens but too short for quality 0.5
+    assert out[4]["stage"] in ("quality", "kept")  # guard: must not be dup
+    assert out[4]["kept_as"] is None

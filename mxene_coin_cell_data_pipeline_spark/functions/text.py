@@ -444,17 +444,23 @@ def curation_funnel(
         & (F.col("n_tokens") >= min_tokens)
     )
     # rank ONLY survivor rows (dedup competes among documents that
-    # passed the cheap filters — the filtered exchange is the point),
-    # then join the rank back onto the full audit set
-    w = Window.partitionBy("_fp").orderBy("doc_id")
-    ranked = (
-        base.filter(survivor)
-        .select(
-            "doc_id",
-            F.row_number().over(w).alias("_rn"),
-            F.first("doc_id").over(w).alias("_keeper"),
-        )
-        .join(base, "doc_id", "right")
+    # passed the cheap filters) WITHOUT a second scan: the survivor
+    # rank is a conditional running count over the fingerprint bucket,
+    # and the keeper is the bucket's min survivor id — one scan, one
+    # fp exchange, two window frames sharing the same sort. (The
+    # filter-then-self-join alternative shuffles fewer rows but scans
+    # the corpus twice — at 100 TB one scan wins.)
+    w_ord = (
+        Window.partitionBy("_fp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("_fp")
+    surv_one = F.when(survivor, 1).otherwise(0)
+    ranked = base.select(
+        "*",
+        F.when(survivor, F.sum(surv_one).over(w_ord)).alias("_rn"),
+        F.min(F.when(survivor, F.col("doc_id"))).over(w_all).alias("_keeper"),
     )
     stage = (
         F.when(F.col("lang_guess") != lang, F.lit("lang"))

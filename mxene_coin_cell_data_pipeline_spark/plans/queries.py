@@ -6071,19 +6071,23 @@ def _t13_oracle() -> str:
                            ELSE 0.0 END) AS q
       FROM base),
     ranked AS (
-      SELECT doc_id,
-             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
-             min(doc_id) OVER (PARTITION BY fp) AS keeper
-      FROM scored
-      WHERE lang_guess = 'en' AND q >= 0.5 AND n_tokens >= 5)
-    SELECT s.doc_id, s.lang_guess, s.n_tokens, round(s.q, 9) AS quality,
-           CASE WHEN s.lang_guess <> 'en' THEN 'lang'
-                WHEN s.q < 0.5 THEN 'quality'
-                WHEN s.n_tokens < 5 THEN 'length'
-                WHEN r.rn > 1 THEN 'duplicate'
+      SELECT *,
+             CASE WHEN surv THEN CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END)
+               OVER (PARTITION BY fp ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) END AS rn,
+             min(CASE WHEN surv THEN doc_id END)
+               OVER (PARTITION BY fp) AS keeper
+      FROM (SELECT *, lang_guess = 'en' AND q >= 0.5 AND n_tokens >= 5
+                      AS surv
+            FROM scored))
+    SELECT doc_id, lang_guess, n_tokens, round(q, 9) AS quality,
+           CASE WHEN lang_guess <> 'en' THEN 'lang'
+                WHEN q < 0.5 THEN 'quality'
+                WHEN n_tokens < 5 THEN 'length'
+                WHEN rn > 1 THEN 'duplicate'
                 ELSE 'kept' END AS stage,
-           CASE WHEN r.rn > 1 THEN r.keeper END AS kept_as
-    FROM scored s LEFT JOIN ranked r ON r.doc_id = s.doc_id
+           CASE WHEN rn > 1 THEN keeper END AS kept_as
+    FROM ranked
     """
 
 

@@ -443,7 +443,9 @@ def a04_first_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
     SELECT user_id,
            CASE WHEN count(*) >= 2
-                THEN abs(sum(0.5 * (value + pv) * (t - pt))) / 3600.0 END AS area_vh
+                THEN abs(CAST(sum(CAST(floor(0.5 * (value + pv) * (t - pt)
+                       * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0) / 3600.0 END AS area_vh
     FROM e GROUP BY user_id
     """,
     survey="A5 C8 F3 (lag-window trapezoid, np.trapz algebra)",
@@ -454,12 +456,19 @@ def a05_trapezoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.unix_micros(F.col("ts")) / F.lit(1000000.0)
     v = F.col("value")
     seg = 0.5 * (v + F.lag(v).over(w)) * (t - F.lag(t).over(w))
+    # segments quantized to integer micro-units (floor(x*1e6+0.5) is
+    # IEEE-deterministic; the int64 sum is exact and associative) so
+    # the group sum is partition-layout and engine independent — plain
+    # double sums differ in the last ulp at sf0.1 group sizes
+    seg_u = F.floor(seg * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
-        ev.select("user_id", seg.alias("_seg"))
+        ev.select("user_id", seg_u.alias("_seg_u"))
         .groupBy("user_id")
         .agg(
             F.when(
-                F.count(F.lit(1)) >= 2, F.abs(F.sum("_seg")) / F.lit(3600.0)
+                F.count(F.lit(1)) >= 2,
+                F.abs(F.sum("_seg_u").cast("double") / F.lit(1000000.0))
+                / F.lit(3600.0),
             ).alias("area_vh")
         )
     )
@@ -4891,7 +4900,7 @@ def a21_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "src01_jsonl_roundtrip",
     """
-    SELECT event_type, count(*) AS n, sum(value) AS sum_value,
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
            min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
     FROM events GROUP BY event_type
     """,
@@ -4921,7 +4930,7 @@ def src01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(schema).option("timestampFormat", fmt).json(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("value").alias("sum_value"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
         F.min(F.unix_micros(F.col("ts"))).alias("min_ts_us"),
         F.max(F.unix_micros(F.col("ts"))).alias("max_ts_us"),
     )
@@ -4930,7 +4939,7 @@ def src01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "src02_csv_fallback",
     """
-    SELECT event_type, count(*) AS n, sum(value) AS sum_value
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
     FROM events GROUP BY event_type
     """,
     survey="S1 registered in the driver set: semicolon-delimited CSV "
@@ -4956,7 +4965,7 @@ def src02_csv_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(back.columns) == 3, "delimiter sniff failed"
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("double")).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("double")), 6).alias("sum_value"),
     )
 
 
@@ -5418,8 +5427,10 @@ def o13_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY ts, event_id) AS nxt
       FROM events)
     SELECT user_id,
-           sum(value * (nxt - t)) / sum(nxt - t) AS twap,
-           avg(value) AS mean_unweighted,
+           (CAST(sum(CAST(floor(value * (nxt - t) * 100.0 + 0.5) AS BIGINT))
+                 AS DOUBLE) / 100.0)
+             / CAST(sum(nxt - t) AS DOUBLE) AS twap,
+           round(sum(value), 6) / count(*) AS mean_unweighted,
            count(*) AS n_intervals
     FROM s WHERE nxt IS NOT NULL
     GROUP BY user_id
@@ -5439,9 +5450,20 @@ def e10_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "value", t.alias("t"), F.lead(t).over(w).alias("nxt")
     ).filter(F.col("nxt").isNotNull())
     dt = F.col("nxt") - F.col("t")
+    # value·dt quantized to integer centi-units with floor(x*100+0.5):
+    # the per-row double is IEEE-identical on both engines and the
+    # int64 sum is exact and associative (value·µs reaches ~1e13 where
+    # plain double sums differ by >1e-3 across partition layouts);
+    # the interval sum is already an exact integer sum
+    vdt_c = F.floor(F.col("value") * dt * 100.0 + 0.5).cast("long")
     return s.groupBy("user_id").agg(
-        (F.sum(F.col("value") * dt) / F.sum(dt)).alias("twap"),
-        F.avg("value").alias("mean_unweighted"),
+        (
+            (F.sum(vdt_c).cast("double") / 100.0)
+            / F.sum(dt).cast("double")
+        ).alias("twap"),
+        (F.round(F.sum("value"), 6) / F.count(F.lit(1))).alias(
+            "mean_unweighted"
+        ),
         F.count(F.lit(1)).alias("n_intervals"),
     )
 
@@ -5585,10 +5607,14 @@ def e12_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a22_zscore",
     """
     WITH stats AS (
-      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      SELECT event_type,
+             round(sum(value), 6) / count(*) AS mu,
+             sqrt((round(sum(value * value), 6)
+                   - round(sum(value), 6) * round(sum(value), 6) / count(*))
+                  / (count(*) - 1)) AS sigma
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
-           (e.value - s.mu) / s.sigma AS z
+           round((e.value - s.mu) / s.sigma, 9) AS z
     FROM events e JOIN stats s ON s.event_type = e.event_type
     """,
     survey="A-family extension: per-key z-score normalization (the "
@@ -5598,15 +5624,22 @@ def e12_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fact — the join-back is the scale shape",
 )
 def a22_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Standardized event values per event_type."""
+    """Standardized event values per event_type. Moments come from
+    grid-rounded sums (2dp data) combined with the same closed form as
+    the oracle — deterministic across engines and partition layouts;
+    the emitted z rounds at 9dp (O(1) magnitude)."""
     (ev,) = _ctx(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    s1 = F.round(F.sum("value"), 6)
+    s2 = F.round(F.sum(F.col("value") * F.col("value")), 6)
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+        (s1 / n).alias("mu"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("sigma"),
     )
     return ev.join(F.broadcast(stats), "event_type").select(
         "event_id",
         "event_type",
-        ((F.col("value") - F.col("mu")) / F.col("sigma")).alias("z"),
+        F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 9).alias("z"),
     )
 
 

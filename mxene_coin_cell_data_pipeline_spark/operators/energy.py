@@ -32,20 +32,30 @@ def energy_wh_per_cycle(df: DataFrame) -> DataFrame:
     p = F.col("voltage_v") * F.col("current_a")
     w = Window.partitionBy(*keys).orderBy("timestamp")
     seg = 0.5 * (p + F.lag(p).over(w)) * (t - F.lag(t).over(w))
+    # segments quantized to integer NANO watt-seconds with
+    # floor(x*1e9+0.5): multiply/add/floor are IEEE-deterministic, the
+    # int64 sum is exact and associative, so the per-cycle energy is
+    # identical under any partition layout or engine (plain double sums
+    # drift in the last ulp once cycles get large). Quantization error
+    # ≤ 0.5e-9 per segment (~1e-11 Wh per cycle) — far inside the 1e-9
+    # golden-test pins. Magnitude bound: |seg| ≤ p_max·dt_cycle ≈ 3e6
+    # → 3e15 nano-units < 2^53, and cycle sums stay ≪ int64 range.
+    seg_u = F.floor(seg * F.lit(1e9) + F.lit(0.5)).cast("long")
     agg = (
-        dis.withColumn("_seg", seg)
+        dis.withColumn("_seg_u", seg_u)
         .withColumn("_bad", p.isNull() | t.isNull())
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(F.when(F.col("_bad"), 1).otherwise(0)).alias("_nbad"),
-            F.sum("_seg").alias("_e_ws"),
+            F.sum("_seg_u").alias("_e_ns"),
         )
         .select(
             *keys,
             F.when(
                 (F.col("_n") >= 2) & (F.col("_nbad") == 0),
-                F.abs(F.col("_e_ws")) / F.lit(3600.0),
+                F.abs(F.col("_e_ns").cast("double") / F.lit(1e9))
+                / F.lit(3600.0),
             ).alias("E_dis_Wh"),
         )
     )

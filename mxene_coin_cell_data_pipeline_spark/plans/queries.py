@@ -1150,9 +1150,183 @@ from .flagship import events_as_timeseries, flagship_features  # noqa: E402
 
 @_register(
     "p01_cycler_pipeline",
-    None,  # dQ/dV (np.interp/np.gradient applyInPandas) is not SQL-expressible
-    survey="full domain pipeline: A1-A12 over events-mapped timeseries (rows-only; "
-    "SQL-expressible slice oracle-checked as p02)",
+    """
+    WITH ts AS (
+      SELECT CAST(user_id AS VARCHAR) AS cell_id,
+             ts AS t, event_id,
+             (epoch_us(ts) // 86400000000) // 7 AS cycle_index,
+             CASE WHEN event_type IN ('purchase','view') THEN 'CC_DIS'
+                  WHEN event_type IN ('click','signup') THEN 'CC_CHG'
+                  ELSE 'REST' END AS step_type,
+             value AS v
+      FROM events),
+    w AS (
+      SELECT *,
+             sum(CASE WHEN step_type = 'CC_CHG'
+                      THEN CAST(round(v * 100) AS BIGINT) ELSE 0 END)
+               OVER win / 100000.0 AS charge_ah,
+             sum(CASE WHEN step_type = 'CC_DIS'
+                      THEN CAST(round(v * 100) AS BIGINT) ELSE 0 END)
+               OVER win / 100000.0 AS discharge_ah
+      FROM ts
+      WINDOW win AS (PARTITION BY cell_id, cycle_index ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    cap AS (
+      SELECT cell_id, cycle_index,
+             max(discharge_ah) AS Q_dis_Ah,
+             max(charge_ah)    AS Q_chg_Ah
+      FROM w GROUP BY cell_id, cycle_index),
+    cap2 AS (
+      SELECT cell_id, cycle_index, Q_dis_Ah, Q_chg_Ah,
+             CASE WHEN Q_chg_Ah IS NULL OR Q_chg_Ah = 0 THEN NULL
+                  ELSE Q_dis_Ah / Q_chg_Ah END AS CE,
+             Q_dis_Ah / first_value(Q_dis_Ah) OVER
+               (PARTITION BY cell_id ORDER BY cycle_index
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_norm
+      FROM cap),
+    dis AS (
+      SELECT cell_id, cycle_index, t,
+             (3.0 + v % 1.5) * (- v / 100.0) AS p,
+             epoch_us(t) / 1000000.0 AS tsec
+      FROM ts WHERE contains(step_type, 'DIS')),
+    seg AS (
+      SELECT cell_id, cycle_index,
+             0.5 * (p + lag(p) OVER win) * (tsec - lag(tsec) OVER win) AS s
+      FROM dis
+      WINDOW win AS (PARTITION BY cell_id, cycle_index ORDER BY t)),
+    en AS (
+      SELECT cell_id, cycle_index,
+             CASE WHEN count(*) >= 2
+                  THEN abs(CAST(sum(CAST(floor(s * 1000000000.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1000000000.0) / 3600.0
+             END AS E_dis_Wh
+      FROM seg GROUP BY cell_id, cycle_index),
+    m AS (
+      SELECT cell_id, cycle_index, t, step_type,
+             (3.0 + v % 1.5) AS voltage_v,
+             CASE WHEN step_type = 'CC_DIS' THEN - v / 100.0
+                  WHEN step_type = 'CC_CHG' THEN v / 100.0
+                  ELSE 0.0 END AS current_a
+      FROM ts),
+    pos AS (
+      SELECT *, row_number() OVER (PARTITION BY cell_id ORDER BY t) AS p
+      FROM m),
+    dis_ir AS (
+      SELECT cell_id, cycle_index, p, voltage_v, current_a,
+             abs(abs(current_a) - 1.0) AS absdiff
+      FROM pos
+      WHERE contains(step_type, 'DIS') AND cycle_index IS NOT NULL),
+    sel_ir AS (
+      SELECT cell_id, cycle_index, p AS idx FROM (
+        SELECT cell_id, cycle_index, p,
+               row_number() OVER (PARTITION BY cell_id, cycle_index
+                                  ORDER BY absdiff, p) AS rn
+        FROM dis_ir WHERE absdiff IS NOT NULL)
+      WHERE rn = 1),
+    band AS (
+      SELECT d.cell_id, d.cycle_index, d.p, d.voltage_v, d.current_a, s.idx
+      FROM dis_ir d JOIN sel_ir s USING (cell_id, cycle_index)
+      WHERE d.p BETWEEN s.idx - 1 AND s.idx + 1),
+    ir_agg AS (
+      SELECT cell_id, cycle_index,
+             median(voltage_v) FILTER (WHERE p <  idx) AS pre_v,
+             median(voltage_v) FILTER (WHERE p >= idx) AS post_v,
+             median(current_a) FILTER (WHERE p <  idx) AS pre_i,
+             median(current_a) FILTER (WHERE p >= idx) AS post_i,
+             count(*)          FILTER (WHERE p <  idx) AS n_pre,
+             count(*)          FILTER (WHERE p >= idx) AS n_post
+      FROM band GROUP BY cell_id, cycle_index),
+    ir AS (
+      SELECT cell_id, cycle_index,
+             CASE WHEN n_pre = 0 OR n_post = 0
+                       OR (post_i - pre_i) IS NULL
+                       OR (post_i - pre_i) = 0 THEN NULL
+                  ELSE abs((post_v - pre_v) / (post_i - pre_i)) + 0.0
+             END AS IR_C2_ohm
+      FROM ir_agg),
+    qsrc AS (  -- dQ/dV input: the CUMULATIVE integer-accumulated
+               -- discharge_ah (exact decimals — the cumsum is
+               -- association-independent, so argmax ties are safe)
+      SELECT cell_id, cycle_index, (3.0 + v % 1.5) AS vv,
+             row_number() OVER (PARTITION BY cell_id, cycle_index
+                                ORDER BY t, event_id) AS ord,
+             discharge_ah - min(discharge_ah)
+               OVER (PARTITION BY cell_id, cycle_index) AS qq
+      FROM w WHERE contains(step_type, 'DIS')),
+    qd AS (
+      SELECT cell_id, cycle_index, vv,
+             arg_max(qq, ord) AS q_last, arg_min(qq, ord) AS q_first
+      FROM qsrc GROUP BY cell_id, cycle_index, vv),
+    st AS (
+      SELECT cell_id, cycle_index, min(vv) AS v0, max(vv) AS v1, count(*) AS n
+      FROM qsrc GROUP BY cell_id, cycle_index),
+    valid AS (
+      SELECT cell_id, cycle_index, v0,
+             CAST(ceil((v1 - v0) / 0.05) AS BIGINT) AS ng
+      FROM st
+      WHERE n >= 3 AND (v1 - v0) >= 0.05
+            AND CAST(ceil((v1 - v0) / 0.05) AS BIGINT) >= 2),
+    grid AS (
+      SELECT v.cell_id, v.cycle_index, v.ng, gs.k AS k,
+             CASE WHEN gs.k = 0 THEN v.v0
+                  WHEN gs.k = 1 THEN v.v0 + 0.05
+                  ELSE v.v0 + gs.k * ((v.v0 + 0.05) - v.v0) END AS gv
+      FROM valid v,
+           LATERAL (SELECT unnest(generate_series(0, v.ng - 1)) AS k) gs),
+    br AS (
+      SELECT g.cell_id, g.cycle_index, g.ng, g.k, g.gv,
+             max(s.vv)               FILTER (WHERE s.vv <= g.gv) AS v_lo,
+             arg_max(s.q_last, s.vv) FILTER (WHERE s.vv <= g.gv) AS q_lo,
+             min(s.vv)               FILTER (WHERE s.vv >  g.gv) AS v_hi,
+             arg_min(s.q_first, s.vv) FILTER (WHERE s.vv > g.gv) AS q_hi
+      FROM grid g JOIN qd s USING (cell_id, cycle_index)
+      GROUP BY ALL),
+    qg AS (
+      SELECT cell_id, cycle_index, ng, k, gv,
+             CASE WHEN v_hi IS NULL THEN q_lo
+                  ELSE q_lo + ((q_hi - q_lo) / (v_hi - v_lo)) * (gv - v_lo)
+             END AS qgv
+      FROM br),
+    gr AS (
+      SELECT cell_id, cycle_index, k, gv,
+             CASE WHEN k = 0      THEN (lead(qgv) OVER wg - qgv) / 0.05
+                  WHEN k = ng - 1 THEN (qgv - lag(qgv) OVER wg) / 0.05
+                  ELSE (lead(qgv) OVER wg - lag(qgv) OVER wg) / (2 * 0.05)
+             END AS grad
+      FROM qg
+      WINDOW wg AS (PARTITION BY cell_id, cycle_index ORDER BY k)),
+    pk AS (
+      SELECT cell_id, cycle_index, arg_min(gv, k) AS gv
+      FROM gr g
+      WHERE grad = (SELECT max(grad) FROM gr m2
+                    WHERE m2.cell_id = g.cell_id
+                      AND m2.cycle_index = g.cycle_index)
+      GROUP BY cell_id, cycle_index),
+    shifts AS (
+      SELECT c.cell_id, c.cycle_index, p.gv AS dQdV_peak_V,
+             CASE WHEN p.gv IS NOT NULL THEN
+               (p.gv - first_value(p.gv IGNORE NULLS)
+                  OVER (PARTITION BY c.cell_id ORDER BY c.cycle_index
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               * 1000.0
+             END AS dQdV_shift_mV
+      FROM cap2 c LEFT JOIN pk p
+        ON c.cell_id = p.cell_id AND c.cycle_index = p.cycle_index)
+    SELECT c.cell_id, c.cycle_index, c.Q_dis_Ah, c.Q_chg_Ah, c.CE, c.q_norm,
+           e.E_dis_Wh, i.IR_C2_ohm, s.dQdV_peak_V, s.dQdV_shift_mV
+    FROM cap2 c
+    LEFT JOIN en e ON c.cell_id = e.cell_id AND c.cycle_index = e.cycle_index
+    LEFT JOIN ir i ON c.cell_id = i.cell_id AND c.cycle_index = i.cycle_index
+    LEFT JOIN shifts s
+      ON c.cell_id = s.cell_id AND c.cycle_index = s.cycle_index
+    """,
+    survey="full domain pipeline: A1-A12 over events-mapped timeseries, "
+    "oracle-checked END TO END — the composition of the p02 (capacity/"
+    "CE/q_norm/energy), p04 (IR argmin + neighbor medians), and p03 "
+    "(dQ/dV arange/interp/gradient/argmax re-derivation) oracles on the "
+    "flagship's integer-accumulated cumulative capacities; the numpy "
+    "kernel's input here is exact decimals, so the SQL re-derivation is "
+    "bit-stable including argmax tie resolution",
 )
 def p01_cycler_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagship_features(spark, sf_dir)
@@ -1209,7 +1383,10 @@ def p01_cycler_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW win AS (PARTITION BY cell_id, cycle_index ORDER BY t)),
     en AS (
       SELECT cell_id, cycle_index,
-             CASE WHEN count(*) >= 2 THEN abs(sum(s)) / 3600.0 END AS E_dis_Wh
+             CASE WHEN count(*) >= 2
+                  THEN abs(CAST(sum(CAST(floor(s * 1000000000.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1000000000.0) / 3600.0
+             END AS E_dis_Wh
       FROM seg GROUP BY cell_id, cycle_index)
     SELECT c.cell_id, c.cycle_index, c.Q_dis_Ah, c.Q_chg_Ah, c.CE, c.q_norm,
            e.E_dis_Wh

@@ -2763,9 +2763,9 @@ def a15_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((sxy - sx * sy / n)
              / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 12)
              AS corr_qty_price,
-           (sxy - sx * sy / n) / (n - 1) AS covar_qty_price,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS sd_qty,
-           (syy - sy * sy / n) / (n - 1) AS var_price
+           round((sxy - sx * sy / n) / (n - 1), 2) AS covar_qty_price,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd_qty,
+           round((syy - sy * sy / n) / (n - 1), 2) AS var_price
     FROM m
     """,
     survey="A-family extension: statistical aggregates (corr / covar_samp / "
@@ -2811,9 +2811,12 @@ def a16_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
             12,
         ).alias("corr_qty_price"),
-        ((sxy - sx * sy / n) / (n - 1)).alias("covar_qty_price"),
-        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("sd_qty"),
-        ((syy - sy * sy / n) / (n - 1)).alias("var_price"),
+        # output grids sit far above the ~1-ulp slack the two engines'
+        # decimal→double conversions leave on 1e13-scale moments
+        # (DuckDB double-rounds via int128→double→/10^scale)
+        F.round((sxy - sx * sy / n) / (n - 1), 2).alias("covar_qty_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("sd_qty"),
+        F.round((syy - sy * sy / n) / (n - 1), 2).alias("var_price"),
     )
 
 

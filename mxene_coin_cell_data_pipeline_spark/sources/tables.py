@@ -64,9 +64,17 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     """Columns whose parquet physical type is TIMESTAMP(NANOS).
 
     Uses a driver-side footer read (cheap: metadata only) so the loader
-    works for any table without a hard-coded column list.
+    works for any table without a hard-coded column list. Accepts both
+    single-file tables and directory layouts (first part file's footer
+    — parts of one dataset share a schema).
     """
     try:
+        if os.path.isdir(path):
+            path = next(
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+            )
         schema = pq.read_schema(path)
     except Exception:
         return []

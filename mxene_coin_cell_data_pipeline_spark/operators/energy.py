@@ -40,10 +40,16 @@ def energy_wh_per_cycle(df: DataFrame) -> DataFrame:
     # ≤ 0.5e-9 per segment (~1e-11 Wh per cycle) — far inside the 1e-9
     # golden-test pins. Magnitude bound: |seg| ≤ p_max·dt_cycle ≈ 3e6
     # → 3e15 nano-units < 2^53, and cycle sums stay ≪ int64 range.
-    seg_u = F.floor(seg * F.lit(1e9) + F.lit(0.5)).cast("long")
+    # NaN power (a CSV literal 'NaN' survives lenient casts) must not
+    # reach floor()::long — ANSI errors, non-ANSI silently yields 0.
+    # Null it out; the _bad counter (which also counts NaN) then nulls
+    # the whole cycle, the NULL-normalized equivalent of the
+    # reference's NaN-propagating np.trapz.
+    seg_safe = F.when(F.isnan(seg), F.lit(None)).otherwise(seg)
+    seg_u = F.floor(seg_safe * F.lit(1e9) + F.lit(0.5)).cast("long")
     agg = (
         dis.withColumn("_seg_u", seg_u)
-        .withColumn("_bad", p.isNull() | t.isNull())
+        .withColumn("_bad", p.isNull() | t.isNull() | F.isnan(p))
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("_n"),

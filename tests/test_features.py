@@ -220,3 +220,43 @@ def test_multi_cell_features_match_single_cell(spark, tmp_path):
         sub = feat[feat["cell_id"] == cell].sort_values("cycle_index")
         for col in ["Q_dis_Ah", "CE", "E_dis_Wh", "IR_C2_ohm", "dQdV_peak_V"]:
             assert sub[col].to_numpy() == pytest.approx(exp[col].to_numpy(), abs=1e-9), (cell, col)
+
+
+def test_energy_nan_power_nulls_cycle(spark):
+    """A NaN voltage (a CSV literal 'NaN' survives lenient casts) must
+    NULL the cycle's energy — never reach the fixed-point floor()::long
+    (ANSI errors, non-ANSI silently contributes 0), mirroring the
+    reference's NaN-propagating np.trapz under NULL normalization."""
+    import pandas as pd
+
+    from mxene_coin_cell_data_pipeline_spark.operators.energy import (
+        energy_wh_per_cycle,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "cycle_index": [1, 1, 1, 2, 2],
+            "step_type": ["CC_DIS"] * 5,
+            "timestamp": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:01:00",
+                    "2024-01-01 00:02:00",
+                    "2024-01-01 01:00:00",
+                    "2024-01-01 01:01:00",
+                ]
+            ),
+            "voltage_v": [3.0, float("nan"), 3.2, 3.0, 3.1],
+            "current_a": [-1.0] * 5,
+            "charge_ah": [0.0] * 5,
+            "discharge_ah": [0.0] * 5,
+            "temp_c": [None] * 5,
+            "step_index": [1] * 5,
+        }
+    )
+    out = {
+        r["cycle_index"]: r["E_dis_Wh"]
+        for r in energy_wh_per_cycle(spark.createDataFrame(pdf)).collect()
+    }
+    assert out[1] is None
+    assert abs(out[2] - (0.5 * (3.0 + 3.1) * 60 / 3600)) < 1e-6

@@ -44,11 +44,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every oracle-checkable query.
-
-    Omitted (rows-only by design): p01_cycler_pipeline (dQ/dV kernel =
-    np.interp/np.gradient, not SQL-expressible — its SQL-expressible
-    slice is oracle-checked as p02_cycler_features_sql) and
-    m02_decode_stub (mapInPandas binary decode plumbing).
-    """
+    """DuckDB-equivalent SQL for every query — all entries in
+    ``queries()`` are oracle-backed (including p01, the end-to-end
+    pipeline composite, and the m02 decode path via a hex-nibble SQL
+    re-derivation); none are rows-only."""
     return oracle_sqls()

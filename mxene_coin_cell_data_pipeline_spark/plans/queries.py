@@ -49,18 +49,15 @@ def _register(name: str, oracle: str | None, survey: str, note: str = ""):
 def _ctx(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Load tables (nanos-compat parquet read; see sources/tables.py).
 
-    Pure with respect to session state: query functions never mutate
-    session conf (timezone etc.). The LOADERS are session-timezone
-    independent (verified: tests/test_timezone_independence.py and a
-    full driver_check sweep). Registered expressions fall in two
-    classes: most use integer ``unix_micros`` arithmetic and are
-    timezone-independent outright; 14 use calendar functions or
-    timestamp literals (year/weekofyear/date_trunc, ``lit(date).cast``)
-    whose SQL-standard semantics are session-zone-relative on BOTH
-    engines — those align with the engine's pinned UTC session
-    (session.py) and the driver's UTC session by construction
-    (measured boundary: a full sweep under America/New_York fails
-    exactly those 14 and nothing else).
+    The LOADERS are session-timezone independent at the storage layer
+    (verified: tests/test_timezone_independence.py), and ``load_table``
+    additionally pins ``spark.sql.session.timeZone=UTC`` so the
+    calendar-function queries (year/weekofyear/date_trunc, date
+    literals on LTZ columns) evaluate on the same UTC calendar as the
+    DuckDB oracle's naive timestamps regardless of how the driver
+    built its session. Measured boundary: none — a full driver_check
+    sweep under ``--tz America/New_York`` is green (round 4; rounds
+    1-3 it failed exactly the 14 calendar queries).
     """
     return [load_table(spark, sf_dir, n) for n in names]
 

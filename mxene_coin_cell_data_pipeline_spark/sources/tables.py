@@ -124,6 +124,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table, normalizing timestamps to LTZ."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone at the loader, not just at session build:
+    # the *storage* normalization above is tz-independent, but calendar
+    # functions downstream (year/date_trunc/weekofyear on LTZ instants)
+    # evaluate against the session zone. A driver that builds its own
+    # non-UTC session would otherwise shift every day-bucket boundary
+    # relative to the DuckDB oracle's naive-UTC calendar.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.schema(ntz_free_schema(spark, path)).parquet(path)
     for col in _nano_timestamp_columns(path):
         # integer division keeps full µs precision (ns values overflow

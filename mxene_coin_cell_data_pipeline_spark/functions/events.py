@@ -219,13 +219,18 @@ def ewma(
     ``y_i = r^i * (a * S_i + r * x_0)`` with ``r = 1-a`` and the prefix
     sum ``S_i = Σ_{j<=i} x_j * r^(-j)`` — one cumulative window per key,
     no Python, no iteration. CAVEAT (documented trade): ``r^(-j)``
-    grows exponentially, so this form is only stable while per-key
-    sequences are short enough that ``r^(-n)`` stays in double range
-    (n ≲ 3000 at a=0.2); for unbounded per-key history the scale path
-    is a per-key sequential pass (``applyInPandas`` on the recurrence),
-    which stays O(n) and exactly stable but leaves codegen. Both give
-    the same math; this engine ships the window form as the default
-    because event feeds are windowed/bounded per key in practice.
+    grows exponentially and the prefix sum accumulates in
+    DECIMAL(38,12) (26 integer digits), so the closed form is exact
+    only while ``|x| · r^(-(n-1)) < 1e26`` — n ≲ 246 at a=0.2 for
+    unit-scale values. Keys past that bound get NULL ewma for EVERY
+    row (a loud, whole-key signal — never silently dropped addends:
+    in non-ANSI mode a per-row decimal overflow casts to NULL and the
+    window sum would quietly skip it). For unbounded per-key history
+    the scale path is a per-key sequential pass (``applyInPandas`` on
+    the recurrence), which stays O(n) and exactly stable but leaves
+    codegen. Both give the same math; this engine ships the window
+    form as the default because event feeds are windowed/bounded per
+    key in practice.
     """
     r = 1.0 - alpha
     w_ord = Window.partitionBy(key).orderBy(ts, tie_break)
@@ -235,9 +240,7 @@ def ewma(
     # doubles are identical on any engine, and the exact associative
     # decimal sum removes the accumulation-order sensitivity (cumulative
     # window sums associate differently across engines — segment tree vs
-    # streaming). Decimal bound 1e26 tightens the documented per-key
-    # length limit from n ≲ 3000 (double range) to n ≲ 246 at a=0.2;
-    # the applyInPandas recurrence remains the unbounded fallback.
+    # streaming).
     s = (
         F.sum((F.col(value) * F.pow(F.lit(r), -i)).cast("decimal(38,12)"))
         .over(frame)
@@ -245,6 +248,18 @@ def ewma(
     )
     x0 = F.first(value).over(frame)
     y = F.pow(F.lit(r), i) * (F.lit(alpha) * s + F.lit(r) * x0)
+    # Whole-key overflow guard: the largest addend is max|x| · r^(-(n-1)).
+    # Once it can exceed the decimal's 1e26 integer range, null the whole
+    # key rather than let non-ANSI decimal casts null individual addends
+    # (F.sum skips nulls → silently wrong values). Formulated as
+    # pow(1/r, n-1) >= 1e26 / max|x| so an all-zero key (max|x|=0) never
+    # trips it via 0·inf; identical double math on DuckDB for the oracle.
+    w_key = Window.partitionBy(key)
+    n_key = F.count(F.lit(1)).over(w_key)
+    vmax = F.max(F.abs(F.col(value))).over(w_key)
+    overflow = F.pow(F.lit(1.0 / r), (n_key - F.lit(1)).cast("double")) >= (
+        F.lit(1e26) / F.greatest(vmax, F.lit(1e-300))
+    )
     return events.select(
         key,
         tie_break,
@@ -253,7 +268,7 @@ def ewma(
         # round(,6): the decimal prefix-sum leaves ≤ ~1e-13 cross-engine
         # slack (large-magnitude addends cast at shortest-repr vs exact
         # expansion); value-scale outputs at a 1e-6 grid absorb it
-        F.round(y, 6).alias("ewma"),
+        F.when(overflow, F.lit(None)).otherwise(F.round(y, 6)).alias("ewma"),
     )
 
 
@@ -325,18 +340,38 @@ def asof_join_forward(
     if clash:
         raise ValueError(f"value_cols collide with left columns: {sorted(clash)}")
     l_tag = left.withColumn("_side", F.lit(1))
-    r_tag = right.select(*by, on, *value_cols).withColumn("_side", F.lit(0))
+    # Carry ALL value columns as ONE struct through a single
+    # last(ignorenulls): with per-column carries, tied right rows whose
+    # NULLs fall in different value columns could assemble the output
+    # row from different source rows. The struct guarantees every
+    # carried column comes from the same winning right row. Left rows
+    # get a NULL struct via allowMissingColumns, so ignorenulls skips
+    # them (a struct built from NULL fields would NOT be null itself).
+    r_tag = right.select(
+        *by, on, F.struct(*value_cols).alias("_vals")
+    ).withColumn("_side", F.lit(0))
     u = l_tag.unionByName(r_tag, allowMissingColumns=True)
-    # tie-break on the carried value columns so right-side rows sharing
-    # the same `on` resolve identically across runs/partitionings (the
-    # bare (on, _side) order is not total when right has duplicate
-    # timestamps — last_value would pick an arbitrary one)
-    tiebreak = [F.col(c).desc_nulls_last() for c in value_cols]
+    # tie-break on the carried struct so right-side rows sharing the
+    # same `on` resolve identically across runs/partitionings (the bare
+    # (on, _side) order is not total when right has duplicate
+    # timestamps); struct comparison is lexicographic by field order on
+    # both engines, and desc order means the LAST tied row in the frame
+    # — the one last(ignorenulls) picks — is the field-wise minimum,
+    # matching the oracle's min-value tie-break.
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).desc(), F.col("_side").asc(), *tiebreak)
+        .orderBy(
+            F.col(on).desc(),
+            F.col("_side").asc(),
+            F.col("_vals").desc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).drop("_side")
+    u = u.withColumn("_vals", F.last("_vals", ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("_side") == 1)
+        .select(
+            *[c for c in u.columns if c not in ("_side", "_vals")],
+            *[F.col(f"_vals.{c}").alias(c) for c in value_cols],
+        )
+    )

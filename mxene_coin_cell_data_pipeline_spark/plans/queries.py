@@ -62,6 +62,22 @@ def _ctx(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
+def _dsum6(col) -> F.Column:
+    """Exact sum of fixed-decimal data, scale-independent.
+
+    ``round(sum(x), 6)`` of a double sum is only stable while the
+    accumulated double error stays under the 5e-7 half-grid — that
+    error grows with n·magnitude, so a form verified at sf0.1 can flip
+    at larger scale factors. This form instead rounds each ADDEND to
+    the 1e-6 grid (bit-identical per row on both engines — the same
+    per-row round the old form applied once at the end) and accumulates
+    in DECIMAL(38,6): exact, associative, partition-layout and
+    scale-factor independent up to 1e32 totals. Oracle mirror:
+    ``CAST(sum(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE)``.
+    """
+    return F.sum(F.round(col, 6).cast("decimal(38,6)")).cast("double")
+
+
 #: Driver-facing registration order. The correctness driver checks a
 #: PREFIX window of the registry (50 queries in rounds 1-2), so the
 #: highest-value coverage heads are listed first: the TPC-H plan-shape
@@ -193,7 +209,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_top_revenue_orders",
     """
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            epoch_us(o_orderdate)                   AS orderdate_us
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -216,13 +233,11 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            # round to 6dp on BOTH engines: addends have exactly 4
-            # intrinsic decimals (2dp price × 2dp discount), so the true
-            # sum is on the 1e-4 grid — never at a 0.5e-6 rounding
-            # boundary; summation-order ulp noise (~1e-9) cannot flip
-            # the rounded value. Deterministic, engine-independent.
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            # addends have exactly 4 intrinsic decimals (2dp price ×
+            # 2dp discount): the per-row round recovers the exact value
+            # and the decimal accumulation is exact at ANY n — see _dsum6
+            _dsum6(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -1115,13 +1130,12 @@ def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS byte_sum
       FROM h, LATERAL (SELECT unnest(generate_series(1, least(n, 256)))
                        AS i) u
-      WHERE n > 0
       GROUP BY doc_id, n)
     SELECT h.doc_id, CAST(h.n AS INT) AS n_bytes,
            CAST(greatest(1, h.n % 64) AS INT) AS width,
            CAST(greatest(1, (h.n // 64) % 64) AS INT) AS height,
-           (CAST(l.byte_sum AS DOUBLE) / greatest(1, least(h.n, 256)))
-             / 255.0 AS mean_luma
+           (CAST(coalesce(l.byte_sum, 0) AS DOUBLE)
+             / greatest(1, least(h.n, 256))) / 255.0 AS mean_luma
     FROM h LEFT JOIN luma l USING (doc_id)
     """,
     survey="north-star multimodal: mapInPandas decode plumbing — the "
@@ -1415,7 +1429,8 @@ def p02_cycler_features_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (epoch_us(ts) // 604800000000) * 604800000000 AS window_start_us,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -1438,7 +1453,7 @@ def st01_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("window_start")).alias("window_start_us"),
         "event_type",
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
+        "sum_value",
     )
 
 
@@ -1446,7 +1461,8 @@ def st01_stream_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "st02_stream_static_join",
     """
     SELECT c.c_mktsegment, count(*) AS n_events,
-           round(sum(e.value), 6) AS sum_value
+           CAST(sum(CAST(round(e.value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -1467,7 +1483,7 @@ def st02_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     rolled = stream_segment_rollup(read_events_stream(spark, sf_dir), cust)
     out = run_stream_to_memory(rolled, output_mode="complete")
-    return out.withColumn("sum_value", F.round("sum_value", 6))
+    return out
 
 
 @_register(
@@ -2200,7 +2216,8 @@ def j01_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_mktsegment,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 6) AS sum_acctbal
+           CAST(sum(CAST(round(c_acctbal, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_acctbal
     FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
@@ -2224,9 +2241,8 @@ def j02_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            # 2dp addends → sum on the 1e-2 grid; round(,6) absorbs
-            # summation-order ulp noise identically on both engines
-            F.round(F.sum("c_acctbal"), 6).alias("sum_acctbal"),
+            # 2dp addends → exact decimal accumulation (see _dsum6)
+            _dsum6(F.col("c_acctbal")).alias("sum_acctbal"),
         )
     )
 
@@ -2442,7 +2458,8 @@ def w05_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(DISTINCT user_id) AS n_users,
            count(*) AS n_events,
-           round(sum(value), 6) AS sum_value
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type
     """,
@@ -2461,9 +2478,8 @@ def a14_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
-        # value has 2 intrinsic decimals → grid-aligned round absorbs
-        # summation-order noise identically on both engines
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        # 2dp addends → exact decimal accumulation (see _dsum6)
+        _dsum6(F.col("value")).alias("sum_value"),
     )
 
 
@@ -2978,7 +2994,8 @@ def o06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j05_correlated_avg",
     """
-    SELECT round(sum(l_extendedprice), 6) / 7.0 AS avg_yearly
+    SELECT CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / 7.0 AS avg_yearly
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
       AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
@@ -3007,10 +3024,10 @@ def j05_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("l_extendedprice", "l_quantity", thr)
         .filter(F.col("l_quantity") < F.col("_thr"))
         .agg(
-            # grid-aligned round before the /7 division: the rounded
-            # sums are bit-identical across engines, and IEEE division
-            # of identical doubles is deterministic
-            (F.round(F.sum("l_extendedprice"), 6) / 7.0).alias("avg_yearly")
+            # exact decimal sum (see _dsum6): the cast-to-double sums
+            # are bit-identical across engines, and IEEE division of
+            # identical doubles is deterministic
+            (_dsum6(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
         )
     )
 
@@ -3018,7 +3035,8 @@ def j05_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j06_disjunctive_join",
     """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            count(*) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -3051,8 +3069,8 @@ def j06_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
     )
     return j.filter(cond).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        _dsum6(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -3311,7 +3329,9 @@ def o07_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "j08_salted_skew_agg",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value,
            min(value) AS min_value, max(value) AS max_value
     FROM events GROUP BY event_type
     """,
@@ -3335,15 +3355,20 @@ def j08_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         {
             "n": F.count(F.lit(1)),
-            "sum_value": F.sum("value"),
+            # decimal partials: the salt-phase partial sums AND the
+            # combine-phase re-sum are both exact and associative, so
+            # the salted plan is bit-identical to the direct GROUP BY
+            # at any n (see _dsum6)
+            "sum_value": F.sum(
+                F.round(F.col("value"), 6).cast("decimal(38,6)")
+            ),
             "min_value": F.min("value"),
             "max_value": F.max("value"),
         },
     ).select(
         "event_type",
         "n",
-        # rounded after the two-phase combine (2dp addends → 1e-2 grid)
-        F.round("sum_value", 6).alias("sum_value"),
+        F.col("sum_value").cast("double").alias("sum_value"),
         "min_value",
         "max_value",
     )
@@ -3885,10 +3910,12 @@ def t09_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ord AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
              row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) - 1 AS i
+                                ORDER BY ts, event_id) - 1 AS i,
+             count(*) OVER (PARTITION BY user_id) AS n_key,
+             max(abs(value)) OVER (PARTITION BY user_id) AS vmax
       FROM events),
     acc AS (
-      SELECT user_id, event_id, ts_us, value, i,
+      SELECT user_id, event_id, ts_us, value, i, n_key, vmax,
              CAST(sum(CAST(value * pow(0.8, -i) AS DECIMAL(38,12)))
                OVER (PARTITION BY user_id ORDER BY i
                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS s,
@@ -3896,15 +3923,18 @@ def t09_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS UNBOUNDED PRECEDING) AS x0
       FROM ord)
     SELECT user_id, event_id, ts_us, value,
-           round(pow(0.8, i) * (0.2 * s + 0.8 * x0), 6) AS ewma
+           CASE WHEN pow(1.25, CAST(n_key - 1 AS DOUBLE))
+                     >= 1e26 / greatest(vmax, 1e-300) THEN NULL
+                ELSE round(pow(0.8, i) * (0.2 * s + 0.8 * x0), 6)
+           END AS ewma
     FROM acc
     """,
     survey="extension: per-key EWMA in event-time order (pandas "
     "ewm(adjust=False) recurrence unrolled to a closed-form prefix-sum "
     "window — one cumulative window per key, no Python, no iteration; "
-    "the documented trade is r^(-i) double range, bounded per-key "
-    "history → the applyInPandas recurrence is the unbounded-history "
-    "fallback)",
+    "the documented trade is the DECIMAL(38,12) addend range, with a "
+    "whole-key NULL guard past n ≈ 246 at a=0.2 → the applyInPandas "
+    "recurrence is the unbounded-history fallback)",
 )
 def e05_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA (alpha=0.2) of event values per user. Both engines compute
@@ -4177,7 +4207,8 @@ def st06_stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            year(l.l_shipdate) AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS volume,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS volume,
            count(*) AS n
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -4224,8 +4255,8 @@ def q07_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(
         "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
     ).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        _dsum6(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
         ).alias("volume"),
         F.count(F.lit(1)).alias("n"),
     )
@@ -4760,8 +4791,9 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_product_profit",
     """
     SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-               - 0.01 * p.p_retailprice * l.l_quantity), 6) AS profit
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+               - 0.01 * p.p_retailprice * l.l_quantity, 6)
+               AS DECIMAL(38,6))) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN part p     ON p.p_partkey = l.l_partkey
@@ -4795,7 +4827,7 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("p_retailprice") * F.col("l_quantity")
     return j.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr")
-    ).agg(F.round(F.sum(profit), 6).alias("profit"))
+    ).agg(_dsum6(profit).alias("profit"))
 
 
 @_register(
@@ -4894,7 +4926,9 @@ def t10_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT date_part('week', ts) AS iso_week,
            date_part('dow', ts) + 1 AS dow,
-           count(*) AS n, round(sum(value), 6) AS sum_value
+           count(*) AS n,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     survey="C-family extension: calendar-hierarchy rollup (ISO week × "
@@ -4910,7 +4944,7 @@ def c14_calendar_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").cast("bigint").alias("dow"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        _dsum6(F.col("value")).alias("sum_value"),
     )
 
 
@@ -5077,7 +5111,9 @@ def a21_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "src01_jsonl_roundtrip",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value,
            min(epoch_us(ts)) AS min_ts_us, max(epoch_us(ts)) AS max_ts_us
     FROM events GROUP BY event_type
     """,
@@ -5107,7 +5143,7 @@ def src01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(schema).option("timestampFormat", fmt).json(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        _dsum6(F.col("value")).alias("sum_value"),
         F.min(F.unix_micros(F.col("ts"))).alias("min_ts_us"),
         F.max(F.unix_micros(F.col("ts"))).alias("max_ts_us"),
     )
@@ -5116,7 +5152,9 @@ def src01_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "src02_csv_fallback",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
     survey="S1 registered in the driver set: semicolon-delimited CSV "
@@ -5142,7 +5180,7 @@ def src02_csv_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(back.columns) == 3, "delimiter sniff failed"
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value").cast("double")), 6).alias("sum_value"),
+        _dsum6(F.col("value").cast("double")).alias("sum_value"),
     )
 
 
@@ -5283,7 +5321,9 @@ def u04_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "st08_stream_incremental_agg",
     """
-    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value
     FROM events GROUP BY event_type
     """,
     survey="streaming: incremental aggregate maintenance (foreachBatch "
@@ -5315,9 +5355,9 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(snap).select(
         "event_type",
         "n",
-        # grid-aligned round (2dp addends) absorbs the micro-batch
-        # partial-merge accumulation-order noise
-        F.round(F.col("sum_value"), 6).alias("sum_value"),
+        # the snapshot stores exact DECIMAL(38,6) partial-merge totals
+        # (batching-invariant); surface as double for the oracle schema
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
 
 
@@ -5607,7 +5647,8 @@ def o13_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(sum(CAST(floor(value * (nxt - t) * 100.0 + 0.5) AS BIGINT))
                  AS DOUBLE) / 100.0)
              / CAST(sum(nxt - t) AS DOUBLE) AS twap,
-           round(sum(value), 6) / count(*) AS mean_unweighted,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / count(*) AS mean_unweighted,
            count(*) AS n_intervals
     FROM s WHERE nxt IS NOT NULL
     GROUP BY user_id
@@ -5631,14 +5672,20 @@ def e10_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-row double is IEEE-identical on both engines and the
     # int64 sum is exact and associative (value·µs reaches ~1e13 where
     # plain double sums differ by >1e-3 across partition layouts);
-    # the interval sum is already an exact integer sum
+    # the interval sum is already an exact integer sum.
+    # Magnitude bound (same discipline as operators/energy.py): the
+    # int64 sum wraps silently in non-ANSI mode past ~9.2e18 centi-units,
+    # i.e. Σ|value|·dt_µs < 9.2e16 per key — at |value| ≤ 1e3 that is
+    # ~2.9 key-years of continuously-held µs intervals; a corpus past it
+    # should move this sum to DECIMAL(38,0) (exact, unbounded for any
+    # realistic horizon) at ~2× aggregate cost.
     vdt_c = F.floor(F.col("value") * dt * 100.0 + 0.5).cast("long")
     return s.groupBy("user_id").agg(
         (
             (F.sum(vdt_c).cast("double") / 100.0)
             / F.sum(dt).cast("double")
         ).alias("twap"),
-        (F.round(F.sum("value"), 6) / F.count(F.lit(1))).alias(
+        (_dsum6(F.col("value")) / F.count(F.lit(1))).alias(
             "mean_unweighted"
         ),
         F.count(F.lit(1)).alias("n_intervals"),
@@ -5785,9 +5832,14 @@ def e12_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT event_type,
-             round(sum(value), 6) / count(*) AS mu,
-             sqrt((round(sum(value * value), 6)
-                   - round(sum(value), 6) * round(sum(value), 6) / count(*))
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) / count(*) AS mu,
+             sqrt((CAST(sum(CAST(round(value * value, 6) AS DECIMAL(38,6)))
+                        AS DOUBLE)
+                   - CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                          AS DOUBLE)
+                     * CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                            AS DOUBLE) / count(*))
                   / (count(*) - 1)) AS sigma
       FROM events GROUP BY event_type)
     SELECT e.event_id, e.event_type,
@@ -5807,8 +5859,8 @@ def a22_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the emitted z rounds at 9dp (O(1) magnitude)."""
     (ev,) = _ctx(spark, sf_dir, "events")
     n = F.count(F.lit(1))
-    s1 = F.round(F.sum("value"), 6)
-    s2 = F.round(F.sum(F.col("value") * F.col("value")), 6)
+    s1 = _dsum6(F.col("value"))
+    s2 = _dsum6(F.col("value") * F.col("value"))
     stats = ev.groupBy("event_type").agg(
         (s1 / n).alias("mu"),
         F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("sigma"),
@@ -5965,9 +6017,14 @@ def u05_bag_counts_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT event_type,
-             round(sum(value), 6) / count(*) AS mu,
-             sqrt((round(sum(value * value), 6)
-                   - round(sum(value), 6) * round(sum(value), 6) / count(*))
+             CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) / count(*) AS mu,
+             sqrt((CAST(sum(CAST(round(value * value, 6) AS DECIMAL(38,6)))
+                        AS DOUBLE)
+                   - CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                          AS DOUBLE)
+                     * CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                            AS DOUBLE) / count(*))
                   / (count(*) - 1)) AS sigma
       FROM events GROUP BY event_type)
     SELECT e.event_id,
@@ -5990,8 +6047,8 @@ def a23_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form as the oracle — deterministic inputs to the UDF; the output
     # rounds at 9dp to absorb numpy-vs-libm exp() ulp differences
     n = F.count(F.lit(1))
-    s1 = F.round(F.sum("value"), 6)
-    s2 = F.round(F.sum(F.col("value") * F.col("value")), 6)
+    s1 = _dsum6(F.col("value"))
+    s2 = _dsum6(F.col("value") * F.col("value"))
     stats = ev.groupBy("event_type").agg(
         (s1 / n).alias("mu"),
         F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("sigma"),

@@ -142,7 +142,13 @@ def windowed_event_rollup(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # exact decimal accumulation: the streaming state merges
+            # partial sums in arbitrary micro-batch order — decimal
+            # addition is associative, so the final total is replay-
+            # and batching-invariant (a double sum is only ~1e-9 so)
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -195,7 +201,10 @@ def stream_segment_rollup(events: DataFrame, customer: DataFrame) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            # exact decimal accumulation — see windowed_event_rollup
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
     )
 

@@ -97,9 +97,17 @@ def run_stream_agg_snapshot(
         import os
         import shutil
 
+        # decimal partials: exact + associative, so the stored totals
+        # are identical for ANY micro-batch split of the feed (a double
+        # sum would drift by accumulation order as batches re-merge)
         partial = batch_df.groupBy(key).agg(
             F.count(F.lit(1)).alias("n"),
-            *[F.sum(c).alias(f"sum_{c}") for c in agg_cols],
+            *[
+                F.sum(F.round(F.col(c), 6).cast("decimal(38,6)")).alias(
+                    f"sum_{c}"
+                )
+                for c in agg_cols
+            ],
         )
         if os.path.exists(snapshot_dir):
             current = spark.read.parquet(snapshot_dir)

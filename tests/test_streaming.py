@@ -126,7 +126,14 @@ def test_windowed_event_rollup_matches_batch(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     expect = (
         ev.groupBy(F.window("ts", "7 days").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # same exact-decimal accumulation as windowed_event_rollup —
+            # associative, so stream (micro-batch merge order) == batch
+            F.sum(F.round(F.col("value"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
     assert got.count() == expect.count() > 0

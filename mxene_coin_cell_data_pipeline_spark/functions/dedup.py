@@ -84,8 +84,26 @@ def lsh_candidate_pairs(
     sig: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band bucket."""
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band bucket.
+
+    ``bucket_cap`` is the scale guard against quadratic pair emission:
+    a bucket of m co-hashed docs emits m(m−1)/2 pairs from the
+    self-join — at web scale a single viral boilerplate cluster
+    (m ~ 10⁶) is 5·10¹¹ pairs from ONE bucket. With a cap, buckets of
+    m ≤ cap keep the exact all-pairs emission, and larger buckets emit
+    only STAR edges to the bucket's min doc_id (m−1 edges, the d10
+    first-occurrence pattern) — per-bucket work drops from O(m²) to
+    O(m) while the candidate graph keeps every bucket connected, so
+    hash-min transitive closure (``near_dup_groups``) builds the same
+    keeper groups over the unrefined candidates. The documented trade:
+    similarity REFINES of star edges score (min, x) pairs only, so a
+    link (b, c) inside a giant bucket whose members are dissimilar to
+    the min doc can be missed — acceptable precisely because a full
+    band collision at large m is overwhelming evidence of boilerplate.
+    ``None`` (default) is fully exact.
+    """
     n_bands = num_hashes // band_size
     bands = sig.select(
         "doc_id",
@@ -109,18 +127,51 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if bucket_cap is None:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return _capped_bucket_pairs(bands, ["band", "bucket"], bucket_cap)
+
+
+def _capped_bucket_pairs(
+    bands: DataFrame, bucket_keys: list[str], bucket_cap: int
+) -> DataFrame:
+    """All-pairs within small buckets + star edges (min doc_id → member)
+    within large ones; distinct over both. One window over the bucket
+    partitioning (shared shuffle), then the self-join touches ONLY the
+    small-bucket rows — the large buckets never enter a join at all.
+    """
+    kw = Window.partitionBy(*bucket_keys)
+    ann = bands.select(
+        "doc_id",
+        *bucket_keys,
+        F.count(F.lit(1)).over(kw).alias("_m"),
+        F.min("doc_id").over(kw).alias("_mn"),
     )
+    small = ann.filter(F.col("_m") <= bucket_cap)
+    a = small.select("doc_id", *bucket_keys).alias("a")
+    b = small.select("doc_id", *bucket_keys).alias("b")
+    join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in bucket_keys]
+    exact = (
+        a.join(b, join_cond + [F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    star = ann.filter(
+        (F.col("_m") > bucket_cap) & (F.col("doc_id") != F.col("_mn"))
+    ).select(F.col("_mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    return exact.unionByName(star).distinct()
 
 
 def pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -154,6 +205,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     threshold: float = 0.8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """shingle → minhash → band-bucket join → exact-jaccard refine.
 
@@ -163,10 +215,15 @@ def minhash_near_dup_pairs(
     materializing an exploded table that is ~10× the corpus size —
     measured 3.8× faster cold at sf0.1, and at 100 TB the cache would
     not fit storage memory anyway.
+
+    ``bucket_cap`` bounds per-bucket pair emission (star edges past the
+    cap — see ``lsh_candidate_pairs``); it is the production setting
+    for duplicate-heavy corpora where one boilerplate cluster would
+    otherwise emit O(m²) candidates.
     """
     sh = shingles(docs, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, num_hashes, band_size)
+    cand = lsh_candidate_pairs(sig, num_hashes, band_size, bucket_cap)
     return pair_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
 
 
@@ -374,6 +431,7 @@ def simhash_hamming_pairs(
     n_bands: int = 4,
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
     found via the pigeonhole band join: split the fingerprint into
@@ -390,6 +448,13 @@ def simhash_hamming_pairs(
     16-bit fingerprint (``bits=16``) has only 2⁴ values per band and
     candidate volume degrades to corpus²/2⁴ — kept available as the
     cross-check width, never the production path (SCALING.md d09).
+
+    ``bucket_cap``: same per-bucket quadratic guard as
+    ``lsh_candidate_pairs`` — a cluster of m identical documents puts
+    all m fingerprints in the same bucket of EVERY band (m²/2 pairs ×
+    4 bands before dedup); past the cap the bucket emits m−1 star
+    edges to its min doc_id instead, hamming-refined like any other
+    candidate. Exact (``None``) by default.
     """
     if max_hamming >= n_bands:
         raise ValueError("guaranteed recall needs max_hamming < n_bands")
@@ -417,28 +482,45 @@ def simhash_hamming_pairs(
             )
         ).alias("_j", "_band"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(w).alias(f"{w}a") for w in word_cols],
-        "_j",
-        "_band",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(w).alias(f"{w}b") for w in word_cols],
-        "_j",
-        "_band",
-    )
-    cand = (
-        a.join(b, ["_j", "_band"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            *[c for w in word_cols for c in (f"{w}a", f"{w}b")],
+    if bucket_cap is None:
+        a = bands.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(w).alias(f"{w}a") for w in word_cols],
+            "_j",
+            "_band",
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+        b = bands.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(w).alias(f"{w}b") for w in word_cols],
+            "_j",
+            "_band",
+        )
+        cand = (
+            a.join(b, ["_j", "_band"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                *[c for w in word_cols for c in (f"{w}a", f"{w}b")],
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+    else:
+        # star edges past the cap; fingerprint words re-attached by id
+        # (two hash joins against the compact per-doc fingerprint table
+        # — touches candidate rows only, never the band explosion)
+        pairs = _capped_bucket_pairs(
+            bands.select("doc_id", "_j", "_band"), ["_j", "_band"], bucket_cap
+        )
+        wa = sh.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(w).alias(f"{w}a") for w in word_cols],
+        )
+        wb = sh.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(w).alias(f"{w}b") for w in word_cols],
+        )
+        cand = pairs.join(wa, "doc_a").join(wb, "doc_b")
     hamming = sum(
         F.bit_count(F.col(f"{w}a").bitwiseXOR(F.col(f"{w}b"))) for w in word_cols
     )

@@ -1830,6 +1830,119 @@ def _d09_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4) -> str:
 QUERIES["d09_simhash_hamming"].oracle = _d09_oracle()
 
 
+_D12_CAP = 2  # exercises the star path on sf0.01's m=3 buckets
+
+
+@_register(
+    "d12_lsh_star_cap",
+    f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    ann AS (SELECT doc_id, band, bucket,
+                   count(*) OVER (PARTITION BY band, bucket) AS m,
+                   min(doc_id) OVER (PARTITION BY band, bucket) AS mn
+            FROM bands),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ann a JOIN ann b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+      WHERE a.m <= {_D12_CAP}
+      UNION ALL
+      SELECT mn AS doc_a, doc_id AS doc_b FROM ann
+      WHERE m > {_D12_CAP} AND doc_id <> mn)),
+    {_JACCARD_TAIL.lstrip()}
+    SELECT c.doc_a, c.doc_b,
+           i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes na ON na.doc_id = c.doc_a
+    JOIN sizes nb ON nb.doc_id = c.doc_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.8
+    """,
+    survey="north-star dedup, the 100 TB emission shape: MinHash+LSH with "
+    "a per-bucket pair-emission cap — buckets over the cap emit m−1 STAR "
+    "edges to their min doc_id (the d10 first-occurrence pattern) instead "
+    "of m(m−1)/2 pairs, so one viral boilerplate cluster can never emit "
+    "corpus-quadratic candidates; small buckets keep exact all-pairs",
+    note="The candidate graph stays bucket-connected under the cap, so "
+    "hash-min closure (d06) builds identical keeper groups; refined "
+    "similarity on star edges scores (min, x) pairs only — the documented "
+    "recall trade for giant buckets.",
+)
+def d12_lsh_star_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs with the production bucket cap."""
+    from ..functions.dedup import minhash_near_dup_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=_D12_CAP)
+
+
+def _d13_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4, cap: int = 2) -> str:
+    """d09's pigeonhole band join with the per-bucket star cap."""
+    sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
+    band_w = bits // n_bands
+    n_words = (bits + 31) // 32
+    word_exprs = []
+    for i in range(n_words):
+        w = min(32, bits - i * 32)
+        val = " + ".join(
+            f"(CASE WHEN substr(simhash_bits, {i * 32 + j + 1}, 1) = '1' "
+            f"THEN {1 << (w - 1 - j)} ELSE 0 END)"
+            for j in range(w)
+        )
+        word_exprs.append(f"({val}) AS w{i}")
+    words_sel = ", ".join(word_exprs)
+    wcols = ", ".join(f"w{i}" for i in range(n_words))
+    wcols_a = ", ".join(f"va.w{i} AS w{i}a" for i in range(n_words))
+    wcols_b = ", ".join(f"vb.w{i} AS w{i}b" for i in range(n_words))
+    ham = " + ".join(f"bit_count(xor(w{i}a, w{i}b))" for i in range(n_words))
+    return f"""
+    WITH sh AS ({sh_sql}),
+    v AS (SELECT doc_id, simhash_bits, {words_sel} FROM sh),
+    b AS (SELECT doc_id, u.j,
+                 substr(simhash_bits, u.j * {band_w} + 1, {band_w}) AS band
+          FROM v, LATERAL (SELECT unnest(generate_series(0, {n_bands - 1}))
+                           AS j) u),
+    ann AS (SELECT doc_id, j, band,
+                   count(*) OVER (PARTITION BY j, band) AS m,
+                   min(doc_id) OVER (PARTITION BY j, band) AS mn
+            FROM b),
+    pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM ann a JOIN ann b2 ON a.j = b2.j AND a.band = b2.band
+                             AND a.doc_id < b2.doc_id
+      WHERE a.m <= {cap}
+      UNION ALL
+      SELECT mn AS doc_a, doc_id AS doc_b FROM ann
+      WHERE m > {cap} AND doc_id <> mn)),
+    cand AS (SELECT p.doc_a, p.doc_b, {wcols_a}, {wcols_b}
+             FROM pairs p JOIN v va ON va.doc_id = p.doc_a
+                          JOIN v vb ON vb.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, {ham} AS hamming
+    FROM cand WHERE {ham} <= 3
+    """
+
+
+@_register(
+    "d13_simhash_star_cap",
+    None,  # assigned below (needs d03's generated fingerprint SQL)
+    survey="north-star dedup, the 100 TB emission shape: SimHash pigeonhole "
+    "band join with the per-bucket star cap — identical fingerprints land "
+    "in the same bucket of EVERY band, so a cluster of m exact dups costs "
+    "4·m²/2 pairs uncapped; capped it is m−1 star edges, hamming-refined "
+    "like any candidate",
+)
+def d13_simhash_star_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 SimHash pairs with the production bucket cap."""
+    from ..functions.dedup import simhash_hamming_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, max_hamming=3, n_bands=4, bucket_cap=2)
+
+
+QUERIES["d13_simhash_star_cap"].oracle = _d13_oracle(cap=2)
+
+
 QUERIES_D08_ORACLE = f"""
     WITH pairs AS (
       {_D02_PAIRS_SQL}

@@ -3,12 +3,15 @@
 Images/audio/video are treated as ``binary`` columns with typed
 metadata columns alongside (the lakehouse pattern for multimodal
 training data). The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signature, partition sizing — is real and tested; the
-actual decode is STUBBED (this environment has no image/audio codecs)
-behind ``decode_images(..., decoder=...)``: the default deterministic
-fake derives "features" from the payload bytes so tests pin the full
-distributed path end-to-end, and a real decoder (PIL/torchvision/
-ffmpeg) drops in as the ``decoder`` callable unchanged.
+``mapInPandas`` signature, partition sizing — is real and tested, and
+the engine ships a REAL pure-Python codec for a real container:
+``decode_ppm`` parses Netpbm PPM images (P3 plain / P6 raw — magic,
+comment lines, dimensions, maxval, pixel samples) and computes Rec.601
+mean luminance; it is oracle-checked end to end over generated P3
+payloads (m05). Heavier codecs (PIL/torchvision/ffmpeg — not in this
+environment) drop in as the ``decoder`` callable of ``decode_images``
+unchanged. ``_fake_decoder`` remains only as the codec-free
+byte-heuristic used to pin the NULL-payload/error plumbing (m02).
 """
 
 from __future__ import annotations
@@ -47,12 +50,107 @@ def with_fake_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _fake_decoder(payload: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for an image decoder: pretends the bytes
     are a (w, h) image and 'measures' mean luminance from byte values.
-    NOT a real decode — replaced by PIL/torchvision in production."""
+    NOT a real decode — kept to pin the NULL-payload/error plumbing on
+    arbitrary bytes; the real in-repo codec is ``decode_ppm``."""
     n = len(payload)
     width = max(1, n % 64)
     height = max(1, (n // 64) % 64)
     mean_luma = (sum(payload[:256]) / max(1, min(n, 256))) / 255.0
     return width, height, mean_luma
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """REAL pure-Python Netpbm PPM decoder (P3 plain / P6 raw).
+
+    A genuine byte-format parse: magic sniff, whitespace/'#'-comment
+    tokenization of the header (width, height, maxval), then pixel
+    samples — ASCII decimals for P3, raw bytes for P6 — in row-major
+    RGB order. Returns ``(width, height, mean_luma)`` where mean_luma
+    is the Rec.601 luma ``(299 R + 587 G + 114 B) / 1000`` averaged
+    over pixels and normalized by maxval; the accumulation is a pure
+    integer sum, so the value is bit-deterministic and mirrored
+    exactly by the m05 SQL oracle.
+
+    Raises ``NotImplementedError`` for non-PPM magics (``decode_images``
+    maps that to NULL features — the unsupported-payload contract) and
+    ``ValueError`` for payloads that claim PPM but are malformed.
+    """
+    if len(payload) < 2 or payload[:2] not in (b"P3", b"P6"):
+        raise NotImplementedError("not a PPM payload")
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval <= 0:
+        raise ValueError("invalid PPM dimensions/maxval")
+    n = 3 * w * h
+    if magic == b"P6":
+        pos += 1  # exactly one whitespace byte after maxval
+        raw = payload[pos : pos + n]
+        if len(raw) < n:
+            raise ValueError("truncated P6 pixel data")
+        vals = list(raw)
+    else:
+        toks = payload[pos:].split()
+        if len(toks) < n:
+            raise ValueError("truncated P3 pixel data")
+        vals = [int(t) for t in toks[:n]]
+    lsum = 0
+    for i in range(0, n, 3):
+        lsum += 299 * vals[i] + 587 * vals[i + 1] + 114 * vals[i + 2]
+    return w, h, lsum / (1000.0 * maxval * w * h)
+
+
+def with_ppm_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic plain-PPM (P3) payload per row, for the oracle-
+    checked decode path: ``w = 3 + id%6``, ``h = 2 + id%4``, maxval
+    255, sample k = first byte of ``md5("{id}:{k}")`` — every byte of
+    the container is reproducible in SQL (the m05 oracle re-derives
+    n_bytes, dimensions, and the integer luma sum from the same md5
+    stream without ever materializing the payload). The payload is a
+    REAL P3 file: magic, a '#' comment line, dimensions, maxval, ASCII
+    samples — decode_ppm genuinely parses it back."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                w = 3 + did % 6
+                h = 2 + did % 4
+                vals = [
+                    int(
+                        hashlib.md5(f"{did}:{k}".encode()).hexdigest()[:2], 16
+                    )
+                    for k in range(3 * w * h)
+                ]
+                txt = (
+                    f"P3\n# id {did}\n{w} {h}\n255\n"
+                    + " ".join(map(str, vals))
+                    + "\n"
+                )
+                payloads.append(txt.encode("ascii"))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
 
 
 #: output schema of sample_frames — one row per sampled frame

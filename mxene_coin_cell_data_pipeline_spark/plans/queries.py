@@ -1145,18 +1145,74 @@ def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
              / greatest(1, least(h.n, 256))) / 255.0 AS mean_luma
     FROM h LEFT JOIN luma l USING (doc_id)
     """,
-    survey="north-star multimodal: mapInPandas decode plumbing — the "
-    "deterministic stub codec (dimensions from byte length, luminance "
-    "from the first-256-byte mean) is reproduced relationally from hex "
-    "nibbles, so the WHOLE distributed decode path (Arrow batching, "
-    "NULL-payload handling, schema contract) is oracle-checked; a real "
-    "PIL/ffmpeg codec drops into the same harness unchecked by SQL",
+    survey="north-star multimodal: mapInPandas decode plumbing on "
+    "arbitrary (non-image) bytes — the byte-heuristic codec "
+    "(dimensions from byte length, luminance from the first-256-byte "
+    "mean) is reproduced relationally from hex nibbles, so the "
+    "distributed harness (Arrow batching, NULL-payload handling, "
+    "schema contract) is oracle-checked independent of any container; "
+    "the REAL in-repo codec over a real container is m05_ppm_decode",
 )
 def m02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_images
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return decode_images(with_fake_payload(docs))
+
+
+@_register(
+    "m05_ppm_decode",
+    """
+    WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+               FROM documents),
+    s AS (SELECT d.doc_id, d.w, d.h, u.k,
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                    || CAST(u.k AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                    || CAST(u.k AS VARCHAR)), 2, 1)) - 1) AS v
+          FROM d, LATERAL (SELECT unnest(generate_series(0, 3*d.w*d.h - 1))
+                           AS k) u),
+    agg AS (SELECT doc_id, w, h,
+                   sum(CASE WHEN k % 3 = 0 THEN 299 * v
+                            WHEN k % 3 = 1 THEN 587 * v
+                            ELSE 114 * v END) AS lsum,
+                   sum(CASE WHEN v < 10 THEN 1
+                            WHEN v < 100 THEN 2
+                            ELSE 3 END) AS digits,
+                   count(*) AS n3
+            FROM s GROUP BY doc_id, w, h)
+    SELECT doc_id,
+           CAST(3 + 6 + length(CAST(doc_id AS VARCHAR))
+                + length(CAST(w AS VARCHAR)) + 1
+                + length(CAST(h AS VARCHAR)) + 1
+                + 4 + digits + n3 AS INT) AS n_bytes,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(lsum AS DOUBLE) / (255000.0 * w * h) AS mean_luma
+    FROM agg
+    """,
+    survey="north-star multimodal: REAL pure-Python codec for a real "
+    "container — deterministic plain-PPM (P3) payloads (magic, comment "
+    "line, dimensions, maxval, ASCII samples) are generated per doc and "
+    "genuinely parsed back by decode_ppm under Arrow-batched mapInPandas; "
+    "the oracle re-derives byte length, header dimensions, and the "
+    "integer Rec.601 luma sum from the same md5 sample stream, so a "
+    "header-parse or tokenizer bug flips the hash",
+    note="n_bytes counts every container byte (magic+newline 3, comment "
+    "'# id {id}\\n', dims line, '255\\n', ASCII samples + separators + "
+    "trailing newline) — the decoder and generator must agree on the "
+    "exact serialization for this to match.",
+)
+def m05_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate real P3 images deterministically per doc_id, decode
+    them with the real PPM codec, emit (n_bytes, width, height,
+    mean_luma) — the full multimodal decode path with zero stubs."""
+    from ..functions.multimodal import decode_images, decode_ppm, with_ppm_payload
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return decode_images(with_ppm_payload(docs.select("doc_id")), decoder=decode_ppm)
 
 
 # =====================================================================

@@ -32,7 +32,7 @@ from .features import (
     stream_exact_dedup,
     windowed_event_rollup,
 )
-from .run import run_stream_to_memory
+from .run import run_stream_append_parquet, run_stream_to_memory
 from .snapshot import (
     merge_latest_by_key,
     run_stream_agg_snapshot,
@@ -48,6 +48,7 @@ __all__ = [
     "stream_energy_trapezoid",
     "stream_exact_dedup",
     "windowed_event_rollup",
+    "run_stream_append_parquet",
     "run_stream_to_memory",
     "run_stream_latest_snapshot",
     "run_stream_agg_snapshot",

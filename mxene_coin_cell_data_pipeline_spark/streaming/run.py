@@ -27,6 +27,11 @@ def run_stream_to_memory(
     answer — oracle-comparable); ``update`` mode leaves one row per
     state refresh in the sink (the *last* update per key is the final
     value — dedup driver-side if needed).
+
+    The memory sink is NOT restartable (Spark refuses to recover it
+    from a checkpoint) — it is the test/oracle harness path only. For
+    checkpointed, kill-and-restart-safe execution use
+    ``run_stream_append_parquet`` (or the snapshot runners).
     """
     spark: SparkSession = df.sparkSession
     name = f"_stream_sink_{next(_SEQ)}"
@@ -39,3 +44,34 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_append_parquet(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> None:
+    """Run a streaming DataFrame to completion (availableNow), appending
+    every emitted row to a parquet directory via ``foreachBatch`` with a
+    REQUIRED checkpoint — the restartable execution surface.
+
+    On restart with the same ``checkpoint_dir``, committed source
+    offsets and operator state (streaming aggregations,
+    ``applyInPandasWithState`` accumulators) are restored, so the query
+    resumes at the first unprocessed file instead of reprocessing the
+    feed — the exactly-once recovery contract pinned by
+    tests/test_streaming_recovery.py.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        df.writeStream.foreachBatch(_sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -49,11 +49,19 @@ def run_stream_latest_snapshot(
     snapshot_dir: str,
     key: str = "user_id",
     order_cols: list[str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Run the stream to completion (availableNow), maintaining the
     parquet snapshot at ``snapshot_dir`` via per-batch merge + atomic
     directory swap. Each batch rewrites only the snapshot (keys × 1
-    row), never the history."""
+    row), never the history.
+
+    ``checkpoint_dir`` makes the loop restartable: committed source
+    offsets persist there, so a stopped run re-started with the same
+    checkpoint resumes at the first unprocessed file. The latest-by-key
+    merge is additionally IDEMPOTENT (re-merging an already-applied
+    batch is a no-op), so this sink is exactly-once even under the
+    at-least-once replay window of a mid-batch crash."""
     order_cols = order_cols or ["ts", "event_id"]
     spark = stream_df.sparkSession
 
@@ -70,12 +78,14 @@ def run_stream_latest_snapshot(
             shutil.rmtree(snapshot_dir)
         os.rename(tmp, snapshot_dir)
 
-    q = (
+    w = (
         stream_df.writeStream.foreachBatch(_merge)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     q.awaitTermination()
 
 
@@ -84,12 +94,20 @@ def run_stream_agg_snapshot(
     snapshot_dir: str,
     key: str,
     agg_cols: dict[str, str] | None = None,
+    checkpoint_dir: str | None = None,
 ) -> None:
     """Incremental aggregate maintenance: each micro-batch computes its
     PARTIAL (count/sum per key) and merges it into the stored totals by
     addition — the mergeable-aggregate pattern behind every incremental
     rollup (and the reason avg must be carried as (sum, n), never as a
-    stored average). State size is O(keys), independent of history."""
+    stored average). State size is O(keys), independent of history.
+
+    Additive merge is NOT idempotent (replaying a batch double-counts),
+    so restartability REQUIRES ``checkpoint_dir``: committed source
+    offsets persist there and a re-started run resumes at the first
+    unprocessed file, never re-merging a committed batch. Pinned by
+    tests/test_streaming_recovery.py, including the negative control
+    (no checkpoint → restart double-counts)."""
     agg_cols = agg_cols or {"value": "sum"}
     spark = stream_df.sparkSession
 
@@ -127,10 +145,12 @@ def run_stream_agg_snapshot(
             shutil.rmtree(snapshot_dir)
         os.rename(tmp, snapshot_dir)
 
-    q = (
+    w = (
         stream_df.writeStream.foreachBatch(_merge)
         .outputMode("update")
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     q.awaitTermination()

@@ -132,10 +132,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # relative to the DuckDB oracle's naive-UTC calendar.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.schema(ntz_free_schema(spark, path)).parquet(path)
+    long_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"}
     for col in _nano_timestamp_columns(path):
-        # integer division keeps full µs precision (ns values overflow
-        # double mantissa); truncation matches DuckDB TIMESTAMP_NS→µs.
-        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+        # The footer sniff reports pyarrow's view; INT96 timestamps also
+        # surface there as timestamp[ns] but Spark decodes them as real
+        # TIMESTAMP already — only convert columns Spark actually
+        # surfaced as long (the genuine nanosAsLong case). Integer
+        # division keeps full µs precision (ns values overflow double
+        # mantissa); truncation matches DuckDB TIMESTAMP_NS→µs.
+        if col in long_cols:
+            df = df.withColumn(
+                col, F.expr(f"timestamp_micros(`{col}` div 1000)")
+            )
     return df
 
 

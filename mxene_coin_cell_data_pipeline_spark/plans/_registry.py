@@ -1,0 +1,172 @@
+"""Driver-contract query registry (SURVEY.md §2 coverage).
+
+Every entry pairs an idiomatic-Spark implementation with an equivalent
+DuckDB oracle SQL over the same parquet tables; the driver hash-compares
+them at sf=0.01 (BASELINE.md "t2"). Each entry is tagged with the
+SURVEY.md §2 operator IDs it covers so coverage is auditable line by
+line.
+
+Conventions (the driver compare sorts columns by name and hashes values
+order-insensitively):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- timestamps are output as integer epoch-microseconds (``*_us``) —
+  bit-exact across engines, immune to session-timezone differences;
+- nondeterministic selections (top-k, argmin/argmax) always carry a
+  total tie-break;
+- queries set session timezone UTC and read via sources.tables so they
+  behave identically under the driver's own SparkSession.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    survey: str = ""  # SURVEY.md §2 operator IDs covered
+    note: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, oracle: str | None, survey: str, note: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, survey=survey, note=note)
+        return fn
+
+    return deco
+
+
+def _ctx(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Load tables (nanos-compat parquet read; see sources/tables.py).
+
+    The LOADERS are session-timezone independent at the storage layer
+    (verified: tests/test_timezone_independence.py), and ``load_table``
+    additionally pins ``spark.sql.session.timeZone=UTC`` so the
+    calendar-function queries (year/weekofyear/date_trunc, date
+    literals on LTZ columns) evaluate on the same UTC calendar as the
+    DuckDB oracle's naive timestamps regardless of how the driver
+    built its session. Measured boundary: none — a full driver_check
+    sweep under ``--tz America/New_York`` is green (round 4; rounds
+    1-3 it failed exactly the 14 calendar queries).
+    """
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _dsum6(col) -> F.Column:
+    """Exact sum of fixed-decimal data, scale-independent.
+
+    ``round(sum(x), 6)`` of a double sum is only stable while the
+    accumulated double error stays under the 5e-7 half-grid — that
+    error grows with n·magnitude, so a form verified at sf0.1 can flip
+    at larger scale factors. This form instead rounds each ADDEND to
+    the 1e-6 grid (bit-identical per row on both engines — the same
+    per-row round the old form applied once at the end) and accumulates
+    in DECIMAL(38,6): exact, associative, partition-layout and
+    scale-factor independent up to 1e32 totals. Oracle mirror:
+    ``CAST(sum(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE)``.
+    """
+    return F.sum(F.round(col, 6).cast("decimal(38,6)")).cast("double")
+
+
+#: Driver-facing registration order. The correctness driver checks a
+#: PREFIX window of the registry (50 queries in rounds 1-2), so the
+#: highest-value coverage heads are listed first: the TPC-H plan-shape
+#: family, the streaming family, and the north-star dedup/similarity/
+#: text/multimodal heads — every one oracle-backed and green in the
+#: full driver_check sweep. Everything not listed follows in
+#: definition order, so the full registry is always exported.
+#:
+#: Round-4 rotation: the driver's correctness window covers a 50-query
+#: prefix, so the prefix is swapped each round until every query has an
+#: EXTERNAL verdict in some CORRECTNESS_r*.json. Rounds 1-3 verdicted
+#: 80 distinct queries; this prefix is 50 drawn from the 62 that have
+#: never been driver-checked (the 12 remaining — simple family siblings
+#: a13/a15/a22/o05/o07/o13/w05/w06/c12/u02/j04/t06/e03/d07 minus two —
+#: rotate in next round). Union of r01-r05 windows then covers all 142.
+_DRIVER_PREFIX = [
+    # events / time-series alignment family
+    "e03_range_join",
+    "e05_ewma",
+    "e06_interval_coverage",
+    "e07_funnel",
+    "e08_spatial_join",
+    "e09_running_distinct",
+    "e10_twap",
+    "e11_ohlc_bars",
+    "e12_asof_forward",
+    "e13_interarrival_histogram",
+    # relational / aggregate surface
+    "a18_promo_ratio",
+    "a19_priority_counts",
+    "a20_approx_distinct_bound",
+    "a25_approx_percentile_bound",
+    "j08_salted_skew_agg",
+    "j13_param_grid",
+    "w10_navigation_functions",
+    "c13_variant_shred",
+    "c14_calendar_rollup",
+    "c15_map_column_ops",
+    "u04_bag_set_ops",
+    "u05_bag_counts_derived",
+    # iterative / sketch / layout / ops
+    "g01_pagerank",
+    "o06_stratified_sample",
+    "o08_weighted_sample",
+    "o09_zorder_layout",
+    "o10_table_profile",
+    "o11_compaction_bins",
+    "o12_cohort_retention",
+    "o14_gaps_islands",
+    # sources + Python-integration surface
+    "src01_jsonl_roundtrip",
+    "src02_csv_fallback",
+    "src03_python_datasource",
+    "a23_scalar_pandas_udf",
+    "a24_grouped_agg_pandas_udf",
+    "u03_udtf_sentences",
+    # streaming family (never-verdicted members)
+    "st03_stream_dedup",
+    "st05_stream_stream_join",
+    "st06_stream_upsert_snapshot",
+    # north-star: dedup / similarity / text / multimodal
+    "d07_signlsh_neardup",
+    "d11_url_dedup",
+    "s05_kmeans_iteration",
+    "s06_label_centroids",
+    "t07_winnow_fingerprint",
+    "t09_pii_redact",
+    "t10_unigram_logprob",
+    "t11_feature_hashing",
+    "t12_explode_outer",
+    "t13_curation_funnel",
+    "m04_byte_features",
+]
+
+
+def _driver_order() -> list[str]:
+    rest = [n for n in QUERIES if n not in _DRIVER_PREFIX]
+    return [n for n in _DRIVER_PREFIX if n in QUERIES] + rest
+
+
+def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: QUERIES[name].spark for name in _driver_order()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {
+        n: QUERIES[n].oracle
+        for n in _driver_order()
+        if QUERIES[n].oracle is not None
+    }
+
+

@@ -1,0 +1,445 @@
+"""Northstar queries (split from the former monolithic plans/queries.py).
+
+Importing this module REGISTERS its queries (oracle SQL inline) into
+the shared registry — plans/queries.py imports every family module in
+the original definition order, so driver-facing ordering is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+from ._registry import QUERIES, _ctx, _dsum6, _register
+
+# =====================================================================
+# North-star training-data pipeline operators (BASELINE.json):
+# dedup / similarity search / text analysis / multimodal plumbing
+# =====================================================================
+
+from ..functions.dedup import (  # noqa: E402
+    DEFAULT_BAND_SIZE,
+    DEFAULT_NUM_HASHES,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..functions.multimodal import binary_payload_meta, with_fake_payload  # noqa: E402
+from ..functions.similarity import (  # noqa: E402
+    cosine_topk,
+    embedding_near_dup_pairs_blas,
+    ivf_topk,
+)
+from ..functions.text import (  # noqa: E402
+    LANG_MARKERS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+# shared SQL fragments, generated from the SAME constants as the Spark
+# implementations so the two sides cannot drift
+_SH_CTE = """
+toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+         FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM toks, range(1, 4096) t(i) WHERE i + 2 <= len(w))
+"""
+
+_MH_COLS = ",\n           ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(DEFAULT_NUM_HASHES)
+)
+_BAND_SELECTS = "\n      UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({expr}) AS bucket FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"mh{b * DEFAULT_BAND_SIZE + r}" for r in range(DEFAULT_BAND_SIZE)
+        ),
+    )
+    for b in range(DEFAULT_NUM_HASHES // DEFAULT_BAND_SIZE)
+)
+
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
+                                AND sa.doc_id < sb.doc_id
+          GROUP BY 1, 2)
+"""
+
+
+@_register(
+    "d01_exact_dedup",
+    """
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    survey="north-star dedup: exact hash-groupBy",
+)
+def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@_register(
+    "d02_minhash_lsh",
+    f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band
+                                       AND a.bucket = b.bucket
+                                       AND a.doc_id < b.doc_id),
+    {_JACCARD_TAIL.lstrip()}
+    SELECT c.doc_a, c.doc_b,
+           i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes na ON na.doc_id = c.doc_a
+    JOIN sizes nb ON nb.doc_id = c.doc_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.8
+    """,
+    survey="north-star dedup: MinHash+LSH (shingle→minhash→band→bucket-join→exact refine)",
+)
+def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.8)
+
+
+@_register(
+    "d03_simhash",
+    None,  # filled in below programmatically
+    survey="north-star dedup: SimHash bit-majority fingerprint",
+)
+def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+# bit j of the fingerprint = bit (3 - j%4) of md5 hex char j//4 — the
+# same nibble-consuming scheme as functions.dedup.simhash, generated
+# for the full SIMHASH_BITS width
+_SIM_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN ((strpos('0123456789abcdef', "
+    f"substr(md5(tok), {j // 4 + 1}, 1)) - 1) >> {3 - j % 4}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIM_BITS = " || ".join(
+    f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END" for j in range(SIMHASH_BITS)
+)
+QUERIES["d03_simhash"].oracle = f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                  FROM documents),
+    agg AS (SELECT doc_id, {_SIM_SUMS} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {_SIM_BITS} AS simhash_bits FROM agg
+    """
+
+
+@_register(
+    "d05_ngram_jaccard",
+    f"""
+    WITH {_SH_CTE},
+    {_JACCARD_TAIL.lstrip()}
+    SELECT i.doc_a, i.doc_b,
+           i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.8
+    """,
+    survey="north-star dedup: exact n-gram jaccard via inverted-index join",
+)
+def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.8)
+
+
+_COS = (
+    "list_dot_product(embedding::DOUBLE[], qv)"
+    " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(qv, qv)))"
+)
+
+
+@_register(
+    "s01_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_COS} AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    survey="north-star similarity: brute-force cosine top-k baseline",
+)
+def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, query_vec_id=0, k=10)
+
+
+@_register(
+    "s02_ivf_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    dims AS (SELECT label, i AS dim, avg(embedding[i]::DOUBLE) AS m
+             FROM embeddings, range(1, 65) t(i) GROUP BY label, i),
+    cent AS (SELECT label, list(m ORDER BY dim) AS centroid FROM dims GROUP BY label),
+    probe AS (SELECT label FROM (
+        SELECT c.label,
+               list_dot_product(c.centroid, q.qv)
+                 / (sqrt(list_dot_product(c.centroid, c.centroid))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS c_cos
+        FROM cent c, q ORDER BY c_cos DESC, label LIMIT 2))
+    SELECT vec_id, {_COS} AS cosine
+    FROM embeddings JOIN probe USING (label), q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    survey="north-star similarity: IVF-bucketed ANN (probe nearest centroids, pruned scan)",
+)
+def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_vec_id=0, k=10, nprobe=2)
+
+
+@_register(
+    "d04_embedding_neardup",
+    f"""
+    WITH scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+               AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, round(cosine, 9) AS cosine
+    FROM scored WHERE round(cosine, 9) >= 0.2
+    """,
+    survey="north-star dedup: embedding-cosine near-dup (label-blocked pairwise, "
+    "per-block BLAS gemm kernel)",
+    note="threshold 0.2 so the oracle checks ~10k real pairs (0.95 matches "
+    "nothing in the synthetic embeddings — a vacuous pass); the Spark side is "
+    "the applyInPandas matrix-multiply kernel, ulp-equal to the SQL fold.",
+)
+def d04_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_blas(emb, threshold=0.2)
+
+
+@_register(
+    "t01_token_stats",
+    r"""
+    WITH toks AS (SELECT doc_id, length(text) AS n_chars_actual,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS w,
+                         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+                  FROM documents)
+    SELECT doc_id, n_chars_actual, len(w) AS n_tokens,
+           CASE WHEN len(w) > 0
+                THEN list_sum(list_transform(w, t -> length(t))) * 1.0 / len(w)
+           END AS avg_token_len,
+           n_punct
+    FROM toks
+    """,
+    survey="north-star text: token counting + stats",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return token_stats(docs)
+
+
+@_register(
+    "t02_quality_score",
+    None,  # filled below from LANG_MARKERS
+    survey="north-star text: quality scoring (length/punct/stopword ratios)",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return quality_score(docs)
+
+
+_EN_RE = r"\b(" + "|".join(LANG_MARKERS["en"]) + r")\b"
+QUERIES["t02_quality_score"].oracle = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS n_tokens,
+             CAST(len(regexp_extract_all(lower(text), '{_EN_RE}')) AS DOUBLE) AS n_stop,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS n_punct,
+             CAST(length(text) AS DOUBLE) AS n_chars
+      FROM documents),
+    r AS (SELECT doc_id,
+                 CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+                 least(n_chars / 500.0, 1.0) AS len_score
+          FROM base)
+    SELECT doc_id, stop_ratio, punct_ratio, len_score,
+           0.5 * len_score + 0.3 * (1.0 - punct_ratio) + 0.2 * stop_ratio AS quality
+    FROM r
+    """
+
+
+@_register(
+    "t03_language_id",
+    None,  # filled below from LANG_MARKERS
+    survey="north-star text: n-gram/stopword language-ID heuristic",
+)
+def t03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+_HIT_COLS = ",\n           ".join(
+    "len(regexp_extract_all(lower(text), '\\b({alts})\\b')) AS hits_{lang}".format(
+        alts="|".join(words), lang=lang
+    )
+    for lang, words in LANG_MARKERS.items()
+)
+_BEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_MARKERS) + ")"
+_GUESS = (
+    "CASE WHEN " + _BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN hits_{lang} = {_BEST} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    + " END"
+)
+QUERIES["t03_language_id"].oracle = f"""
+    WITH h AS (SELECT doc_id,
+           {_HIT_COLS}
+      FROM documents)
+    SELECT doc_id, {', '.join('hits_' + g for g in LANG_MARKERS)},
+           {_GUESS} AS lang_guess
+    FROM h
+    """
+
+
+@_register(
+    "t04_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))
+             AS fp,
+           length(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' '))
+             AS norm_len
+    FROM documents
+    """,
+    survey="north-star text: normalized md5 document fingerprint",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return fingerprint(docs)
+
+
+@_register(
+    "m01_binary_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS payload_md5
+    FROM documents
+    """,
+    survey="north-star multimodal: opaque binary payload + typed metadata (JVM-side)",
+)
+def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return binary_payload_meta(with_fake_payload(docs))
+
+
+@_register(
+    "m02_decode_stub",
+    """
+    WITH d AS (
+      SELECT doc_id, encode(text) AS p FROM documents),
+    h AS (
+      SELECT doc_id, octet_length(p) AS n,
+             substr(lower(hex(p)), 1, 512) AS hx
+      FROM d),
+    luma AS (
+      SELECT doc_id, n,
+             sum((strpos('0123456789abcdef', substr(hx, 2*u.i-1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(hx, 2*u.i,   1)) - 1))
+               AS byte_sum
+      FROM h, LATERAL (SELECT unnest(generate_series(1, least(n, 256)))
+                       AS i) u
+      GROUP BY doc_id, n)
+    SELECT h.doc_id, CAST(h.n AS INT) AS n_bytes,
+           CAST(greatest(1, h.n % 64) AS INT) AS width,
+           CAST(greatest(1, (h.n // 64) % 64) AS INT) AS height,
+           (CAST(coalesce(l.byte_sum, 0) AS DOUBLE)
+             / greatest(1, least(h.n, 256))) / 255.0 AS mean_luma
+    FROM h LEFT JOIN luma l USING (doc_id)
+    """,
+    survey="north-star multimodal: mapInPandas decode plumbing on "
+    "arbitrary (non-image) bytes — the byte-heuristic codec "
+    "(dimensions from byte length, luminance from the first-256-byte "
+    "mean) is reproduced relationally from hex nibbles, so the "
+    "distributed harness (Arrow batching, NULL-payload handling, "
+    "schema contract) is oracle-checked independent of any container; "
+    "the REAL in-repo codec over a real container is m05_ppm_decode",
+)
+def m02_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_images
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return decode_images(with_fake_payload(docs))
+
+
+@_register(
+    "m05_ppm_decode",
+    """
+    WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+               FROM documents),
+    s AS (SELECT d.doc_id, d.w, d.h, u.k,
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                    || CAST(u.k AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                    || CAST(u.k AS VARCHAR)), 2, 1)) - 1) AS v
+          FROM d, LATERAL (SELECT unnest(generate_series(0, 3*d.w*d.h - 1))
+                           AS k) u),
+    agg AS (SELECT doc_id, w, h,
+                   sum(CASE WHEN k % 3 = 0 THEN 299 * v
+                            WHEN k % 3 = 1 THEN 587 * v
+                            ELSE 114 * v END) AS lsum,
+                   sum(CASE WHEN v < 10 THEN 1
+                            WHEN v < 100 THEN 2
+                            ELSE 3 END) AS digits,
+                   count(*) AS n3
+            FROM s GROUP BY doc_id, w, h)
+    SELECT doc_id,
+           CAST(3 + 6 + length(CAST(doc_id AS VARCHAR))
+                + length(CAST(w AS VARCHAR)) + 1
+                + length(CAST(h AS VARCHAR)) + 1
+                + 4 + digits + n3 AS INT) AS n_bytes,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(lsum AS DOUBLE) / (255000.0 * w * h) AS mean_luma
+    FROM agg
+    """,
+    survey="north-star multimodal: REAL pure-Python codec for a real "
+    "container — deterministic plain-PPM (P3) payloads (magic, comment "
+    "line, dimensions, maxval, ASCII samples) are generated per doc and "
+    "genuinely parsed back by decode_ppm under Arrow-batched mapInPandas; "
+    "the oracle re-derives byte length, header dimensions, and the "
+    "integer Rec.601 luma sum from the same md5 sample stream, so a "
+    "header-parse or tokenizer bug flips the hash",
+    note="n_bytes counts every container byte (magic+newline 3, comment "
+    "'# id {id}\\n', dims line, '255\\n', ASCII samples + separators + "
+    "trailing newline) — the decoder and generator must agree on the "
+    "exact serialization for this to match.",
+)
+def m05_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate real P3 images deterministically per doc_id, decode
+    them with the real PPM codec, emit (n_bytes, width, height,
+    mean_luma) — the full multimodal decode path with zero stubs."""
+    from ..functions.multimodal import decode_images, decode_ppm, with_ppm_payload
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return decode_images(with_ppm_payload(docs.select("doc_id")), decoder=decode_ppm)
+
+

@@ -1,0 +1,710 @@
+"""Relational2 queries (split from the former monolithic plans/queries.py).
+
+Importing this module REGISTERS its queries (oracle SQL inline) into
+the shared registry — plans/queries.py imports every family module in
+the original definition order, so driver-facing ordering is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..sources.tables import load_table
+from ._registry import QUERIES, _ctx, _dsum6, _register
+
+@_register(
+    "w08_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf,
+           grouping(l_linestatus) AS g_ls,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus))
+    """,
+    survey="A-family extension: arbitrary (non-hierarchical) GROUPING SETS "
+    "via the engine's SQL surface — one Expand + one aggregate for any set "
+    "combination, complementing w04's ROLLUP",
+)
+def w08_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag, per-status, and per-(flag,status) totals in one pass —
+    grouping-set combinations ROLLUP can't express (it only nests).
+    Runs through spark.sql: the engine exposes the full SQL surface
+    over the same tables the DataFrame API uses."""
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_w08_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf,
+               grouping(l_linestatus) AS g_ls,
+               sum(l_quantity) AS sum_qty
+        FROM _w08_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        """
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("g_rf").cast("long").alias("g_rf"),
+        F.col("g_ls").cast("long").alias("g_ls"),
+        "sum_qty",
+    )
+
+
+@_register(
+    "st03_stream_dedup",
+    """
+    SELECT DISTINCT md5(text) AS fp FROM documents WHERE text IS NOT NULL
+    """,
+    survey="streaming: stateful exact dedup (streaming dropDuplicates on a "
+    "content fingerprint — the novel-documents-only ingest pattern) replayed "
+    "to completion; surviving fingerprint set oracle-checked against batch "
+    "DISTINCT (which doc survives per fingerprint is replay-order-dependent, "
+    "the fingerprint set is not)",
+)
+def st03_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the documents table through the file-stream source with
+    streaming dropDuplicates state, then project the surviving
+    fingerprint set (deterministic; survivor choice per fingerprint is
+    not, and is excluded from the contract)."""
+    from ..streaming import read_table_stream, run_stream_to_memory
+    from ..streaming.features import stream_exact_dedup
+
+    docs = read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    out = run_stream_to_memory(stream_exact_dedup(docs), output_mode="append")
+    return out.select(F.md5(F.col("text")).alias("fp")).distinct()
+
+
+@_register(
+    "a13_percentiles",
+    """
+    SELECT user_id,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.9)  AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    survey="A-family exact percentiles: interpolated p50/p90/p99 per key "
+    "(F.percentile — exact, matches quantile_cont; percentile_approx is the "
+    "documented 100TB trade when exactness is negotiable)",
+)
+def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "t07_winnow_fingerprint",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') AS t
+      FROM documents),
+    b AS (SELECT doc_id, t, length(t) - 7 AS nkg FROM base WHERE length(t) >= 8),
+    kg AS (
+      SELECT doc_id, nkg, u.pos,
+             ('0x' || substr(md5(substr(t, u.pos, 8)), 1, 8))::BIGINT AS h
+      FROM b, LATERAL (SELECT unnest(generate_series(1, nkg)) AS pos) u),
+    win AS (
+      SELECT doc_id, nkg, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+      FROM kg),
+    fp AS (
+      SELECT DISTINCT doc_id, mh FROM win
+      WHERE pos <= greatest(nkg - 3, 1))
+    SELECT doc_id, count(*) AS n_fp,
+           md5(string_agg(mh::VARCHAR, ',' ORDER BY mh)) AS fp_digest
+    FROM fp GROUP BY doc_id
+    """,
+    survey="north-star text: winnowing rolling-hash fingerprints (MOSS "
+    "k-gram/window local fingerprinting — hash every k-gram in codegen, "
+    "bounded-frame window min per w-window, dedupe to the fingerprint set; "
+    "linear in corpus chars, one doc_id shuffle)",
+)
+def t07_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document (k=8 chars, w=4 windows),
+    summarized as count + order-canonical digest."""
+    from ..functions.text import winnow_fingerprints
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=8, w=4, hash_fn="md5")
+
+
+@_register(
+    "o06_stratified_sample",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rank
+      FROM customer)
+    SELECT c_custkey, c_mktsegment, c_acctbal, rank
+    FROM r WHERE rank <= 50
+    """,
+    survey="extension: exact-n-per-stratum deterministic sample (md5-ordered "
+    "row_number per stratum — engine/run/partitioning-reproducible where "
+    "sampleBy is fraction-approximate and seed-bound; rank retained so "
+    "nested sub-samples need no resampling)",
+)
+def o06_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 customers per market segment, chosen by deterministic
+    hash order — the balanced-eval-set construction."""
+    from ..functions.sampling import stratified_sample
+
+    (cust,) = _ctx(spark, sf_dir, "customer")
+    return stratified_sample(cust, stratum="c_mktsegment", key="c_custkey", n_per_stratum=50).select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "rank"
+    )
+
+
+@_register(
+    "j05_correlated_avg",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size < 15
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+    survey="J-family extension: correlated scalar AVG subquery (TPC-H Q17 "
+    "shape) decorrelated to a partition window over the joined fact — one "
+    "shuffle, no self-join re-scan of lineitem",
+)
+def j05_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue below a per-part average threshold. The
+    correlated `avg per p_partkey` never re-scans lineitem: after the
+    selective part join (broadcast — 25-brand dim filter), EVERY
+    lineitem of a qualifying part is present, so a window AVG over
+    l_partkey computes the exact correlated threshold in the same
+    shuffle that the decorrelated join would need, minus the join.
+    l_quantity is integer-valued so the 0.2*avg threshold is exact in
+    both engines (no boundary-flip risk on the comparison)."""
+    li, part = _ctx(spark, sf_dir, "lineitem", "part")
+    pf = part.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15))
+    joined = li.join(F.broadcast(pf), li["l_partkey"] == pf["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    thr = (F.lit(0.2) * F.avg("l_quantity").over(w)).alias("_thr")
+    return (
+        joined.select("l_extendedprice", "l_quantity", thr)
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            # exact decimal sum (see _dsum6): the cast-to-double sums
+            # are bit-identical across engines, and IEEE division of
+            # identical doubles is deterministic
+            (_dsum6(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@_register(
+    "j06_disjunctive_join",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    survey="J-family extension: disjunctive OR-of-ANDs join predicate "
+    "(TPC-H Q19 shape) — equi-key extracted so the OR residual rides a "
+    "broadcast hash join; the part-side disjunction union is pushed to the "
+    "build side scan",
+)
+def j06_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs revenue. The common p_partkey = l_partkey conjunct is
+    the join key; the per-branch part filter (union of the three
+    part-side conditions) prunes the broadcast build side BEFORE the
+    join, and the mixed part×lineitem residual evaluates post-probe —
+    Catalyst does exactly this given the single declarative OR, no
+    manual union-of-three-joins needed."""
+    li, part = _ctx(spark, sf_dir, "lineitem", "part")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    b = F.col("p_brand")
+    s = F.col("p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        _dsum6(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "j07_waiting_supplier",
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    """,
+    survey="J-family extension: correlated EXISTS + NOT-EXISTS self-joins "
+    "(TPC-H Q21 shape, lateness = shipped >90 days after order) decorrelated "
+    "to per-order distinct-supplier window sets — one orderkey shuffle "
+    "replaces two lineitem self-join re-scans",
+)
+def j07_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the SOLE late shipper on multi-supplier
+    orders. Both correlated subqueries (another supplier exists /
+    no OTHER supplier was late) collapse into two distinct-count
+    windows over the same l_orderkey partition: n_supp > 1 replaces
+    EXISTS, n_late_supp == 1 replaces NOT EXISTS (the current row is
+    itself late, so the single late supplier is necessarily it). The
+    lineitem is scanned once; the two self-joins of the literal SQL
+    never materialize."""
+    sup, li, orders = _ctx(spark, sf_dir, "supplier", "lineitem", "orders")
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).withColumn(
+        "_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    w = Window.partitionBy("l_orderkey")
+    lo = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("_n_supp"),
+        F.size(
+            F.collect_set(F.when(F.col("_late"), F.col("l_suppkey"))).over(w)
+        ).alias("_n_late"),
+    )
+    hits = lo.filter(
+        F.col("_late") & (F.col("_n_supp") > 1) & (F.col("_n_late") == 1)
+    )
+    return (
+        hits.join(F.broadcast(sup), hits["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@_register(
+    "st04_stream_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN prev_us IS NULL
+                       OR epoch_us(ts) - prev_us >= 1800 * 1000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM (SELECT user_id, ts, event_id, value,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_us
+            FROM events))
+    SELECT user_id,
+           min(epoch_us(ts)) AS session_start_us,
+           max(epoch_us(ts)) + 1800 * 1000000 AS session_end_us,
+           count(*) AS n_events,
+           sum(value) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    survey="streaming: native session-window sessionization (stateful "
+    "gap-merged windows per user, sessions MERGE across micro-batches on "
+    "out-of-order bridging events — the incremental form of e02's batch "
+    "lag/cumsum) replayed to completion, oracle-checked against batch "
+    "gap sessionization (boundary at gap >= 30min, end-exclusive)",
+)
+def st04_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real streaming execution of session_window: events replayed
+    through the file-stream source into stateful session aggregation,
+    complete mode → the final sink state is the exact session set.
+    Session end is last-event + gap (Spark's end-exclusive contract),
+    so the oracle's boundary is `diff >= gap`, unlike e02's `>`."""
+    from ..streaming import read_events_stream, run_stream_to_memory
+    from ..streaming.features import stream_sessionize
+
+    sess = stream_sessionize(read_events_stream(spark, sf_dir))
+    out = run_stream_to_memory(sess, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@_register(
+    "m04_byte_features",
+    """
+    WITH d AS (SELECT doc_id, encode(text) AS p FROM documents),
+    h AS (
+      SELECT doc_id, lower(hex(p)) AS hx, octet_length(p) AS n
+      FROM d WHERE p IS NOT NULL AND octet_length(p) > 0),
+    b AS (
+      SELECT doc_id, n, hx,
+             (strpos('0123456789abcdef', substr(hx, 2*u.i-1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2*u.i,   1)) - 1) AS byte
+      FROM h, LATERAL (SELECT unnest(generate_series(1, n)) AS i) u),
+    hist AS (
+      SELECT doc_id, n, hx, byte, count(*) AS c
+      FROM b GROUP BY doc_id, n, hx, byte),
+    ent AS (
+      SELECT doc_id, n, hx,
+             sum(byte * c)::DOUBLE / n AS mean_byte,
+             round(-sum((c::DOUBLE / n) * log2(c::DOUBLE / n)), 8) AS entropy
+      FROM hist GROUP BY doc_id, n, hx)
+    SELECT d.doc_id, coalesce(e.n, 0) AS n_bytes, e.mean_byte, e.entropy,
+           substr(e.hx, 1, 8) AS magic_hex
+    FROM d LEFT JOIN ent e USING (doc_id)
+    """,
+    survey="north-star multimodal: byte-level payload features (size, mean "
+    "byte, Shannon entropy, magic bytes — the content-sniff/corruption "
+    "screen before decode) via numpy-vectorized mapInPandas, no shuffle; "
+    "oracle rebuilds the byte histogram from hex nibbles in SQL",
+)
+def m04_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte histogram features of the (synthetic UTF-8) payloads —
+    Arrow-batched numpy per payload; linear in total bytes."""
+    from ..functions.multimodal import byte_features, with_fake_payload
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    # entropy ≤ 8 bits: round(,8) absorbs histogram summation-order ulp
+    # noise (mean_byte is an integer sum / n — already deterministic)
+    return byte_features(with_fake_payload(docs)).withColumn(
+        "entropy", F.round("entropy", 8)
+    )
+
+
+@_register(
+    "a17_quantile_2pass",
+    """
+    SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.5)  AS p50,
+           quantile_cont(l_extendedprice, 0.9)  AS p90,
+           count(l_extendedprice) AS n
+    FROM lineitem
+    """,
+    survey="A-family scale path: EXACT global quantiles via two-pass "
+    "bucketed selection (histogram scan locates the rank's bucket, a "
+    "bucket-pruned scan yields ~n/4096 candidates, percentile_cont "
+    "interpolation driver-side) — no single-node value buffer, unlike "
+    "F.median/F.percentile whose TypedImperativeAggregate collects the "
+    "whole column into one final merge; the only exact-quantile plan "
+    "shape that survives 100 TB",
+)
+def a17_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p90 of lineitem prices by distributed bucketed
+    selection (three parallel scans, kilobytes on the driver)."""
+    from ..functions.stats import exact_quantiles_2pass
+
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    qs = exact_quantiles_2pass(li, "l_extendedprice", [0.25, 0.5, 0.9])
+    n = li.filter(F.col("l_extendedprice").isNotNull()).count()
+    return spark.range(1).select(
+        F.lit(qs[0.25]).alias("p25"),
+        F.lit(qs[0.5]).alias("p50"),
+        F.lit(qs[0.9]).alias("p90"),
+        F.lit(n).alias("n"),
+    )
+
+
+@_register(
+    "w09_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_prio,
+           count(*) AS n, sum(o_totalprice) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    survey="A-family extension: CUBE grouping sets (all 2^k dimension "
+    "subsets in one Expand + one aggregate pass — completes the "
+    "ROLLUP (w04) / GROUPING SETS (w08) family) with grouping() "
+    "indicators disambiguating NULL-as-total from NULL data",
+)
+def w09_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four aggregation granularities of status × priority in one
+    pass: Expand replicates each row once per grouping set BEFORE the
+    exchange, so partial aggregation still combines map-side — one
+    shuffle regardless of how many sets the cube implies."""
+    (orders,) = _ctx(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_status"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("sum_price"),
+        )
+    )
+
+
+@_register(
+    "o07_latest_by_key",
+    """
+    SELECT user_id, event_type, value AS last_value, epoch_us(ts) AS ts_us
+    FROM (SELECT user_id, event_type, value, ts,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    survey="extension: latest-version-wins compaction (CDC/upsert "
+    "materialization — one row_number window per key, newest record "
+    "survives; the changelog→snapshot primitive every lakehouse table "
+    "maintenance loop runs) with a total tie-break",
+)
+def o07_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot of the newest event per (user, event_type): one
+    key-partitioned window, newest-first rank 1. At scale this is the
+    MERGE/compaction inner loop — the window shuffle partitions by the
+    upsert key, so output partitioning matches the table's bucketing
+    and the write needs no extra exchange."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("value").alias("last_value"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+    )
+
+
+@_register(
+    "j08_salted_skew_agg",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    survey="physical-layout extension: salted two-phase aggregation over a "
+    "pathologically skewed key (a handful of event_type values = a handful "
+    "of reducers in the naive plan; the salt spreads each hot key over 16 "
+    "partial reducers, the second phase combines 16 partials per key) — "
+    "result provably identical to the direct GROUP BY",
+)
+def j08_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe rollup by event_type (~5 distinct values over the whole
+    fact — the worst-case hot-key layout). count is combined as sum of
+    partial counts; min/max/sum combine as themselves. At local scale
+    the salt costs one extra (tiny) shuffle; at 1000 executors it is
+    the difference between 5 busy reducers and 80."""
+    from ..sources.layout import salted_two_phase
+
+    (ev,) = _ctx(spark, sf_dir, "events")
+    return salted_two_phase(
+        ev,
+        ["event_type"],
+        {
+            "n": F.count(F.lit(1)),
+            # decimal partials: the salt-phase partial sums AND the
+            # combine-phase re-sum are both exact and associative, so
+            # the salted plan is bit-identical to the direct GROUP BY
+            # at any n (see _dsum6)
+            "sum_value": F.sum(
+                F.round(F.col("value"), 6).cast("decimal(38,6)")
+            ),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    ).select(
+        "event_type",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    )
+
+
+@_register(
+    "s05_kmeans_iteration",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cluster, e AS c FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT e.vec_id, cent.cluster,
+             list_dot_product(e.e, e.e)
+               - 2 * list_dot_product(e.e, cent.c)
+               + list_dot_product(cent.c, cent.c) AS dist
+      FROM e, cent),
+    asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM d) WHERE rn = 1)
+    SELECT a.cluster, u.dim, avg(e.e[u.dim]) AS c_val, count(*) AS n
+    FROM asg a JOIN e USING (vec_id),
+         LATERAL (SELECT unnest(generate_series(1, 64)) AS dim) u
+    GROUP BY a.cluster, u.dim
+    """,
+    survey="north-star similarity: exact Lloyd/k-means iteration "
+    "(deterministic seeds, E-step as a join-free scan against broadcast "
+    "literal centroids, M-step as one skinny (cluster,dim) mean shuffle) — "
+    "the iterative-ML / IVF-training primitive; the driver loop re-collects "
+    "only k·dim numbers per round",
+)
+def s05_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embeddings table, k=8."""
+    from ..functions.similarity import kmeans_lloyd_iteration
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_iteration(emb, k=8)
+
+
+@_register(
+    "st05_stream_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+           p.event_id AS purchase_id, epoch_us(p.ts) AS purchase_ts_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+    survey="streaming: stream-stream band self-join (click→purchase "
+    "attribution — both sides of one unbounded feed buffered in join "
+    "state, matches emitted as either side arrives; watermark bounds "
+    "eviction in production) replayed to completion, oracle-checked "
+    "against the batch band self-join",
+)
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to same-user clicks of the preceding hour,
+    executed as a genuine stream-stream join (append mode)."""
+    from ..streaming import read_events_stream, run_stream_to_memory
+    from ..streaming.features import stream_click_attribution
+
+    joined = stream_click_attribution(read_events_stream(spark, sf_dir))
+    out = run_stream_to_memory(joined, output_mode="append")
+    return out.select(
+        "user_id",
+        "click_id",
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias("click_ts_us"),
+        "purchase_id",
+        F.unix_micros(F.col("purchase_ts").cast("timestamp")).alias("purchase_ts_us"),
+    )
+
+
+@_register(
+    "c13_variant_shred",
+    """
+    SELECT user_id, avg(CAST(props->>'k' AS BIGINT)) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    survey="C-family extension: VARIANT semi-structured shredding "
+    "(parse_json once into Spark 4's binary VARIANT encoding, "
+    "variant_get typed path access — vs c12's get_json_object which "
+    "re-parses the JSON text per expression; with multiple extractions "
+    "per row the parse happens once, and Parquet variant shredding "
+    "pushes typed subcolumns to the scan at rest)",
+)
+def c13_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregate over a VARIANT-parsed property. parse_json →
+    variant_get::long extracts through the binary encoding, not the
+    text — the Spark-4-native semi-structured path."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("user_id", k.alias("_k"))
+        .groupBy("user_id")
+        .agg(F.avg("_k").alias("avg_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "u03_udtf_sentences",
+    """
+    WITH seg AS (
+      SELECT doc_id, i, trim(parts[i]) AS s
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(text, '[.!?]+') AS parts
+            FROM documents) t,
+           LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) u
+      WHERE trim(parts[i]) <> ''),
+    numbered AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS sent_idx,
+             s
+      FROM seg)
+    SELECT doc_id, sent_idx,
+           length(array_to_string(
+             regexp_extract_all(lower(s), '[a-z0-9]+'), ' ')) AS norm_len,
+           len(regexp_extract_all(lower(s), '[a-z0-9]+')) AS n_words
+    FROM numbered
+    """,
+    survey="U-family extension: Python UDTF (one row in → many typed rows "
+    "out through a LATERAL table function — Spark 4's user-defined table "
+    "function surface; the per-row generator form complements m03's "
+    "Arrow-batched mapInPandas one-to-many) splitting documents into "
+    "numbered sentences with token stats",
+)
+def u03_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a registered UDTF applied LATERAL per
+    document row. UDTFs run row-at-a-time Python — correct for
+    low-fanout structural expansion like this; for byte-heavy decode
+    fanout the Arrow-batched mapInPandas (m03) is the fast shape."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, norm_len int, n_words int")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for seg in re.split(r"[.!?]+", text):
+                s = seg.strip()
+                if not s:
+                    continue
+                idx += 1
+                toks = re.findall(r"[a-z0-9]+", s.lower())
+                yield idx, len(" ".join(toks)), len(toks)
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs.createOrReplaceTempView("_u03_docs")
+    return spark.sql(
+        "SELECT doc_id, s.sent_idx, s.norm_len, s.n_words "
+        "FROM _u03_docs, LATERAL split_sentences(text) s"
+    )
+
+

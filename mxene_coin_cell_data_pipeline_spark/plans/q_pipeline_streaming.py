@@ -732,6 +732,53 @@ def d12_lsh_star_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=_D12_CAP)
 
 
+# the d06 closure fed by the CAPPED pair set — the complete production
+# chain (capped emission -> refine -> hash-min groups), oracle-checked
+# against a recursive CTE over the identical capped pair SQL
+_D14_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {{d12_sql}}
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src)
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+    """
+
+
+@_register(
+    "d14_star_cap_groups",
+    None,  # assigned below from d12's registered oracle
+    survey="north-star dedup, the full 100 TB chain: bucket-capped LSH "
+    "candidate emission (star edges past the cap) -> jaccard refine -> "
+    "hash-min transitive closure into keeper groups — the exact pipeline "
+    "a production dedup pass runs, with every stage's pair volume bounded "
+    "linearly in duplicate-cluster size",
+    note="Closure over the capped pair set; tests/test_dedup_star_cap.py "
+    "additionally pins that this closure equals the uncapped one on "
+    "duplicate-heavy corpora (star edges keep every bucket connected).",
+)
+def d14_star_cap_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper groups from the capped near-dup graph."""
+    from ..functions.dedup import minhash_near_dup_pairs, near_dup_groups
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return near_dup_groups(
+        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=_D12_CAP)
+    )
+
+
+QUERIES["d14_star_cap_groups"].oracle = _D14_ORACLE.format(
+    d12_sql=QUERIES["d12_lsh_star_cap"].oracle
+)
+
+
 def _d13_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4, cap: int = 2) -> str:
     """d09's pigeonhole band join with the per-bucket star cap."""
     sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle

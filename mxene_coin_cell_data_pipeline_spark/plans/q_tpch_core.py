@@ -21,35 +21,65 @@ from ._registry import QUERIES, _ctx, _dsum6, _register
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                        AS sum_qty,
-           sum(l_extendedprice)                                   AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
-           avg(l_quantity)                                        AS avg_qty,
-           avg(l_extendedprice)                                   AS avg_price,
-           avg(l_discount)                                        AS avg_disc,
-           count(*)                                               AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+           sum_qty, sum_base_price, sum_disc_price, sum_charge,
+           sum_qty        / count_order AS avg_qty,
+           sum_base_price / count_order AS avg_price,
+           sum_disc       / count_order AS avg_disc,
+           count_order
+    FROM (
+      SELECT l_returnflag, l_linestatus,
+             CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE)                                      AS sum_qty,
+             CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE)                                      AS sum_base_price,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE)          AS sum_disc_price,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax), 6)
+                           AS DECIMAL(38,6))) AS DOUBLE)          AS sum_charge,
+             CAST(sum(CAST(round(l_discount, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE)                                      AS sum_disc,
+             count(*)                                             AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus)
     """,
     survey="S4 A1 O2 (flagship: TPC-H Q1 shape)",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All money sums accumulate exactly: every addend has <= 6 intrinsic
+    decimals (2dp price x 2dp discount x 2dp tax), so the per-addend
+    round recovers the true value and the DECIMAL(38,6) sum is exact and
+    associative at ANY scale factor — the plain double sum verified green
+    at sf0.1 flipped its last ulp at 100x (sum_charge ~2.8e11). The avgs
+    divide the exact double-cast sum by the count (one IEEE division on
+    identical operands in both engines) instead of avg()'s own
+    order-dependent double accumulation."""
     (li,) = _ctx(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.col("count_order")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc).alias("sum_disc_price"),
-            F.sum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            _dsum6(F.col("l_quantity")).alias("sum_qty"),
+            _dsum6(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum6(disc).alias("sum_disc_price"),
+            _dsum6(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _dsum6(F.col("l_discount")).alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            (F.col("sum_qty") / cnt).alias("avg_qty"),
+            (F.col("sum_base_price") / cnt).alias("avg_price"),
+            (F.col("sum_disc") / cnt).alias("avg_disc"),
+            "count_order",
         )
     )
 

@@ -122,8 +122,14 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
+        # driver data is a single file <t>.parquet; Spark-written tables
+        # (tools/gen_10x.py, sources/layout.py) are DIRECTORIES of
+        # part files — glob those for DuckDB
+        path = f"{args.sf}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     report: dict[str, dict] = {}

@@ -74,8 +74,54 @@ def _dsum6(col) -> F.Column:
     in DECIMAL(38,6): exact, associative, partition-layout and
     scale-factor independent up to 1e32 totals. Oracle mirror:
     ``CAST(sum(CAST(round(x, 6) AS DECIMAL(38,6))) AS DOUBLE)``.
+
+    CHOOSING _dsum6 vs _fsum6: the SUM here is exact at any scale, but
+    the final decimal->double cast is only cross-engine-identical while
+    the total stays under 2^53 micro-units (~9.0e9 units) — DuckDB
+    double-rounds (int128 -> double -> /1e6) where Spark rounds once
+    (measured at 100x: q01's 2.8e11 totals landed on adjacent doubles).
+    Use _dsum6 where the per-group total is structurally bounded (q03's
+    per-order revenue, streaming per-window rollups); use _fsum6 where
+    totals grow with corpus size (q01/q05 whole-table or nation-level
+    sums). Every registered _dsum6 site was swept green at 100x — the
+    largest (q07/q09/a14 group totals ~2e9) cross the boundary only
+    past ~500x sf0.1.
     """
     return F.sum(F.round(col, 6).cast("decimal(38,6)")).cast("double")
+
+
+def _fsum6(col) -> F.Column:
+    """Exact micro-unit sum of fixed-decimal data, safe for LARGE totals.
+
+    _dsum6's DECIMAL(38,6) accumulation is exact, but its final
+    decimal->double cast is engine-dependent once the total passes
+    ~2^53 micro-units (~9e9): DuckDB converts int128 -> double -> /1e6
+    (two roundings) where Spark rounds the decimal once — at 100x data
+    q01's 2.8e11 sum_charge landed on ADJACENT doubles (measured; the
+    per-addend decimals were multiset-identical). This form accumulates
+    ``floor(x*1e6 + 0.5)`` int64 micro-units — multiply/add/floor are
+    IEEE-identical per row on both engines, the integer sum is exact —
+    and both engines then derive the double through the SAME two ops
+    (int64->double cast, /1e6), so the result is bit-identical at any
+    total. The e10/g01/energy fixed-point idiom, applied to sums.
+
+    Bound: int64 overflows at 9.2e18 micro-units = 9.2e12 units; raise
+    the guard like operators/energy.py if a use case approaches it
+    (100x lineitem totals are 2.8e17 micro — 32x headroom).
+    Oracle mirror: ``CAST(sum(CAST(floor(x * 1000000.0 + 0.5) AS
+    BIGINT)) AS DOUBLE) / 1000000.0``.
+    """
+    return F.sum(
+        F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ).cast("double") / F.lit(1000000.0)
+
+
+def _fsum6_micro(col) -> F.Column:
+    """The raw int64 micro-unit sum behind _fsum6 — use when the total
+    feeds an exact comparison (j10's max-equality) or a ratio whose
+    scale cancels (q08/a18): integer equality/division on identical
+    operands is deterministic where double-sum comparison is not."""
+    return F.sum(F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
 
 
 #: Driver-facing registration order. The correctness driver checks a

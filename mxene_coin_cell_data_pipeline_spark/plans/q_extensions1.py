@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
-from ._registry import QUERIES, _ctx, _dsum6, _register
+from ._registry import QUERIES, _ctx, _dsum6, _fsum6_micro, _register
+
+
+def _rev_micro(col: F.Column) -> F.Column:
+    """Per-row int64 micro-units of a <=6-decimal money expression —
+    the addend form behind _fsum6/_fsum6_micro (see _registry)."""
+    return F.floor(col * F.lit(1000000.0) + F.lit(0.5)).cast("long")
 
 # =====================================================================
 # TPC-H completion shapes: group-vs-global, max-over-agg, nested semi,
@@ -55,14 +61,17 @@ def j09_group_vs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j10_max_over_agg",
     """
     WITH srev AS (
-      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                            * 1000000.0 + 0.5) AS BIGINT)) AS rev_micro
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_rev
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.rev_micro AS DOUBLE) / 1000000.0 AS total_rev
     FROM supplier s JOIN srev r ON s.s_suppkey = r.l_suppkey
-    WHERE r.total_rev = (SELECT max(total_rev) FROM srev)
+    WHERE r.rev_micro = (SELECT max(rev_micro) FROM srev)
     """,
     survey="J-family extension: select the group(s) attaining the maximum "
     "of an aggregate (TPC-H Q15 shape) — the per-supplier aggregate is "
@@ -73,7 +82,12 @@ def j10_max_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top revenue supplier(s) for 1996Q1. srev is computed once; the
     scalar max is a 1-row broadcast cross join back onto it (NOT a
     global Window.orderBy, which would single-task the sort; NOT a
-    second scan of lineitem, which would double the fact I/O)."""
+    second scan of lineitem, which would double the fact I/O).
+
+    The attained-max equality compares EXACT int64 micro-unit totals:
+    a double-sum equality is order-dependent — at 100x DuckDB's own two
+    parallel evaluations of srev disagreed in the last ulp and its
+    oracle returned ZERO rows (equality never matched)."""
     li, sup = _ctx(spark, sf_dir, "lineitem", "supplier")
     srev = (
         li.filter(
@@ -82,17 +96,21 @@ def j10_max_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "total_rev"
+            _fsum6_micro(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev_micro"
             )
         )
     )
-    mx = srev.agg(F.max("total_rev").alias("_mx"))
+    mx = srev.agg(F.max("rev_micro").alias("_mx"))
     return (
         srev.join(F.broadcast(mx))
-        .filter(F.col("total_rev") == F.col("_mx"))
+        .filter(F.col("rev_micro") == F.col("_mx"))
         .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_rev")
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_micro").cast("double") / F.lit(1000000.0)).alias("total_rev"),
+        )
     )
 
 
@@ -142,9 +160,11 @@ def j11_nested_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a18_promo_ratio",
     """
     SELECT 100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                            THEN l.l_extendedprice * (1 - l.l_discount)
-                            ELSE 0.0 END)
-                / sum(l.l_extendedprice * (1 - l.l_discount)) AS promo_pct,
+                            THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                            * 1000000.0 + 0.5) AS BIGINT)
+                            ELSE 0 END)
+                / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 1000000.0 + 0.5) AS BIGINT)) AS promo_pct,
            count(*) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-06-01'
@@ -168,10 +188,12 @@ def a18_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
+            # exact micro-unit sums; the pct is 100.0 * long / long —
+            # identical IEEE ops on identical operands in both engines
             (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev)
+                * F.sum(F.when(F.col("p_type") == "PROMO", _rev_micro(rev)).otherwise(F.lit(0)))
+                / F.sum(_rev_micro(rev))
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n"),
         )

@@ -69,8 +69,11 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         AND o.o_orderdate < TIMESTAMP '1998-01-01')
     SELECT yr,
-           sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END)
-             / sum(volume) AS mkt_share,
+           sum(CASE WHEN supp_nation = 'NATION_3'
+                    THEN CAST(floor(volume * 1000000.0 + 0.5) AS BIGINT)
+                    ELSE 0 END)
+             / sum(CAST(floor(volume * 1000000.0 + 0.5) AS BIGINT))
+             AS mkt_share,
            count(*) AS n
     FROM vol GROUP BY yr
     """,
@@ -108,10 +111,14 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # ratio of exact int64 micro-unit sums (_fsum6_micro): the share is
+    # ONE long/long division on identical operands in both engines —
+    # a ratio of order-dependent double sums flipped at 100x
+    vol_micro = F.floor(vol * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return j.groupBy(F.year("o_orderdate").alias("yr")).agg(
         (
-            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-            / F.sum(vol)
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol_micro).otherwise(F.lit(0)))
+            / F.sum(vol_micro)
         ).alias("mkt_share"),
         F.count(F.lit(1)).alias("n"),
     )

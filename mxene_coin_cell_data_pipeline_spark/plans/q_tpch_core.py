@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
-from ._registry import QUERIES, _ctx, _dsum6, _register
+from ._registry import QUERIES, _ctx, _dsum6, _fsum6, _register
 
 # =====================================================================
 # TPC-H-style analytics (scans, joins, aggregation, sort/limit)
@@ -28,17 +28,18 @@ from ._registry import QUERIES, _ctx, _dsum6, _register
            count_order
     FROM (
       SELECT l_returnflag, l_linestatus,
-             CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6)))
-                  AS DOUBLE)                                      AS sum_qty,
-             CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6)))
-                  AS DOUBLE)                                      AS sum_base_price,
-             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
-                           AS DECIMAL(38,6))) AS DOUBLE)          AS sum_disc_price,
-             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                                 * (1 + l_tax), 6)
-                           AS DECIMAL(38,6))) AS DOUBLE)          AS sum_charge,
-             CAST(sum(CAST(round(l_discount, 6) AS DECIMAL(38,6)))
-                  AS DOUBLE)                                      AS sum_disc,
+             CAST(sum(CAST(floor(l_quantity * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0                          AS sum_qty,
+             CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0     AS sum_base_price,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * 1000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0     AS sum_disc_price,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 1000000.0 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1000000.0     AS sum_charge,
+             CAST(sum(CAST(floor(l_discount * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0                          AS sum_disc,
              count(*)                                             AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -47,13 +48,15 @@ from ._registry import QUERIES, _ctx, _dsum6, _register
     survey="S4 A1 O2 (flagship: TPC-H Q1 shape)",
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All money sums accumulate exactly: every addend has <= 6 intrinsic
-    decimals (2dp price x 2dp discount x 2dp tax), so the per-addend
-    round recovers the true value and the DECIMAL(38,6) sum is exact and
-    associative at ANY scale factor — the plain double sum verified green
-    at sf0.1 flipped its last ulp at 100x (sum_charge ~2.8e11). The avgs
-    divide the exact double-cast sum by the count (one IEEE division on
-    identical operands in both engines) instead of avg()'s own
+    """All money sums accumulate exactly in int64 micro-units (_fsum6):
+    every addend has <= 6 intrinsic decimals (2dp price x 2dp discount x
+    2dp tax), so floor(x*1e6+0.5) recovers the exact integer per row and
+    the sum is exact and associative at ANY scale factor — the plain
+    double sum verified green at sf0.1 flipped its last ulp at 100x
+    (sum_charge ~2.8e11), and even _dsum6's decimal->double final cast
+    diverged there (DuckDB double-rounds int128/1e6). The avgs divide
+    the identically-derived double sum by the count (one IEEE division
+    on identical operands in both engines) instead of avg()'s own
     order-dependent double accumulation."""
     (li,) = _ctx(spark, sf_dir, "lineitem")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -62,11 +65,11 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _dsum6(F.col("l_quantity")).alias("sum_qty"),
-            _dsum6(F.col("l_extendedprice")).alias("sum_base_price"),
-            _dsum6(disc).alias("sum_disc_price"),
-            _dsum6(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
-            _dsum6(F.col("l_discount")).alias("sum_disc"),
+            _fsum6(F.col("l_quantity")).alias("sum_qty"),
+            _fsum6(F.col("l_extendedprice")).alias("sum_base_price"),
+            _fsum6(disc).alias("sum_disc_price"),
+            _fsum6(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _fsum6(F.col("l_discount")).alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .select(
@@ -132,7 +135,10 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q05_nation_volume",
     """
-    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue,
+    SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 1000000.0 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000.0 AS revenue,
            count(*) AS n_items
     FROM region JOIN nation   ON n_regionkey = r_regionkey
                 JOIN customer ON c_nationkey = n_nationkey
@@ -163,7 +169,9 @@ def q05_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            # nation-level totals pass 1e11 at 100x — exact micro-unit
+            # accumulation (_fsum6), not an order-dependent double sum
+            _fsum6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

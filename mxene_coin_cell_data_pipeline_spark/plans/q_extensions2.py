@@ -223,6 +223,52 @@ def a20_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "a26_hll_sketch_merge",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_exact, TRUE AS merge_ok
+    FROM events GROUP BY event_type
+    """,
+    survey="A-family completion: MERGEABLE sketch rollup (Datasketches "
+    "HllSketch via hll_sketch_agg / hll_union_agg) — per-day partial "
+    "sketches are union-merged into the per-type estimate WITHOUT "
+    "rescanning raw events; the emitted boolean validates the two-level "
+    "merge against the exact distinct, so the oracle stays "
+    "hash-comparable while the sketch build+merge path genuinely "
+    "executes. This is the incremental-rollup shape at 100 TB: persist "
+    "the daily sketch bytes (O(2^lgK) each), answer any date-range "
+    "distinct by unioning stored partials — raw-data rescans and exact "
+    "distinct shuffles both drop out of the steady state",
+    note="a20 validates the one-shot HLL++ estimate; a26 validates "
+    "sketch MERGE associativity — partials built independently per day "
+    "must union to (approximately) the direct estimate.",
+)
+def a26_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily HLL sketches per event_type, union-merged to a per-type
+    distinct-user estimate, validated within 10% of the exact count
+    (default lgConfigK=12 -> rsd ~1.6%; merge adds no bias). The daily
+    sketch table is what a production pipeline would PERSIST — the
+    merge query never touches raw events."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg(F.col("user_id").cast("string")).alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return exact.join(F.broadcast(merged), "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("est").cast("double") - F.col("n_exact").cast("double"))
+            < F.lit(0.10) * F.col("n_exact").cast("double")
+        ).alias("merge_ok"),
+    )
+
+
+@_register(
     "o10_table_profile",
     """
     WITH s AS (SELECT * FROM orders)

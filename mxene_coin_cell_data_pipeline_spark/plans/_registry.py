@@ -135,10 +135,12 @@ def _fsum6_micro(col) -> F.Column:
 #: Round-4 rotation: the driver's correctness window covers a 50-query
 #: prefix, so the prefix is swapped each round until every query has an
 #: EXTERNAL verdict in some CORRECTNESS_r*.json. Rounds 1-3 verdicted
-#: 80 distinct queries; this prefix is 50 drawn from the 62 that have
-#: never been driver-checked (the 12 remaining — simple family siblings
-#: a13/a15/a22/o05/o07/o13/w05/w06/c12/u02/j04/t06/e03/d07 minus two —
-#: rotate in next round). Union of r01-r05 windows then covers all 142.
+#: 80 distinct queries; this prefix is 50 drawn from the 62 that had
+#: never been driver-checked. ROUND-5 ROTATION TODO: swap in the
+#: remaining never-verdicted set — the family siblings a13/a15/a22/
+#: o05/o13/w05/w06/c12/u02/j04/t06/e03/d07 plus the round-4 late
+#: additions d12/d13/d14/m05/a26 — after which the union of r01-r05
+#: windows covers all 147.
 _DRIVER_PREFIX = [
     # events / time-series alignment family
     "e03_range_join",

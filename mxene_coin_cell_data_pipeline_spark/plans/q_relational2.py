@@ -129,9 +129,11 @@ def a13_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM fp GROUP BY doc_id
     """,
     survey="north-star text: winnowing rolling-hash fingerprints (MOSS "
-    "k-gram/window local fingerprinting — hash every k-gram in codegen, "
-    "bounded-frame window min per w-window, dedupe to the fingerprint set; "
-    "linear in corpus chars, one doc_id shuffle)",
+    "k-gram/window local fingerprinting — hash every k-gram, take each "
+    "w-window's min, dedupe to the fingerprint set) computed entirely "
+    "with ROW-LOCAL array HOFs in codegen: zero shuffle, linear in "
+    "corpus chars (the oracle's window formulation is the semantic "
+    "spec; the engine plan never leaves the row)",
 )
 def t07_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprint set per document (k=8 chars, w=4 windows),

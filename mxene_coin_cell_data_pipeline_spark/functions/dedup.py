@@ -50,9 +50,12 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     token array materializes exactly once per doc and the n-gram
     assembly + per-doc dedup (``array_distinct``) stay map-side.
     Measured 2× faster than the window version at sf0.1 and shuffle-free
-    at any scale.
+    at any scale. (``scale_out`` first rebalances a
+    parallelism-starved scan — identity on splittable layouts.)
     """
-    toks = docs.select(
+    from ..sources.tables import scale_out
+
+    toks = scale_out(docs.select("doc_id", text_col), "doc_id").select(
         "doc_id", F.explode(F.array(tokenize(F.col(text_col)))).alias("toks")
     )
     gram = F.transform(
@@ -304,7 +307,11 @@ def simhash(
     """
     if not 1 <= bits <= 128:
         raise ValueError("md5 provides at most 128 fingerprint bits")
-    toks = docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("tok"))
+    from ..sources.tables import scale_out
+
+    toks = scale_out(docs.select("doc_id", text_col), "doc_id").select(
+        "doc_id", F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
     h = F.md5(F.col("tok"))
 
     def tok_bit(j: int) -> Column:

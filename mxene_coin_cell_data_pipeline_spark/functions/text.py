@@ -223,12 +223,13 @@ def winnow_fingerprints(
     prefix via hex → long; ~10× slower but byte-identical in any
     engine with md5 — the oracle/parity configuration).
     """
+    from ..sources.tables import scale_out
+
     norm = F.array_join(tokenize(F.col(text_col)), " ")
-    base = docs.select("doc_id", norm.alias("_t")).filter(F.length("_t") >= k)
-    spark = docs.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if base.rdd.getNumPartitions() < max(target // 2, 1):
-        base = base.repartition(target, "doc_id")
+    base = scale_out(
+        docs.select("doc_id", norm.alias("_t")).filter(F.length("_t") >= k),
+        "doc_id",
+    )
     if hash_fn == "xxhash64":
         hexpr = f"xxhash64(substring(_t, i, {k}))"
     elif hash_fn == "md5":
@@ -285,7 +286,12 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tg = F.zip_with(
         F.slice(bg, 1, n2), F.slice(w, 3, n2), lambda p, c: F.concat_ws(" ", p, c)
     )
-    base = docs.select(
+    from ..sources.tables import scale_out
+
+    # the n-gram arrays + distinct-counting are heavy NARROW work —
+    # rebalance a parallelism-starved scan first (identity on
+    # splittable layouts; see sources.tables.scale_out)
+    base = scale_out(docs.select("doc_id", text_col), "doc_id").select(
         "doc_id",
         n.alias("n_words"),
         F.length(F.array_join(w, " ")).alias("_n_chars"),

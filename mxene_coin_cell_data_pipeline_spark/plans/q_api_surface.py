@@ -234,11 +234,18 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e08_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All point pairs within 0.1° (synthetic lat/lon derived from the
     events table), bucketed pair counts as the stable output."""
+    from ..sources.tables import scale_out
+
     (ev,) = _ctx(spark, sf_dir, "events")
-    pts = ev.select(
+    # the 9x probe explosion + broadcast cell probe are narrow — spread
+    # a parallelism-starved scan first (identity on splittable layouts)
+    pts = scale_out(
+        ev.select(
+            "event_id",
+            (F.col("value") % 10).alias("lat"),
+            ((F.col("event_id") % 1000) / 100.0).alias("lon"),
+        ),
         "event_id",
-        (F.col("value") % 10).alias("lat"),
-        ((F.col("event_id") % 1000) / 100.0).alias("lon"),
     )
     cells = pts.select(
         "event_id",

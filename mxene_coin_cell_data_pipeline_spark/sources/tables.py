@@ -153,3 +153,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scale_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Rebalance a DataFrame whose scan under-supplies the session's
+    parallelism, ahead of compute-heavy NARROW work.
+
+    Narrow (shuffle-free) operators — per-row hashing, array HOFs,
+    map-side partial aggregation — inherit the scan's partitioning. A
+    splittable layout (``sources/layout.py`` output; any multi-file /
+    multi-row-group parquet) parallelizes naturally via
+    ``spark.sql.files.maxPartitionBytes``, but a single-row-group file
+    (the driver's test data) scans as ONE task no matter how many cores
+    the session has, serializing everything until the first exchange.
+    When incoming partitions < half ``spark.sql.shuffle.partitions``
+    this helper repartitions (hash on ``cols`` if given, else
+    round-robin) — shuffling the RAW input rows once, which is the
+    cheapest thing on the wire (e.g. 16× less than winnowing's exploded
+    per-char rows; measured 2.6-3× end-to-end on the row-local-heavy
+    queries at sf0.1). On well-laid-out input it is the identity and
+    adds NO exchange — so plans keep their scan-stage fusion at scale.
+
+    Apply AFTER pushable filters/projections (the repartition is a
+    pushdown barrier), BEFORE per-row heavy compute.
+    """
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= max(target // 2, 1):
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)

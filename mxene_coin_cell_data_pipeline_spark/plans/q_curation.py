@@ -208,6 +208,168 @@ def o16_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "t14_dsir_resample",
+    """
+    WITH toks AS (
+      SELECT d.doc_id, d.lang,
+             unnest(regexp_extract_all(lower(d.text), '[a-z0-9]+')) AS tok
+      FROM documents d),
+    src AS (SELECT tok, count(*) AS cnt_s FROM toks GROUP BY tok),
+    tgt AS (SELECT tok, count(*) AS cnt_t FROM toks WHERE lang = 'en'
+            GROUP BY tok),
+    tot AS (SELECT (SELECT count(*)::DOUBLE FROM toks) AS ts,
+                   (SELECT count(*)::DOUBLE FROM toks WHERE lang = 'en') AS tt,
+                   (SELECT count(*)::DOUBLE FROM src) AS v),
+    vocab AS (
+      SELECT s.tok,
+             ln((coalesce(t.cnt_t, 0) + 1) / (tot.tt + tot.v))
+               - ln((s.cnt_s + 1) / (tot.ts + tot.v)) AS lr
+      FROM src s LEFT JOIN tgt t ON t.tok = s.tok, tot),
+    per AS (
+      SELECT k.doc_id, k.lang, count(*) AS n_tokens,
+             round(avg(v.lr), 9) AS lr_r
+      FROM toks k JOIN vocab v ON v.tok = k.tok
+      GROUP BY k.doc_id, k.lang)
+    SELECT doc_id, lang, n_tokens, lr_r,
+           round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     + 1.0) / 4294967296.0), 9) < lr_r AS selected
+    FROM per
+    """,
+    survey="north-star curation: DSIR-style importance resampling — score "
+    "every document by its average token log-likelihood RATIO between a "
+    "target-domain unigram model (here: the 'en' slice) and the source "
+    "(whole-corpus) model, add-1 smoothed, then keep docs where a "
+    "deterministic md5 uniform falls under the importance weight "
+    "(ln u < log-ratio — sampling probability proportional to "
+    "exp(avg lr), the Data Selection via Importance Resampling recipe "
+    "with a unigram feature space). Plan: two Zipf-bounded vocab "
+    "aggregates merged into ONE broadcast ratio table + one doc "
+    "aggregate — the corpus token stream shuffles once (doc agg); at "
+    "100 TB the vocab broadcast is the same one t10's LM scoring "
+    "already holds.",
+    note="Both engines compute the same doubles: counts are exact ints, "
+    "ln of identical doubles, avg rounded to 1e-9 on both sides; the "
+    "keep decision compares 1e-9-rounded values so a last-ulp libm "
+    "divergence cannot flip it off-grid. u = (md5_32 + 1)/2^32 in (0,1] "
+    "so ln(u) is finite.",
+)
+def t14_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resample the corpus toward the 'en' unigram
+    distribution: per-doc smoothed avg log-ratio + deterministic
+    keep/drop draw."""
+    from ..functions.text import tokenize
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokenize(F.col("text"))).alias("tok")
+    )
+    src = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt_s"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    tot = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("ts"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("double")
+        .alias("tt"),
+        F.count_distinct(F.col("tok")).cast("double").alias("v"),
+    )
+    vocab = (
+        src.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            (
+                F.log(
+                    (F.coalesce(F.col("cnt_t"), F.lit(0)) + F.lit(1))
+                    / (F.col("tt") + F.col("v"))
+                )
+                - F.log((F.col("cnt_s") + F.lit(1)) / (F.col("ts") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), 9).alias("lr_r"),
+        )
+    )
+    ln_u = F.round(
+        F.log(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                ).cast("double")
+                + F.lit(1.0)
+            )
+            / F.lit(4294967296.0)
+        ),
+        9,
+    )
+    return per.select(
+        "doc_id", "lang", "n_tokens", "lr_r", (ln_u < F.col("lr_r")).alias("selected")
+    )
+
+
+@_register(
+    "s08_semdedup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS x FROM embeddings),
+    p AS (
+      SELECT b.vec_id AS vb,
+             round(list_dot_product(a.x, b.x)
+               / (sqrt(list_dot_product(a.x, a.x))
+                  * sqrt(list_dot_product(b.x, b.x))), 9) AS c
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+    m AS (SELECT vb, max(c) AS mx FROM p GROUP BY vb)
+    SELECT e.vec_id, e.label, m.mx AS max_prior_cos,
+           (m.mx IS NULL OR m.mx < 0.4) AS keep
+    FROM e LEFT JOIN m ON m.vb = e.vec_id
+    """,
+    survey="north-star curation: SemDeDup — semantic deduplication of an "
+    "embedding corpus: within each cluster (the k-means label s05 "
+    "maintains), drop every vector whose max cosine to any EARLIER "
+    "cluster member exceeds tau (first-occurrence-wins, the d10 "
+    "scale-safe keeper rule). The pairwise work runs as one BLAS gemm "
+    "per cluster (d04's Arrow-batched grouped-map kernel, threshold -1 "
+    "to surface the full prior-max), so cost is cluster_size^2 * dim "
+    "FLOPs per cluster — bounded by the clustering fan-out, never "
+    "corpus^2; at 100 TB cluster granularity is the knob (SemDeDup runs "
+    "k ~ sqrt(n)).",
+    note="tau=0.4 is non-vacuous on the synthetic embeddings (max "
+    "within-label cosine ~0.475); inclusion decisions compare "
+    "1e-9-rounded cosines on both engines, the d04 discipline.",
+)
+def s08_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop per vector: drop when cosine to some earlier same-label
+    vector >= 0.4; max-prior-cosine emitted for threshold tuning."""
+    from ..functions.similarity import embedding_near_dup_pairs_blas
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs_blas(emb, threshold=-1.0)
+    prior = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.max("cosine").alias("max_prior_cos")
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(prior, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "max_prior_cos",
+            (
+                F.col("max_prior_cos").isNull()
+                | (F.col("max_prior_cos") < F.lit(0.4))
+            ).alias("keep"),
+        )
+    )
+
+
+@_register(
     "s07_int8_quantize",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),

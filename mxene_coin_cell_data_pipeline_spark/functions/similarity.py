@@ -221,6 +221,71 @@ def embedding_near_dup_pairs_blas(
     )
 
 
+def semdedup_prior_max(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    col_chunk: int = 1024,
+) -> DataFrame:
+    """Per-vector max cosine to any EARLIER (smaller id) vector in the
+    same block — the SemDeDup primitive: drop a vector when this
+    exceeds tau (first-occurrence-wins keeper rule).
+
+    Pair-free formulation: where ``embedding_near_dup_pairs_blas``
+    materializes the O(n²) intra-block pair triangle (right for
+    pair-threshold outputs, ruinous for a prior-max at scale — a 20k
+    cluster is 2·10⁸ pairs), this kernel reduces the triangle to the
+    per-column max INSIDE the gemm and emits exactly ONE row per
+    vector. FLOPs stay the inherent n²·d of SemDeDup (bounded by the
+    clustering fan-out, the paper's k ≈ √n knob), but shuffle output
+    is O(n) and worker memory is bounded by ``col_chunk`` gemm panels
+    (n × col_chunk doubles), never the full n×n score matrix.
+
+    Returns ``(id_col, block_col, max_prior_cos)`` with NULL for each
+    block's first vector. Cosine ulp-differs from a SQL fold only in
+    summation order (same caveat as the blas pair kernel); consumers
+    should round before thresholding, the d04 discipline.
+    """
+    import sys as _sys
+
+    import numpy as _np
+    import pandas as _pd
+
+    from .._serde import register_self as _register_self
+
+    _register_self(_sys.modules[__name__])
+
+    def prior_max(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        blk = pdf[block_col].to_numpy()
+        x = _np.array(list(pdf[vec_col]), dtype=_np.float64)
+        order = _np.argsort(ids, kind="stable")
+        ids, blk, x = ids[order], blk[order], x[order]
+        n = len(ids)
+        nrm = _np.sqrt((x * x).sum(axis=1))
+        nrm[nrm == 0.0] = _np.inf  # zero vectors match nothing
+        xn = x / nrm[:, None]
+        mx = _np.full(n, _np.nan)
+        for j0 in range(1, n, col_chunk):
+            j1 = min(j0 + col_chunk, n)
+            panel = xn @ xn[j0:j1].T  # n × chunk
+            # mask rows i >= j (self and later vectors)
+            cols = _np.arange(j0, j1)
+            panel[_np.arange(n)[:, None] >= cols[None, :]] = -_np.inf
+            mx[j0:j1] = panel.max(axis=0)
+        return _pd.DataFrame(
+            {id_col: ids, block_col: blk, "max_prior_cos": mx}
+        )
+
+    out_schema = f"{id_col} long, {block_col} int, max_prior_cos double"
+    return (
+        embeddings.select(block_col, id_col, vec_col)
+        .groupBy(block_col)
+        .applyInPandas(prior_max, schema=out_schema)
+    )
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -334,11 +334,12 @@ def t14_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding corpus: within each cluster (the k-means label s05 "
     "maintains), drop every vector whose max cosine to any EARLIER "
     "cluster member exceeds tau (first-occurrence-wins, the d10 "
-    "scale-safe keeper rule). The pairwise work runs as one BLAS gemm "
-    "per cluster (d04's Arrow-batched grouped-map kernel, threshold -1 "
-    "to surface the full prior-max), so cost is cluster_size^2 * dim "
-    "FLOPs per cluster — bounded by the clustering fan-out, never "
-    "corpus^2; at 100 TB cluster granularity is the knob (SemDeDup runs "
+    "scale-safe keeper rule). The prior-max reduces INSIDE a chunked "
+    "BLAS gemm per cluster (semdedup_prior_max — O(n) rows out, worker "
+    "memory bounded by gemm panels, never the n^2 pair triangle the "
+    "pair-threshold kernel would materialize); FLOPs stay SemDeDup's "
+    "inherent cluster_size^2 * dim, bounded by the clustering fan-out "
+    "— at 100 TB cluster granularity is the knob (the paper runs "
     "k ~ sqrt(n)).",
     note="tau=0.4 is non-vacuous on the synthetic embeddings (max "
     "within-label cosine ~0.475); inclusion decisions compare "
@@ -347,25 +348,16 @@ def t14_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s08_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep/drop per vector: drop when cosine to some earlier same-label
     vector >= 0.4; max-prior-cosine emitted for threshold tuning."""
-    from ..functions.similarity import embedding_near_dup_pairs_blas
+    from ..functions.similarity import semdedup_prior_max
 
     (emb,) = _ctx(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs_blas(emb, threshold=-1.0)
-    prior = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
-        F.max("cosine").alias("max_prior_cos")
-    )
-    return (
-        emb.select("vec_id", "label")
-        .join(prior, "vec_id", "left")
-        .select(
-            "vec_id",
-            "label",
-            "max_prior_cos",
-            (
-                F.col("max_prior_cos").isNull()
-                | (F.col("max_prior_cos") < F.lit(0.4))
-            ).alias("keep"),
-        )
+    prior = semdedup_prior_max(emb)
+    mx = F.round(F.col("max_prior_cos"), 9)
+    return prior.select(
+        "vec_id",
+        "label",
+        mx.alias("max_prior_cos"),
+        (mx.isNull() | (mx < F.lit(0.4))).alias("keep"),
     )
 
 

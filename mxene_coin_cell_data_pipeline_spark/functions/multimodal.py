@@ -75,6 +75,20 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
     maps that to NULL features — the unsupported-payload contract) and
     ``ValueError`` for payloads that claim PPM but are malformed.
     """
+    w, h, maxval, vals = parse_ppm(payload)
+    n = 3 * w * h
+    lsum = 0
+    for i in range(0, n, 3):
+        lsum += 299 * vals[i] + 587 * vals[i + 1] + 114 * vals[i + 2]
+    return w, h, lsum / (1000.0 * maxval * w * h)
+
+
+def parse_ppm(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Parse a PPM container to ``(width, height, maxval, samples)``.
+
+    The full byte-format parse behind ``decode_ppm`` (same magic sniff,
+    header tokenization, comment handling, and error contract), exposed
+    so pixel-level operators (``resize_ppm_nn``) share one parser."""
     if len(payload) < 2 or payload[:2] not in (b"P3", b"P6"):
         raise NotImplementedError("not a PPM payload")
     magic = payload[:2]
@@ -108,10 +122,30 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float]:
         if len(toks) < n:
             raise ValueError("truncated P3 pixel data")
         vals = [int(t) for t in toks[:n]]
+    return w, h, maxval, vals
+
+
+def resize_ppm_nn(
+    payload: bytes, out_w: int, out_h: int
+) -> tuple[int, int, int, int, float]:
+    """Nearest-neighbor resize of a PPM image + resized mean luma.
+
+    Source pixel for output (r, c) is ``(r*h // out_h, c*w // out_w)``
+    — integer floor sampling, the canonical NN downsample, chosen so
+    the SQL oracle reproduces the exact same source indices with
+    integer division. Returns ``(width, height, out_w, out_h,
+    mean_luma_resized)``; the luma accumulation over sampled pixels is
+    the same integer Rec.601 sum as ``decode_ppm``. A real PIL
+    ``Image.resize(..., NEAREST)`` drops into this slot unchanged."""
+    w, h, maxval, vals = parse_ppm(payload)
     lsum = 0
-    for i in range(0, n, 3):
-        lsum += 299 * vals[i] + 587 * vals[i + 1] + 114 * vals[i + 2]
-    return w, h, lsum / (1000.0 * maxval * w * h)
+    for r in range(out_h):
+        sr = r * h // out_h
+        for c in range(out_w):
+            sc = c * w // out_w
+            k = 3 * (sr * w + sc)
+            lsum += 299 * vals[k] + 587 * vals[k + 1] + 114 * vals[k + 2]
+    return w, h, out_w, out_h, lsum / (1000.0 * maxval * out_w * out_h)
 
 
 def with_ppm_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -292,3 +326,49 @@ def byte_features(
             )
 
     return docs.select(*cols).mapInPandas(batches, schema=BYTE_FEATURE_SCHEMA)
+
+
+#: output schema of resize_images — one row per payload
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, out_w int, out_h int, "
+    "mean_luma_resized double"
+)
+
+
+def resize_images(
+    docs: DataFrame,
+    out_w: int = 2,
+    out_h: int = 2,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Distributed nearest-neighbor image resize via mapInPandas
+    (Arrow-batched). Same error contract as ``decode_images``: NULL
+    payload → all-NULL features, non-PPM magic → dimensions NULL.
+    At 100 TB this is the resize stage of a multimodal ingest DAG:
+    scan-bound, shuffle-free, scales with total payload bytes."""
+    cols = ["doc_id", payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    out.append((doc_id, None, None, None, None, None))
+                    continue
+                try:
+                    w, h, ow, oh, luma = resize_ppm_nn(
+                        bytes(payload), out_w, out_h
+                    )
+                except NotImplementedError:
+                    out.append((doc_id, None, None, None, None, None))
+                    continue
+                out.append((doc_id, w, h, ow, oh, luma))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "width", "height", "out_w", "out_h",
+                    "mean_luma_resized",
+                ],
+            )
+
+    return docs.select(*cols).mapInPandas(batches, schema=RESIZE_SCHEMA)

@@ -232,3 +232,42 @@ class TestOrcRoundtrip:
             for r in _q("src04_orc_roundtrip", spark, sf_dir).collect()
         }
         assert direct == via_orc
+
+
+class TestPpmResize:
+    def test_resize_known_image(self):
+        """2×2 NN resize of a 4×2 P3 image samples pixels (0,0),(0,2),
+        (1,0),(1,2) — hand-checked luma."""
+        from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+            resize_ppm_nn,
+        )
+
+        # 4 wide, 2 tall; pixel (r,c) = (10*r+c, 0, 0): red channel encodes position
+        vals = []
+        for r in range(2):
+            for c in range(4):
+                vals += [10 * r + c, 0, 0]
+        ppm = f"P3\n4 2\n255\n{' '.join(map(str, vals))}\n".encode()
+        w, h, ow, oh, luma = resize_ppm_nn(ppm, 2, 2)
+        assert (w, h, ow, oh) == (4, 2, 2, 2)
+        # sampled: r=0->sr=0, r=1->sr=1; c=0->sc=0, c=1->sc=2
+        expected = 299 * (0 + 2 + 10 + 12) / (1000.0 * 255 * 4)
+        assert luma == expected
+
+    def test_resize_non_ppm_is_null(self, spark):
+        from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+            resize_images,
+        )
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"GIF89a")), (2, None)], "doc_id long, payload binary"
+        )
+        rows = {r.doc_id: r for r in resize_images(df).collect()}
+        assert rows[1].width is None and rows[2].width is None
+
+    def test_registered_query(self, spark, sf_dir):
+        rows = _q("m06_ppm_resize", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.out_w == 2 and r.out_h == 2
+            assert 0.0 <= r.mean_luma_resized <= 1.0

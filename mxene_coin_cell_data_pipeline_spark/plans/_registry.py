@@ -139,9 +139,10 @@ def _fsum6_micro(col) -> F.Column:
 #: never been driver-checked. ROUND-5 ROTATION TODO: swap in the
 #: remaining never-verdicted set — the family siblings a13/a15/a22/
 #: o05/o13/w05/w06/c12/u02/j04/t06/e03/d07 plus the round-4 late
-#: additions d12/d13/d14/m05/a26 and the round-4 curation family
-#: d15/o15/o16/s07/t14/s08 — after which the union of r01-r05 windows
-#: covers all 153.
+#: additions d12/d13/d14/m05/a26, the round-4 curation family
+#: d15/o15/o16/s07/t14/s08, and the wave-3 family
+#: t15/g02/e14/d16/src04/m06 — after which the union of r01-r05
+#: windows covers all 159.
 _DRIVER_PREFIX = [
     # events / time-series alignment family
     "e03_range_join",

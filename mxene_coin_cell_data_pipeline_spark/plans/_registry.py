@@ -138,11 +138,12 @@ def _fsum6_micro(col) -> F.Column:
 #: 80 distinct queries; this prefix is 50 drawn from the 62 that had
 #: never been driver-checked. ROUND-5 ROTATION TODO: swap in the
 #: remaining never-verdicted set — the family siblings a13/a15/a22/
-#: o05/o13/w05/w06/c12/u02/j04/t06/e03/d07 plus the round-4 late
+#: o05/o13/w05/w06/c12/u02/j04/t06 plus the round-4 late
 #: additions d12/d13/d14/m05/a26, the round-4 curation family
-#: d15/o15/o16/s07/t14/s08, and the wave-3 family
-#: t15/g02/e14/d16/src04/m06 — after which the union of r01-r05
-#: windows covers all 159.
+#: d15/o15/o16/s07/t14/s08, the wave-3 family
+#: t15/g02/e14/d16/src04/m06/st09/t16, and the wave-4 family
+#: m07/t17/t18/a27/s09 — 36 queries; after that rotation the union
+#: of r01-r05 windows covers all 166.
 _DRIVER_PREFIX = [
     # events / time-series alignment family
     "e03_range_join",

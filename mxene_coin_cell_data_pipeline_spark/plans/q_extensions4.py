@@ -1,0 +1,421 @@
+"""Extension family, wave 4 (round 4): real WAV audio codec, C4-style
+intra-document span dedup, BM25 retrieval scoring, a mergeable
+fixed-bin histogram quantile sketch, and matryoshka embedding
+truncation with recall against the full-dimension ranking.
+
+North-star additions (no reference counterpart): the remaining
+first-class stages of a multimodal / retrieval-aware training-data
+pipeline — audio joins image as a REAL byte-format parse (RIFF chunk
+walk, PCM16 samples), span-level self-dedup removes boilerplate the
+doc-level dedups can't see, BM25 is the lexical-retrieval scorer that
+pairs with the embedding ANN family, the histogram sketch is the
+mergeable (map-side-combinable) quantile shape that replaces exact
+median at fact scale, and matryoshka truncation is the dimension-
+reduction knob every 100 TB ANN deployment turns first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ._registry import _ctx, _register  # noqa: F401
+
+# ---------------------------------------------------------------------------
+# m07: REAL audio codec — WAV/RIFF PCM16 decode
+# ---------------------------------------------------------------------------
+
+_WAV_NIB = (
+    "(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' "
+    "|| CAST(u.k AS VARCHAR)), {i}, 1)) - 1)"
+)
+_WAV_V = (
+    f"{_WAV_NIB.format(i=1)} * 4096 + {_WAV_NIB.format(i=2)} * 256 + "
+    f"{_WAV_NIB.format(i=3)} * 16 + {_WAV_NIB.format(i=4)} - 32768"
+)
+
+
+@_register(
+    "m07_wav_decode",
+    f"""
+    WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS n,
+                      8000 + (doc_id % 4) * 1000 AS rate
+               FROM documents),
+    s AS (SELECT d.doc_id, {_WAV_V} AS v
+          FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1))
+                           AS k) u),
+    agg AS (SELECT doc_id, count(*) AS ns, max(abs(v)) AS peak,
+                   sum(v * v) AS sq
+            FROM s GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(44 + 2 * d.n AS INT) AS n_bytes,
+           CAST(d.rate AS INT) AS sample_rate,
+           CAST(d.n AS INT) AS n_samples,
+           CAST(a.peak AS INT) AS peak_abs,
+           CAST(a.sq AS DOUBLE) / d.n AS mean_square
+    FROM d JOIN agg a USING (doc_id)
+    """,
+    survey="north-star multimodal: REAL audio codec #2 — deterministic "
+    "PCM16 WAV containers (44-byte canonical RIFF header + little-endian "
+    "int16 samples from an md5 stream) generated per doc and genuinely "
+    "parsed back by parse_wav's chunk walk (magic sniff, fmt codec "
+    "check, odd-size pad handling) under Arrow-batched mapInPandas; "
+    "peak and energy accumulate in pure integers so the oracle "
+    "re-derives byte length, rate, sample count, peak_abs and the "
+    "square sum from the same md5 stream — a header-walk or "
+    "endianness bug flips the hash. Completes the image/audio/video "
+    "brief with zero stubs on the audio leg.",
+    note="mean_square = int64 square sum / n — sumsq < 2^53 for any "
+    "bounded clip, so the single division is the only float op and is "
+    "IEEE-identical on both engines.",
+)
+def m07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate real PCM16 WAV files deterministically per doc_id,
+    decode them with the real RIFF codec, emit (n_bytes, sample_rate,
+    n_samples, peak_abs, mean_square) — the audio decode path with
+    zero stubs (audio sibling of m05's image path)."""
+    from ..functions.multimodal import decode_audio, with_wav_payload
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return decode_audio(with_wav_payload(docs.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# t17: intra-document repeated-span removal (C4-style)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "t17_span_self_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents),
+    c AS (
+      SELECT t.doc_id, u.i AS cidx,
+             array_to_string(toks[3 * u.i + 1 : 3 * u.i + 3], ' ') AS chunk
+      FROM t, LATERAL (SELECT unnest(generate_series(0,
+               (len(toks) + 2) // 3 - 1)) AS i) u),
+    f AS (SELECT doc_id, chunk, min(cidx) AS first_idx
+          FROM c GROUP BY doc_id, chunk),
+    k AS (SELECT doc_id, count(*) AS n_uniq_spans,
+                 md5(string_agg(chunk, ' ' ORDER BY first_idx)) AS kept_md5
+          FROM f GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST((len(toks) + 2) // 3 AS BIGINT) AS n_spans,
+           CAST(coalesce(k.n_uniq_spans, 0) AS BIGINT) AS n_uniq_spans,
+           coalesce(k.kept_md5, md5('')) AS kept_md5
+    FROM t LEFT JOIN k USING (doc_id)
+    """,
+    survey="north-star text: C4-style intra-document repeated-span "
+    "removal — partition each doc into consecutive 3-token spans, keep "
+    "the FIRST occurrence of each distinct span, reassemble (C4 does "
+    "this with three-sentence spans; doc-level dedup like d01/d02 "
+    "cannot see boilerplate repeated INSIDE one document). Entirely "
+    "row-local array HOFs — split, slice, array_distinct (first-"
+    "occurrence order) — one scan, zero shuffles, codegen end to end: "
+    "at 100 TB this is the cheapest possible self-clean pass, "
+    "embarrassingly parallel with no exchange at all.",
+    note="The oracle re-derives first-occurrence order via "
+    "min(position) + ordered string_agg; Spark's array_distinct "
+    "preserves first-occurrence order by construction — the kept_md5 "
+    "hash ties the two definitions together per row.",
+)
+def t17_span_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop repeated 3-token spans within each document, keeping first
+    occurrences; emit span counts + the md5 of the cleaned text."""
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(r"[^ ]+"), 0)
+    # sequence(0, -1) would generate a DESCENDING sequence in Spark, so
+    # the zero-token case is guarded to an explicitly empty span list.
+    spans = F.when(F.size("toks") == 0, F.array().cast("array<string>")).otherwise(
+        F.expr(
+            "transform(sequence(0, (size(toks) + 2) div 3 - 1),"
+            " i -> array_join(slice(toks, i * 3 + 1, 3), ' '))"
+        )
+    )
+    d = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        spans.alias("spans"),
+    )
+    kept = F.array_distinct("spans")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(kept).cast("long").alias("n_uniq_spans"),
+        F.md5(F.encode(F.array_join(kept, " "), "UTF-8")).alias("kept_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t18: BM25 lexical retrieval scoring
+# ---------------------------------------------------------------------------
+
+#: fixed query terms (present across the synthetic corpus with spread
+#: document frequencies — 'scan' rarer than 'value')
+_BM25_TERMS = ("scan", "join", "window")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_term_sql(term: str) -> str:
+    """Per-term score: rational idf × saturated tf. Only IEEE
+    +,-,*,/ (each correctly rounded, bit-identical across engines) —
+    no log, so no libm divergence."""
+    return (
+        f"(CAST(st.n_docs - st.df_{term} AS DOUBLE) + 0.5)"
+        f" / (CAST(st.df_{term} AS DOUBLE) + 0.5)"
+        f" * (CAST(tf_{term} AS DOUBLE) * ({_BM25_K1} + 1.0))"
+        f" / (CAST(tf_{term} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}"
+        f" + {_BM25_B} * (CAST(dl AS DOUBLE) / st.avgdl)))"
+    )
+
+
+@_register(
+    "t18_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[^ ]+') AS toks
+      FROM documents),
+    pd AS (
+      SELECT doc_id, len(toks) AS dl,
+             {", ".join(f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}"
+                        for t in _BM25_TERMS)}
+      FROM tok),
+    st AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+                        for t in _BM25_TERMS)}
+      FROM pd)
+    SELECT pd.doc_id,
+           {" + ".join(f"(CASE WHEN tf_{t} > 0 THEN {_bm25_term_sql(t)}"
+                       f" ELSE 0.0 END)" for t in _BM25_TERMS)} AS bm25
+    FROM pd, st
+    ORDER BY bm25 DESC, pd.doc_id
+    LIMIT 10
+    """,
+    survey="north-star text: BM25 lexical retrieval top-k — the "
+    "classic sparse scorer that pairs with the embedding ANN family "
+    "(s01/s02) for hybrid retrieval. Corpus statistics (N, df per "
+    "term, avgdl) come from ONE aggregate pass reduced to a single "
+    "broadcast row; the score itself is row-local. Uses the rational "
+    "idf (N-df+0.5)/(df+0.5) — the argument of the classical log — so "
+    "the whole score is IEEE +,-,*,/ only: correctly-rounded ops are "
+    "bit-identical across engines where libm log is not. Plan: one "
+    "scan for stats + one scan for scoring + TakeOrdered; at 100 TB "
+    "the stats row broadcasts and scoring stays embarrassingly "
+    "parallel — no shuffle keyed by term ever materializes.",
+    note="Ranking by rational idf is order-equivalent per term to "
+    "log-idf (log is monotone); the summed score differs from classic "
+    "BM25 numerically but is deterministic, which is what the "
+    "tolerance-free hash gate needs.",
+)
+def t18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over the documents table for a fixed 3-term query,
+    rational-idf variant (see oracle note)."""
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[^ ]+"), 0)
+
+    def _tf(term: str) -> F.Column:
+        # NB: a two-arg lambda would make F.filter pass (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[_tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    k1, b = 1.2, 0.75
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = (F.col("n_docs").cast("double") - F.col(f"df_{t}").cast("double") + F.lit(0.5)) / (
+            F.col(f"df_{t}").cast("double") + F.lit(0.5)
+        )
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0)
+            - F.lit(b)
+            + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        # associativity mirrors the oracle exactly: (idf * num) / denom
+        term = F.when(
+            F.col(f"tf_{t}") > 0, idf * (tf * F.lit(k1 + 1.0)) / denom
+        ).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# a27: mergeable fixed-bin histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a27_histogram_quantile",
+    """
+    WITH b AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin,
+             count(*) AS c
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (SELECT flag, sum(c) AS n FROM b GROUP BY flag),
+    cum AS (
+      SELECT b.flag, b.bin, t.n,
+             sum(b.c) OVER (PARTITION BY b.flag ORDER BY b.bin) AS cum
+      FROM b JOIN tot t USING (flag))
+    SELECT flag,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN bin END) * 100
+                AS BIGINT) AS p50_bin_lo,
+           CAST(min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin END) * 100
+                AS BIGINT) AS p95_bin_lo
+    FROM cum GROUP BY flag
+    """,
+    survey="extension agg: mergeable fixed-bin histogram quantile "
+    "sketch — the production quantile shape at fact scale: per-bin "
+    "counts combine map-side and MERGE BY ADDITION across partitions, "
+    "days, or streaming batches (the property exact median lacks — "
+    "compare a17's two-pass exact and a25's percentile_approx bound; "
+    "a26 is the same mergeability story for distinct counts). "
+    "Thresholds are all-integer (ceil via (q·n + d-1) // d) and the "
+    "estimate is the bin lower edge — no float anywhere, "
+    "bit-deterministic on any engine or partition layout. Plan: one "
+    "map-side-combined groupBy to ~price_range/100 bins per flag, a "
+    "window over the tiny binned relation; at 100 TB the heavy "
+    "exchange carries only (flag, bin, count) partials.",
+)
+def a27_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95 estimates per returnflag from a width-100 histogram of
+    l_extendedprice; estimates are exact bin lower edges."""
+    (li,) = _ctx(spark, sf_dir, "lineitem")
+    binned = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") / F.lit(100.0))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("flag", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = binned.groupBy("flag").agg(F.sum("c").alias("n"))
+    cum = binned.join(tot, "flag").withColumn(
+        "cum",
+        F.sum("c").over(Window.partitionBy("flag").orderBy("bin")),
+    )
+    thr50 = F.expr("(n + 1) div 2")
+    thr95 = F.expr("(95 * n + 99) div 100")
+    return cum.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.min(F.when(F.col("cum") >= thr50, F.col("bin"))) * 100)
+        .cast("long")
+        .alias("p50_bin_lo"),
+        (F.min(F.when(F.col("cum") >= thr95, F.col("bin"))) * 100)
+        .cast("long")
+        .alias("p95_bin_lo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# s09: matryoshka truncation + recall vs full-dimension ranking
+# ---------------------------------------------------------------------------
+
+_COS16 = (
+    "list_dot_product(e.embedding[1:16]::DOUBLE[], q.qv16)"
+    " / (sqrt(list_dot_product(e.embedding[1:16]::DOUBLE[],"
+    " e.embedding[1:16]::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv16, q.qv16)))"
+)
+_COSF = (
+    "list_dot_product(e.embedding::DOUBLE[], q.qv)"
+    " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@_register(
+    "s09_matryoshka_topk",
+    f"""
+    WITH q AS (SELECT embedding[1:16]::DOUBLE[] AS qv16,
+                      embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id = 0),
+    full_top AS (
+      SELECT e.vec_id FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY {_COSF} DESC, e.vec_id LIMIT 10)
+    SELECT e.vec_id, {_COS16} AS cosine16,
+           CASE WHEN e.vec_id IN (SELECT vec_id FROM full_top)
+                THEN 1 ELSE 0 END AS in_full_topk
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine16 DESC, e.vec_id
+    LIMIT 10
+    """,
+    survey="north-star similarity: matryoshka-truncation ANN — score "
+    "on the FIRST 16 of 64 dimensions (the matryoshka-representation "
+    "trick: prefix dims carry most signal, so truncation is the "
+    "first cost knob every large ANN deployment turns: 4× less "
+    "memory bandwidth and gemm work), and report per-hit whether the "
+    "truncated ranking kept the full-dimension top-k member "
+    "(in_full_topk — summing the column IS recall@10·k). Plan: both "
+    "rankings are brute-force scans with a broadcast 1-row query "
+    "vector and TakeOrdered — no shuffle keyed by vector; the "
+    "truncated scan reads 4× fewer vector bytes, which is the point. "
+    "Production path: rerank the truncated top-C candidates with "
+    "full vectors (C ≫ k), same two building blocks.",
+    note="Spark's slice() and DuckDB's [1:16] agree on 1-based "
+    "inclusive semantics; the dot-product fold is sequential in both "
+    "engines so the doubles are bit-identical (same property s01 "
+    "already relies on at 64 dims).",
+)
+def s09_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by 16-dim truncated cosine, flagged with membership in
+    the full-64-dim top-10 (recall@10 = sum(in_full_topk)/10)."""
+    from ..functions.similarity import cosine
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.slice("embedding", 1, 16).alias("_qv16"),
+        F.col("embedding").alias("_qv"),
+    )
+    base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    full_top = (
+        base.select(
+            "vec_id", cosine(F.col("embedding"), F.col("_qv")).alias("cf")
+        )
+        .orderBy(F.desc("cf"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    trunc = base.select(
+        "vec_id",
+        cosine(F.slice("embedding", 1, 16), F.col("_qv16")).alias("cosine16"),
+    )
+    return (
+        trunc.join(
+            F.broadcast(full_top.withColumn("_hit", F.lit(1))), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            "cosine16",
+            F.coalesce(F.col("_hit"), F.lit(0)).cast("int").alias("in_full_topk"),
+        )
+        .orderBy(F.desc("cosine16"), F.asc("vec_id"))
+        .limit(10)
+    )

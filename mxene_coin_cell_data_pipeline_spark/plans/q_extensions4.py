@@ -419,3 +419,161 @@ def s09_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine16"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# g03: triangle counting + global clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "g03_triangle_count",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(o.o_custkey, l.l_suppkey) AS a,
+             greatest(o.o_custkey, l.l_suppkey) AS b
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_quantity >= 48 AND o.o_custkey <> l.l_suppkey),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+                JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v),
+    w AS (SELECT sum(d * (d - 1) // 2) AS n_wedges FROM deg),
+    m AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(m.n_edges AS BIGINT) AS n_edges,
+           CAST(w.n_wedges AS BIGINT) AS n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CAST(3 * tri.n_triangles * 1000000 // w.n_wedges AS BIGINT)
+             AS clustering_micro
+    FROM m, w, tri
+    """,
+    survey="extension graph: triangle counting + global clustering "
+    "coefficient over the high-quantity trade graph (edges thinned to "
+    "l_quantity >= 48 co-purchases — completes the graph family: g01 "
+    "centrality, g02 components, g03 local structure). The ordered "
+    "orientation a < b < c makes each triangle count exactly once and "
+    "bounds the wedge join's fan-out by the FORWARD degree — the "
+    "standard trick that keeps triangle enumeration near-linear on "
+    "power-law graphs (orient low-degree -> high-degree in production; "
+    "here id order stands in, same join shape). Clustering coefficient "
+    "3T/W is emitted as an exact integer micro-ratio — no float "
+    "anywhere. Plan: one distinct-edge shuffle, one wedge join keyed "
+    "on the pivot vertex, one edge-probe join (AQE handles residual "
+    "skew); at 100 TB the thinning predicate is the density knob and "
+    "the wedge join is the cost center, tracked by sum(fwd_deg^2).",
+)
+def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count, wedge count, and global clustering
+    coefficient (micro-units) on the thinned trade graph."""
+    li, orders = _ctx(spark, sf_dir, "lineitem", "orders")
+    e = (
+        li.filter(F.col("l_quantity") >= 48)
+        .join(orders, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("o_custkey") != F.col("l_suppkey"))
+        .select(
+            F.least("o_custkey", "l_suppkey").alias("a"),
+            F.greatest("o_custkey", "l_suppkey").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c")).alias("e2")
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.b2a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a3") == F.col("e1.a")) & (F.col("e3.c3") == F.col("e2.c")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    m = e.agg(F.count("*").alias("n_edges"))
+    return (
+        m.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.expr("3 * n_triangles * 1000000 div n_wedges")
+            .cast("long")
+            .alias("clustering_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# e15: SCD Type-2 validity intervals from an event stream (CDC shape)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "e15_scd2_intervals",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    chg AS (
+      SELECT user_id, event_type, us, event_id FROM s
+      WHERE prev IS NULL OR prev <> event_type)
+    SELECT user_id, event_type,
+           us AS valid_from_us,
+           lead(us) OVER w AS valid_to_us,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           CASE WHEN lead(us) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+    survey="extension events: SCD Type-2 dimension build from a change "
+    "stream — collapse consecutive identical states per key (lag "
+    "compare), then emit one validity interval per state run "
+    "(valid_from/valid_to as half-open epoch-micros, version number, "
+    "is_current flag on the open row). This is the CDC-to-warehouse "
+    "materialization every lakehouse runs: o07's latest-by-key keeps "
+    "only the current row, SCD2 keeps the full history queryable by "
+    "as-of joins (e01/e12 consume exactly this shape). Plan: ONE "
+    "shuffle keyed by user_id feeds both windows (lag and "
+    "lead/row_number share the same partitioning and sort), so history "
+    "rebuild is a single exchange of the change stream; at 100 TB run "
+    "it incrementally per partition-day with o07's upsert as the "
+    "current-row fast path. Tie-break (ts, event_id) makes the run "
+    "collapse and interval edges bit-deterministic.",
+)
+def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals per user: one row per state run with
+    half-open [valid_from, valid_to) epoch-micros and version."""
+    (events,) = _ctx(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = events.select(
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        "event_id",
+        F.lag("event_type").over(w_lag).alias("prev"),
+    )
+    chg = s.filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.when(F.lead("us").over(w).isNull(), 1).otherwise(0).alias("is_current"),
+    )

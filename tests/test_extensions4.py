@@ -190,3 +190,91 @@ class TestMatryoshka:
             F.col("embedding"), F.slice("embedding", 1, 16).alias("s")
         ).head()
         assert list(r.s) == list(r.embedding[:16])
+
+
+class TestTriangleCount:
+    def test_differential_vs_python(self, spark, sf_dir):
+        """Brute-force Python triangle count over the collected edge
+        list equals the join-based result (small at sf0.001)."""
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        li, orders = _ctx(spark, sf_dir, "lineitem", "orders")
+        edges = (
+            li.filter(F.col("l_quantity") >= 48)
+            .join(orders, orders["o_orderkey"] == li["l_orderkey"])
+            .filter(F.col("o_custkey") != F.col("l_suppkey"))
+            .select(
+                F.least("o_custkey", "l_suppkey").alias("a"),
+                F.greatest("o_custkey", "l_suppkey").alias("b"),
+            )
+            .distinct()
+            .collect()
+        )
+        es = {(r.a, r.b) for r in edges}
+        nbrs: dict = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+        tri = sum(
+            1
+            for a, b in es
+            for c in nbrs.get(b, ())
+            if (a, c) in es
+        )
+        deg: dict = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        wedges = sum(d * (d - 1) // 2 for d in deg.values())
+        row = _q("g03_triangle_count", spark, sf_dir).head()
+        assert row.n_edges == len(es)
+        assert row.n_triangles == tri
+        assert row.n_wedges == wedges
+        assert row.clustering_micro == 3 * tri * 1000000 // wedges
+
+
+class TestScd2Intervals:
+    def test_interval_contract(self, spark, sf_dir):
+        """Per user: versions are 1..n, exactly one open (is_current)
+        interval, half-open intervals chain exactly (valid_to of row k
+        == valid_from of row k+1), and consecutive states differ."""
+        rows = _q("e15_scd2_intervals", spark, sf_dir).collect()
+        assert rows
+        by_user: dict = {}
+        for r in rows:
+            by_user.setdefault(r.user_id, []).append(r)
+        for user, rs in by_user.items():
+            rs.sort(key=lambda r: r.version)
+            assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+            assert sum(r.is_current for r in rs) == 1
+            assert rs[-1].is_current == 1 and rs[-1].valid_to_us is None
+            for k in range(len(rs) - 1):
+                assert rs[k].valid_to_us == rs[k + 1].valid_from_us
+                assert rs[k].event_type != rs[k + 1].event_type
+
+    def test_run_collapse(self, spark):
+        """Consecutive identical states collapse into one interval."""
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame(
+            [
+                (1, 10, "2024-01-01 00:00:00", "A"),
+                (2, 10, "2024-01-01 00:01:00", "A"),
+                (3, 10, "2024-01-01 00:02:00", "B"),
+                (4, 10, "2024-01-01 00:03:00", "A"),
+            ],
+            "event_id long, user_id long, ts_s string, event_type string",
+        ).select(
+            "event_id", "user_id",
+            F.to_timestamp("ts_s").alias("ts"), "event_type",
+        )
+        w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        s = df.select(
+            "user_id", "event_type",
+            F.unix_micros("ts").alias("us"), "event_id",
+            F.lag("event_type").over(w_lag).alias("prev"),
+        )
+        chg = s.filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+        )
+        out = chg.orderBy("us").select("event_type").collect()
+        assert [r.event_type for r in out] == ["A", "B", "A"]

@@ -479,7 +479,16 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("o_custkey", "l_suppkey").alias("b"),
         )
         .distinct()
+        .persist()
     )
+    # The edge list feeds FIVE subplans (wedge join twice, probe join,
+    # degree union both sides, edge count); without persist each one
+    # rescans lineitem⋈orders and repeats the distinct exchange (plan
+    # audit: three hashpartitioning(a,b) exchanges). Persisting makes
+    # them all read the deduped partitions. Materialize eagerly so the
+    # storage can be released as soon as the one-row result exists,
+    # g01's leak-free idiom.
+    e.count()
     e1 = e.alias("e1")
     e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c")).alias("e2")
     e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3")).alias("e3")
@@ -501,7 +510,7 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
     )
     m = e.agg(F.count("*").alias("n_edges"))
-    return (
+    out = (
         m.crossJoin(wedges)
         .crossJoin(tri)
         .select(
@@ -513,6 +522,10 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_micro"),
         )
     )
+    # one-row result: checkpoint it eagerly, then release the edge cache
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -24,6 +24,8 @@ WAVE4 = [
     "t18_bm25_topk",
     "a27_histogram_quantile",
     "s09_matryoshka_topk",
+    "g03_triangle_count",
+    "e15_scd2_intervals",
 ]
 
 

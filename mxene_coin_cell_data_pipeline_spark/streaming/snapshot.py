@@ -154,3 +154,65 @@ def run_stream_agg_snapshot(
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.start()
     q.awaitTermination()
+
+
+def run_stream_histogram_snapshot(
+    stream_df: DataFrame,
+    snapshot_dir: str,
+    key: str,
+    value_col: str = "value",
+    bin_width: float = 10.0,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Incremental histogram-sketch maintenance: each micro-batch bins
+    its values (``bin = floor(value / bin_width)``) and merges the
+    per-(key, bin) counts into the stored histogram BY ADDITION — the
+    a27 mergeable-quantile sketch run live on a stream. State size is
+    O(keys × occupied bins), independent of history; any quantile is
+    answered from the stored counts without rescanning the feed.
+
+    All-integer state (bins and counts), so the merged histogram is
+    bit-identical to the single-pass batch histogram for ANY
+    micro-batch split of the feed. Additive merge is not idempotent;
+    restartability requires ``checkpoint_dir`` exactly as
+    ``run_stream_agg_snapshot`` documents."""
+    spark = stream_df.sparkSession
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        partial = (
+            batch_df.select(
+                F.col(key),
+                F.floor(F.col(value_col) / F.lit(bin_width))
+                .cast("long")
+                .alias("bin"),
+            )
+            .groupBy(key, "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        if os.path.exists(snapshot_dir):
+            current = spark.read.parquet(snapshot_dir)
+            merged = (
+                current.unionByName(partial)
+                .groupBy(key, "bin")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            merged = partial
+        tmp = snapshot_dir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(snapshot_dir)
+        os.rename(tmp, snapshot_dir)
+
+    w = (
+        stream_df.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.awaitTermination()

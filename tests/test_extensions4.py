@@ -278,3 +278,51 @@ class TestScd2Intervals:
         )
         out = chg.orderBy("us").select("event_type").collect()
         assert [r.event_type for r in out] == ["A", "B", "A"]
+
+
+class TestStreamHistogram:
+    def test_stream_equals_batch(self, spark, sf_dir):
+        """The micro-batch-merged histogram snapshot derives the same
+        quantile rows as the one-pass batch computation (any split of
+        the feed — here the 4-file replay the query runs)."""
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        got = {
+            r.event_type: r
+            for r in _q("st10_stream_histogram", spark, sf_dir).collect()
+        }
+        (events,) = _ctx(spark, sf_dir, "events")
+        binned = (
+            events.select(
+                "event_type",
+                F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count("*").alias("c"))
+        )
+        from pyspark.sql import Window
+
+        tot = binned.groupBy("event_type").agg(F.sum("c").alias("n"))
+        cum = binned.join(tot, "event_type").withColumn(
+            "cum",
+            F.sum("c").over(Window.partitionBy("event_type").orderBy("bin")),
+        )
+        batch = {
+            r.event_type: r
+            for r in cum.groupBy("event_type")
+            .agg(
+                F.max("n").cast("long").alias("n"),
+                (F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("bin"))) * 10)
+                .cast("long")
+                .alias("p50_bin_lo"),
+                (F.min(F.when(F.col("cum") >= F.expr("(95 * n + 99) div 100"), F.col("bin"))) * 10)
+                .cast("long")
+                .alias("p95_bin_lo"),
+            )
+            .collect()
+        }
+        assert set(got) == set(batch)
+        for k in got:
+            assert (got[k].n, got[k].p50_bin_lo, got[k].p95_bin_lo) == (
+                batch[k].n, batch[k].p50_bin_lo, batch[k].p95_bin_lo
+            )

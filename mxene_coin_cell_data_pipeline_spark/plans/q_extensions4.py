@@ -668,3 +668,97 @@ def st10_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_bin_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a28: count-min-sketch frequency estimation (mergeable heavy-hitters)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 3   # hash rows
+_CMS_W = 32  # buckets per row
+
+
+@_register(
+    "a28_countmin_freq",
+    f"""
+    WITH vocab AS (
+      SELECT u.tok AS token, count(*) AS n
+      FROM documents,
+           LATERAL (SELECT unnest(regexp_extract_all(lower(text),
+                    '[a-z0-9]+')) AS tok) u
+      GROUP BY u.tok),
+    tb AS (
+      SELECT v.token, v.n, j.j,
+             (('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || v.token),
+                1, 8))::BIGINT) % {_CMS_W} AS bucket
+      FROM vocab v, LATERAL (SELECT unnest(generate_series(0, {_CMS_D - 1}))
+                             AS j) j),
+    cells AS (
+      SELECT j, bucket, sum(n) AS cell_n
+      FROM tb GROUP BY j, bucket)
+    SELECT t.token,
+           CAST(max(t.n) AS BIGINT) AS exact_n,
+           CAST(min(c.cell_n) AS BIGINT) AS est_n,
+           CAST(min(c.cell_n) - max(t.n) AS BIGINT) AS over_by,
+           CASE WHEN min(c.cell_n) >= max(t.n) THEN 1 ELSE 0 END AS ge_ok
+    FROM tb t JOIN cells c USING (j, bucket)
+    GROUP BY t.token
+    """,
+    survey="A-family completion: count-min-sketch frequency estimation "
+    "— the mergeable HEAVY-HITTERS sketch closing the sketch lineup "
+    "(a20/a26 distinct counts, a25 GK percentile, a27 histogram "
+    "quantiles, a28 frequencies). d=3 md5-derived hash rows × w=32 "
+    "buckets; every token's estimate is the min over its d cells, the "
+    "one-sided CMS guarantee (est ≥ exact, overshoot bounded by "
+    "colliding mass) is verified in-query per token (ge_ok), and the "
+    "overshoot is emitted so the compare pins the exact collision "
+    "pattern. Cells merge BY ADDITION across partitions, days, or "
+    "streaming batches — answer any key's frequency from O(d·w) ints "
+    "without rescanning the corpus. md5 buckets are the cross-engine "
+    "oracle configuration; xxhash64 is the faster production knob "
+    "(t07's discipline). Plan: one token aggregate (the only corpus "
+    "shuffle), then vocab-sized joins; at 100 TB the sketch build "
+    "folds into the scan as a map-side d·w-cell partial.",
+    note="The sketch here is derived from the per-token counts (the "
+    "demo also outputs exact_n); the production build skips the exact "
+    "aggregate and adds each occurrence straight into its d cells — "
+    "identical cell contents, pure map-side.",
+)
+def a28_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimates vs exact counts for every corpus token, with the
+    one-sided error guarantee checked per row."""
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    js = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    tb = vocab.crossJoin(F.broadcast(js)).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j").cast("string"), "token")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_W,
+    )
+    cells = tb.groupBy("j", "bucket").agg(F.sum("n").alias("cell_n"))
+    return (
+        tb.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("n").cast("long").alias("exact_n"),
+            F.min("cell_n").cast("long").alias("est_n"),
+            (F.min("cell_n") - F.max("n")).cast("long").alias("over_by"),
+            F.when(F.min("cell_n") >= F.max("n"), 1).otherwise(0).alias("ge_ok"),
+        )
+    )

@@ -326,3 +326,67 @@ class TestStreamHistogram:
             assert (got[k].n, got[k].p50_bin_lo, got[k].p95_bin_lo) == (
                 batch[k].n, batch[k].p50_bin_lo, batch[k].p95_bin_lo
             )
+
+
+class TestCountMin:
+    def test_one_sided_guarantee(self, spark, sf_dir):
+        rows = _q("a28_countmin_freq", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.ge_ok == 1
+            assert r.est_n >= r.exact_n
+            assert r.over_by == r.est_n - r.exact_n
+
+    def test_cells_merge_by_addition(self, spark, sf_dir):
+        """CMS cells built from two disjoint doc halves and merged by
+        addition equal the whole-corpus cells — the mergeability that
+        makes the sketch production-shaped (same property as a27)."""
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        (docs,) = _ctx(spark, sf_dir, "documents")
+
+        def cells(df):
+            vocab = (
+                df.select(
+                    F.explode(
+                        F.regexp_extract_all(
+                            F.lower("text"), F.lit(r"[a-z0-9]+"), 0
+                        )
+                    ).alias("token")
+                )
+                .groupBy("token")
+                .agg(F.count("*").alias("n"))
+            )
+            js = df.sparkSession.range(3).select(
+                F.col("id").cast("int").alias("j")
+            )
+            tb = vocab.crossJoin(js).withColumn(
+                "bucket",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.col("j").cast("string"), "token")
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 32,
+            )
+            return {
+                (r.j, r.bucket): r.cell_n
+                for r in tb.groupBy("j", "bucket")
+                .agg(F.sum("n").alias("cell_n"))
+                .collect()
+            }
+
+        whole = cells(docs)
+        h1 = cells(docs.filter(F.col("doc_id") % 2 == 0))
+        h2 = cells(docs.filter(F.col("doc_id") % 2 == 1))
+        merged: dict = {}
+        for h in (h1, h2):
+            for k, v in h.items():
+                merged[k] = merged.get(k, 0) + v
+        assert merged == whole

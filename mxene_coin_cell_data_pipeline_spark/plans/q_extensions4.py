@@ -762,3 +762,58 @@ def a28_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.min("cell_n") >= F.max("n"), 1).otherwise(0).alias("ge_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# src05: hive-partitioned sink/source roundtrip with partition pruning
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "src05_hive_partitioned_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_micro,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    GROUP BY event_type
+    """,
+    survey="S-family completion: hive-partitioned parquet sink + "
+    "pruned source — events are written partitionBy(event_type) into "
+    "key=value directories and read back through a partition filter, "
+    "so only the matching directories are LISTED, let alone scanned "
+    "(the physical plan carries the predicate as PartitionFilters, "
+    "asserted by test; contrast PushedFilters, which still reads the "
+    "file and skips row groups). This is THE dominant access pattern "
+    "at 100 TB — date/tenant-partitioned facts where queries touch a "
+    "sliver — and the missing sibling of src01 JSONL / src02 CSV / "
+    "src03 python-datasource / src04 ORC. Aggregate equality against "
+    "the unpartitioned oracle proves the roundtrip preserves rows, "
+    "values (micro-unit exact), and the partition column itself "
+    "(partition values round-trip through directory names as "
+    "strings).",
+)
+def src05_hive_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events hive-partitioned by event_type, read back pruned
+    to two partitions, aggregate — equality vs the direct table."""
+    import os
+    import tempfile
+
+    (events,) = _ctx(spark, sf_dir, "events")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="src05_"), "events_part")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    back = spark.read.parquet(tmp).filter(
+        F.col("event_type").isin("click", "error")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_value_micro"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )

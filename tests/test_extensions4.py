@@ -390,3 +390,33 @@ class TestCountMin:
             for k, v in h.items():
                 merged[k] = merged.get(k, 0) + v
         assert merged == whole
+
+
+class TestHivePartitionedRoundtrip:
+    def test_partition_filters_in_plan(self, spark, sf_dir):
+        """The pruned read carries the predicate as PartitionFilters
+        (directory-level pruning), not merely PushedFilters."""
+        import os
+        import tempfile
+
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        (events,) = _ctx(spark, sf_dir, "events")
+        tmp = os.path.join(tempfile.mkdtemp(prefix="src05t_"), "p")
+        events.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+        back = spark.read.parquet(tmp).filter(F.col("event_type") == "click")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "event_type" in m.group(1)
+
+    def test_partition_values_roundtrip(self, spark, sf_dir):
+        rows = {
+            r.event_type: r
+            for r in _q("src05_hive_partitioned_roundtrip", spark, sf_dir).collect()
+        }
+        assert set(rows) == {"click", "error"}
+        for r in rows.values():
+            assert r.n > 0 and r.min_id <= r.max_id

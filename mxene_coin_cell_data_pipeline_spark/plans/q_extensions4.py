@@ -1,17 +1,24 @@
-"""Extension family, wave 4 (round 4): real WAV audio codec, C4-style
-intra-document span dedup, BM25 retrieval scoring, a mergeable
-fixed-bin histogram quantile sketch, and matryoshka embedding
-truncation with recall against the full-dimension ranking.
+"""Extension family, wave 4 (round 4): real WAV audio codec (m07),
+C4-style intra-document span dedup (t17), BM25 retrieval scoring
+(t18), a mergeable fixed-bin histogram quantile sketch (a27) plus its
+live-on-stream form (st10) and the count-min frequency sketch (a28),
+matryoshka embedding truncation with measured recall (s09), triangle
+counting with clustering coefficient (g03), SCD Type-2 interval
+builds from a change stream (e15), and the hive-partitioned
+sink/source roundtrip with pruned reads (src05).
 
 North-star additions (no reference counterpart): the remaining
 first-class stages of a multimodal / retrieval-aware training-data
 pipeline — audio joins image as a REAL byte-format parse (RIFF chunk
 walk, PCM16 samples), span-level self-dedup removes boilerplate the
 doc-level dedups can't see, BM25 is the lexical-retrieval scorer that
-pairs with the embedding ANN family, the histogram sketch is the
-mergeable (map-side-combinable) quantile shape that replaces exact
-median at fact scale, and matryoshka truncation is the dimension-
-reduction knob every 100 TB ANN deployment turns first.
+pairs with the embedding ANN family, the histogram/CMS sketches are
+the mergeable (map-side-combinable) shapes that replace exact
+median/frequency counting at fact scale, matryoshka truncation is the
+dimension-reduction knob every 100 TB ANN deployment turns first,
+g03 completes the graph family (centrality/components/local
+structure), e15 is the CDC-to-warehouse history build, and src05 is
+the partition-pruned access pattern that dominates 100 TB reads.
 """
 
 from __future__ import annotations
@@ -447,8 +454,9 @@ def s09_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(m.n_edges AS BIGINT) AS n_edges,
            CAST(w.n_wedges AS BIGINT) AS n_wedges,
            CAST(tri.n_triangles AS BIGINT) AS n_triangles,
-           CAST(3 * tri.n_triangles * 1000000 // w.n_wedges AS BIGINT)
-             AS clustering_micro
+           CAST(CASE WHEN w.n_wedges > 0
+                     THEN 3 * tri.n_triangles * 1000000 // w.n_wedges
+                END AS BIGINT) AS clustering_micro
     FROM m, w, tri
     """,
     survey="extension graph: triangle counting + global clustering "
@@ -517,7 +525,12 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_edges").cast("long").alias("n_edges"),
             F.col("n_wedges").cast("long").alias("n_wedges"),
             F.col("n_triangles").cast("long").alias("n_triangles"),
-            F.expr("3 * n_triangles * 1000000 div n_wedges")
+            # guard: an empty/wedge-free graph would make the integer
+            # division throw under ANSI instead of yielding NULL
+            F.expr(
+                "CASE WHEN n_wedges > 0"
+                " THEN 3 * n_triangles * 1000000 div n_wedges END"
+            )
             .cast("long")
             .alias("clustering_micro"),
         )

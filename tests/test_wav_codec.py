@@ -117,3 +117,29 @@ def test_generator_roundtrip_matches_oracle_formula():
     assert (r, nn) == (rate, n)
     assert peak == max(abs(v) for v in vals)
     assert msq == sum(v * v for v in vals) / n
+
+
+def test_property_roundtrip_arbitrary_samples():
+    """Any int16 sample list serializes and parses back exactly
+    (hypothesis property over the full sample domain)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), max_size=64
+        ),
+        st.sampled_from([8000, 16000, 22050, 44100]),
+    )
+    def check(samples, rate):
+        rate_out, ch, parsed = parse_wav(_wav(samples, rate=rate))
+        assert (rate_out, ch) == (rate, 1)
+        assert parsed == samples
+        r2, n, peak, msq = decode_wav(_wav(samples, rate=rate))
+        assert n == len(samples)
+        if samples:
+            assert peak == max(abs(v) for v in samples)
+            assert msq == sum(v * v for v in samples) / len(samples)
+
+    check()

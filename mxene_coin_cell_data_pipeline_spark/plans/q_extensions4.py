@@ -830,3 +830,146 @@ def src05_hive_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         F.min("event_id").cast("long").alias("min_id"),
         F.max("event_id").cast("long").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p05: training-data export composite (screen → clean → dedup → pack)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p05_export_pipeline",
+    """
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             regexp_extract_all(text, '[^ ]+') AS toks
+      FROM documents),
+    base AS (
+      SELECT doc_id, source, lang, len(toks) AS n_tok, toks FROM t),
+    scr AS (
+      SELECT * FROM base
+      WHERE lang = 'en' AND n_tok BETWEEN 20 AND 200),
+    c AS (
+      SELECT scr.doc_id, u.i AS cidx,
+             array_to_string(toks[3 * u.i + 1 : 3 * u.i + 3], ' ') AS chunk
+      FROM scr, LATERAL (SELECT unnest(generate_series(0,
+               (len(toks) + 2) // 3 - 1)) AS i) u),
+    f AS (SELECT doc_id, chunk, min(cidx) AS first_idx
+          FROM c GROUP BY doc_id, chunk),
+    k AS (SELECT doc_id, count(*) AS n_uniq,
+                 md5(string_agg(chunk, ' ' ORDER BY first_idx)) AS kept_md5
+          FROM f GROUP BY doc_id),
+    cl AS (
+      SELECT scr.doc_id, scr.source,
+             scr.n_tok - 3 * ((scr.n_tok + 2) // 3 - k.n_uniq) AS n_clean,
+             k.kept_md5
+      FROM scr JOIN k USING (doc_id)),
+    dd AS (
+      SELECT *, row_number() OVER (PARTITION BY kept_md5
+                                   ORDER BY doc_id) AS rn
+      FROM cl),
+    sv AS (SELECT doc_id, source, n_clean FROM dd WHERE rn = 1),
+    pk AS (
+      SELECT source, doc_id, n_clean,
+             sum(n_clean) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+      FROM sv),
+    agg AS (
+      SELECT source,
+             count(*) AS n_kept,
+             sum(n_clean) AS tok_total,
+             sum(CASE WHEN (cum - 1) // 512 > (cum - n_clean) // 512
+                      THEN 1 ELSE 0 END) AS n_crossers
+      FROM pk GROUP BY source),
+    cnt AS (
+      SELECT b.source, count(*) AS n_in,
+             sum(CASE WHEN b.lang = 'en' AND b.n_tok BETWEEN 20 AND 200
+                      THEN 1 ELSE 0 END) AS n_screened
+      FROM base b GROUP BY b.source)
+    SELECT cnt.source,
+           CAST(cnt.n_in AS BIGINT) AS n_in,
+           CAST(cnt.n_screened AS BIGINT) AS n_screened,
+           CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(agg.tok_total, 0) AS BIGINT) AS tok_total,
+           CAST((coalesce(agg.tok_total, 0) + 511) // 512 AS BIGINT)
+             AS n_packs,
+           CAST(coalesce(agg.n_crossers, 0) AS BIGINT) AS n_crossers
+    FROM cnt LEFT JOIN agg USING (source)
+    """,
+    survey="north-star capstone #2: the pretraining EXPORT pipeline "
+    "composed end to end — language + length screens (t13's cheap "
+    "row-local stage), C4-style intra-doc span self-dedup (t17, with "
+    "the cleaned token count derived EXACTLY: every dropped span is a "
+    "full 3-token span, so n_clean = n_tok − 3·dropped), cross-doc "
+    "exact dedup on the CLEANED fingerprint (d01's first-wins rule — "
+    "dedup after cleaning catches docs that differ only in their "
+    "internal repetition), then o15's per-source sequence packing of "
+    "the survivors into 512-token windows, audited per source shard "
+    "(docs in/screened/kept, clean tokens, pack count, boundary "
+    "crossers). Stage ORDER is the production one: row-local screens "
+    "and self-cleaning shrink the corpus before the only global "
+    "exchange (fingerprint dedup), and packing stays per-shard "
+    "parallel. At 100 TB this single lazy plan is one scan + one "
+    "survivor-only shuffle + per-shard windows — no stage "
+    "materializes the corpus.",
+    note="Spans are joined on single spaces, so the cleaned token "
+    "count identity holds for any tokenization; the partial last span "
+    "(1-2 tokens) can never equal a full 3-token span, so dropped "
+    "spans are always full — pinned by the t17 tests.",
+)
+def p05_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen → span-clean → fingerprint-dedup → pack, with a
+    per-source audit row (the export-side sibling of p01/t13)."""
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(r"[^ ]+"), 0)
+    base = docs.select(
+        "doc_id", "source", "lang", toks.alias("toks")
+    ).withColumn("n_tok", F.size("toks"))
+    screened = F.col("lang").eqNullSafe("en") & F.col("n_tok").between(20, 200)
+    scr = base.filter(screened)
+    spans = F.expr(
+        "transform(sequence(0, (size(toks) + 2) div 3 - 1),"
+        " i -> array_join(slice(toks, i * 3 + 1, 3), ' '))"
+    )
+    kept = F.array_distinct(spans)
+    cl = scr.select(
+        "doc_id",
+        "source",
+        (
+            F.col("n_tok")
+            - F.lit(3) * (F.expr("(n_tok + 2) div 3") - F.size(kept))
+        ).alias("n_clean"),
+        F.md5(F.encode(F.array_join(kept, " "), "UTF-8")).alias("kept_md5"),
+    )
+    w_dd = Window.partitionBy("kept_md5").orderBy("doc_id")
+    sv = (
+        cl.withColumn("rn", F.row_number().over(w_dd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_clean")
+    )
+    w_pk = Window.partitionBy("source").orderBy("doc_id")
+    pk = sv.withColumn("cum", F.sum("n_clean").over(w_pk))
+    agg = pk.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_clean").alias("tok_total"),
+        F.sum(
+            F.when(
+                F.expr("(cum - 1) div 512") > F.expr("(cum - n_clean) div 512"),
+                1,
+            ).otherwise(0)
+        ).alias("n_crossers"),
+    )
+    cnt = base.groupBy("source").agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.when(screened, 1).otherwise(0)).alias("n_screened"),
+    )
+    return cnt.join(agg, "source", "left").select(
+        "source",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_screened").cast("long").alias("n_screened"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("tok_total", F.lit(0)).cast("long").alias("tok_total"),
+        ((F.coalesce("tok_total", F.lit(0)) + 511) / F.lit(512))
+        .cast("long")
+        .alias("n_packs"),
+        F.coalesce("n_crossers", F.lit(0)).cast("long").alias("n_crossers"),
+    )

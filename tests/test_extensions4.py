@@ -420,3 +420,45 @@ class TestHivePartitionedRoundtrip:
         assert set(rows) == {"click", "error"}
         for r in rows.values():
             assert r.n > 0 and r.min_id <= r.max_id
+
+
+class TestExportPipeline:
+    def test_stage_monotonicity_and_identities(self, spark, sf_dir):
+        """Counts shrink through the funnel; pack count matches the
+        ceil identity; crossers bounded by kept docs."""
+        rows = _q("p05_export_pipeline", spark, sf_dir).collect()
+        assert rows
+        assert sum(r.n_in for r in rows) > 0
+        for r in rows:
+            assert r.n_in >= r.n_screened >= r.n_kept >= 0
+            assert r.n_packs == (r.tok_total + 511) // 512
+            assert 0 <= r.n_crossers <= max(r.n_kept - 1, 0) + r.n_packs
+
+    def test_clean_token_identity(self, spark, sf_dir):
+        """The derived clean token count equals the actual token count
+        of the span-deduped text (dropped spans are always full
+        3-token spans)."""
+        rows = _q("t17_span_self_dedup", spark, sf_dir).collect()
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        (docs,) = _ctx(spark, sf_dir, "documents")
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        import hashlib
+
+        for r in rows[:50]:
+            toks = [t for t in texts[r.doc_id].split(" ") if t]
+            spans = [
+                " ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)
+            ]
+            seen, keep = set(), []
+            for s in spans:
+                if s not in seen:
+                    seen.add(s)
+                    keep.append(s)
+            cleaned = " ".join(keep)
+            n_clean_expected = len([t for t in cleaned.split(" ") if t])
+            derived = r.n_tokens - 3 * (r.n_spans - r.n_uniq_spans)
+            assert derived == n_clean_expected
+            assert (
+                hashlib.md5(cleaned.encode()).hexdigest() == r.kept_md5
+            )

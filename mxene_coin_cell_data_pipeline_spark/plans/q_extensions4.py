@@ -573,8 +573,10 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "materialization every lakehouse runs: o07's latest-by-key keeps "
     "only the current row, SCD2 keeps the full history queryable by "
     "as-of joins (e01/e12 consume exactly this shape). Plan: ONE "
-    "shuffle keyed by user_id feeds both windows (lag and "
-    "lead/row_number share the same partitioning and sort), so history "
+    "shuffle keyed by user_id feeds both windows — lag and "
+    "lead/row_number share the partitioning AND the textually "
+    "identical (us, event_id) sort key, so the physical plan is one "
+    "Exchange + ONE Sort (audited) — so history "
     "rebuild is a single exchange of the change stream; at 100 TB run "
     "it incrementally per partition-day with o07's upsert as the "
     "current-row fast path. Tie-break (ts, event_id) makes the run "
@@ -584,12 +586,20 @@ def e15_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals per user: one row per state run with
     half-open [valid_from, valid_to) epoch-micros and version."""
     (events,) = _ctx(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
-    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    s = events.select(
+    # both windows order by (us, event_id): us is a monotone bijection
+    # of ts, and the TEXTUALLY identical sort key lets Catalyst reuse
+    # one sort for both window operators (ordering carries through the
+    # filter) — sorting the lag window by ts instead leaves a second
+    # SortExec in the plan (audited)
+    pre = events.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("us"),
+        "event_id",
+    )
+    w_lag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = pre.select(
         "user_id",
         "event_type",
-        us.alias("us"),
+        "us",
         "event_id",
         F.lag("event_type").over(w_lag).alias("prev"),
     )

@@ -83,6 +83,10 @@ def m07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_audio, with_wav_payload
 
     (docs,) = _ctx(spark, sf_dir, "documents")
+    # NOT scale_out-rebalanced: a same-session A/B at sf0.1 measured the
+    # added exchange + per-worker batch overhead costing MORE than the
+    # single-task Python gen saves (0.89s -> 1.52s); on splittable
+    # production layouts the scan parallelizes by itself
     return decode_audio(with_wav_payload(docs.select("doc_id")))
 
 
@@ -131,7 +135,10 @@ def m07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t17_span_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop repeated 3-token spans within each document, keeping first
     occurrences; emit span counts + the md5 of the cleaned text."""
+    from ..sources.tables import scale_out
+
     (docs,) = _ctx(spark, sf_dir, "documents")
+    docs = scale_out(docs)  # row-local HOFs inherit scan parallelism
     toks = F.regexp_extract_all("text", F.lit(r"[^ ]+"), 0)
     # sequence(0, -1) would generate a DESCENDING sequence in Spark, so
     # the zero-token case is guarded to an explicitly empty span list.
@@ -223,7 +230,10 @@ def _bm25_term_sql(term: str) -> str:
 def t18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 over the documents table for a fixed 3-term query,
     rational-idf variant (see oracle note)."""
+    from ..sources.tables import scale_out
+
     (docs,) = _ctx(spark, sf_dir, "documents")
+    docs = scale_out(docs)  # per-doc tf filters are narrow and heavy
     toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[^ ]+"), 0)
 
     def _tf(term: str) -> F.Column:
@@ -751,6 +761,8 @@ def a28_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS estimates vs exact counts for every corpus token, with the
     one-sided error guarantee checked per row."""
     (docs,) = _ctx(spark, sf_dir, "documents")
+    # NOT scale_out-rebalanced: the explode+count stage is too cheap at
+    # this corpus for the extra exchange to pay (A/B: 0.48s -> 1.49s)
     vocab = (
         docs.select(
             F.explode(
@@ -929,7 +941,10 @@ def src05_hive_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 def p05_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Screen → span-clean → fingerprint-dedup → pack, with a
     per-source audit row (the export-side sibling of p01/t13)."""
+    from ..sources.tables import scale_out
+
     (docs,) = _ctx(spark, sf_dir, "documents")
+    docs = scale_out(docs)  # screens + span HOFs are narrow and heavy
     toks = F.regexp_extract_all("text", F.lit(r"[^ ]+"), 0)
     base = docs.select(
         "doc_id", "source", "lang", toks.alias("toks")

@@ -229,3 +229,47 @@ def test_stateful_energy_checkpoint_recovery(spark, sf_dir, tmp_path):
             assert got == pytest.approx(want, abs=5e-7), k
             n_checked += 1
     assert n_checked > 50  # real coverage, not a vacuous pass
+
+
+def test_histogram_snapshot_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """The histogram sketch's additive bin merge survives a
+    stop/restart exactly-once: the recovered snapshot's (key, bin)
+    counts equal the one-pass batch histogram of the whole feed."""
+    from mxene_coin_cell_data_pipeline_spark.streaming.snapshot import (
+        run_stream_histogram_snapshot,
+    )
+
+    ev, src, day = _events_feed(
+        spark, sf_dir, tmp_path, [(None, D0 + 4), (D0 + 4, D0 + 11)]
+    )
+    snap = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+
+    run_stream_histogram_snapshot(
+        _read_feed(spark, src), snap, key="event_type", checkpoint_dir=ckpt
+    )
+    mid_total = sum(r["c"] for r in spark.read.parquet(snap).collect())
+    assert mid_total == ev.filter(day < D0 + 11).count()
+
+    # crash boundary; the rest of the feed arrives, restart on the
+    # SAME checkpoint — committed phase-1 batches must not re-merge
+    _phase_files(ev, day, [(D0 + 11, None)], src, 1)
+    run_stream_histogram_snapshot(
+        _read_feed(spark, src), snap, key="event_type", checkpoint_dir=ckpt
+    )
+
+    got = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in ev.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want

@@ -998,3 +998,121 @@ def p05_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_packs"),
         F.coalesce("n_crossers", F.lit(0)).cast("long").alias("n_crossers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# s10: PCA top component via integer power iteration
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "s10_pca_power",
+    """
+    WITH q AS (
+      SELECT vec_id, u.i AS dim,
+             CAST(floor(embedding[u.i]::DOUBLE * 1000.0 + 0.5) AS BIGINT)
+               AS qv
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, 16)) AS i) u),
+    cov AS (
+      SELECT a.dim AS i, b.dim AS j, sum(a.qv * b.qv) AS c
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+    v1 AS (SELECT i, sum(c) AS v1v FROM cov GROUP BY i),
+    m1 AS (SELECT greatest(max(abs(v1v)), 1) AS mx FROM v1),
+    w AS (SELECT i, CASE WHEN v1v < 0 THEN -((abs(v1v) * 100) // mx)
+                         ELSE (abs(v1v) * 100) // mx END AS wv
+          FROM v1, m1),
+    v2 AS (SELECT cov.i, sum(cov.c * w.wv) AS v2v
+           FROM cov JOIN w ON w.i = cov.j GROUP BY cov.i),
+    m2 AS (SELECT greatest(max(abs(v2v)), 1) AS mx FROM v2)
+    SELECT v1.i AS dim,
+           CAST(v1.v1v AS BIGINT) AS v1,
+           CAST(w.wv AS BIGINT) AS w,
+           CAST(v2.v2v AS BIGINT) AS v2,
+           CAST(CASE WHEN v2.v2v < 0 THEN -((abs(v2.v2v) * 10000) // m2.mx)
+                     ELSE (abs(v2.v2v) * 10000) // m2.mx END AS BIGINT)
+             AS dir_scaled
+    FROM v1 JOIN w USING (i) JOIN v2 USING (i), m2
+    """,
+    survey="north-star similarity: PCA top-component TRAINING by two "
+    "integer power-iteration rounds over the (uncentered) Gram matrix "
+    "of the first 16 embedding dims — the dimensionality-reduction "
+    "trainer whose output feeds the matryoshka/truncation inference "
+    "path (s09): inputs quantize to milli-units, so the 16×16 Gram "
+    "matrix is an EXACT integer aggregate (one (i,j)-keyed shuffle of "
+    "per-vector products, map-side combined), and both iteration "
+    "rounds stay in bounded int64 via magnitude rescaling between "
+    "rounds (|w| ≤ 100). No float op exists anywhere in the chain, so "
+    "the eigenvector direction is bit-deterministic on any engine or "
+    "partition layout. Negative-value floor division is sign-split "
+    "(magnitude // positive) because Spark's div truncates toward "
+    "zero while DuckDB's // floors — the one integer-op semantic the "
+    "engines disagree on. At 100 TB: the Gram aggregate is one "
+    "scan + a (dims²)-row shuffle; iterations touch only the 16×16 "
+    "matrix — the classic distributed-covariance + driver-side-"
+    "eigensolve split, here kept fully relational.",
+    note="Uncentered second-moment PCA (Gram direction); mean-center "
+    "first for classical PCA — same plan with one extra broadcast of "
+    "per-dim means. Each round contracts the off-axis tangent by "
+    "lambda2/lambda1 (strict per-round improvement pinned by test); "
+    "the synthetic corpus is near-isotropic so production corpora "
+    "with a real dominant direction converge far faster. More rounds "
+    "unroll identically.",
+)
+def s10_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two integer power-iteration rounds on the 16-dim Gram matrix;
+    emits v1, the rescaled iterate w, v2, and the scaled direction."""
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 16)).alias("pos", "x")
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
+    )
+    a = q.alias("a")
+    b = q.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("dim").alias("j"),
+        F.col("qv").alias("qv2"),
+    ).alias("b")
+    cov = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vid2"))
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.j").alias("j"))
+        .agg(F.sum(F.col("a.qv") * F.col("b.qv2")).alias("c"))
+    )
+    v1 = cov.groupBy("i").agg(F.sum("c").alias("v1v"))
+    m1 = v1.agg(F.greatest(F.max(F.abs("v1v")), F.lit(1)).alias("mx"))
+    w = v1.crossJoin(F.broadcast(m1)).select(
+        "i",
+        F.when(
+            F.col("v1v") < 0, -F.expr("(abs(v1v) * 100) div mx")
+        )
+        .otherwise(F.expr("(abs(v1v) * 100) div mx"))
+        .alias("wv"),
+    )
+    v2 = (
+        cov.join(F.broadcast(w.select(F.col("i").alias("j"), "wv")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("wv")).alias("v2v"))
+    )
+    m2 = v2.agg(F.greatest(F.max(F.abs("v2v")), F.lit(1)).alias("mx"))
+    return (
+        v1.join(w, "i")
+        .join(v2, "i")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("i").alias("dim"),
+            F.col("v1v").cast("long").alias("v1"),
+            F.col("wv").cast("long").alias("w"),
+            F.col("v2v").cast("long").alias("v2"),
+            F.when(
+                F.col("v2v") < 0, -F.expr("(abs(v2v) * 10000) div mx")
+            )
+            .otherwise(F.expr("(abs(v2v) * 10000) div mx"))
+            .cast("long")
+            .alias("dir_scaled"),
+        )
+    )

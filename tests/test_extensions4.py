@@ -462,3 +462,51 @@ class TestExportPipeline:
             assert (
                 hashlib.md5(cleaned.encode()).hexdigest() == r.kept_md5
             )
+
+
+class TestPcaPower:
+    def test_integer_chain_matches_python_and_numpy(self, spark, sf_dir):
+        """The integer power-iteration chain reproduces an exact Python
+        recomputation from the quantized vectors, and the resulting
+        direction aligns with numpy's true top eigenvector of the same
+        Gram matrix."""
+        import numpy as np
+
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        (emb,) = _ctx(spark, sf_dir, "embeddings")
+        vecs = [
+            [int(np.floor(float(x) * 1000.0 + 0.5)) for x in r.embedding[:16]]
+            for r in emb.select("embedding").collect()
+        ]
+        Q = np.array(vecs, dtype=object)
+        cov = [[sum(int(v[i]) * int(v[j]) for v in vecs) for j in range(16)]
+               for i in range(16)]
+        v1 = [sum(cov[i]) for i in range(16)]
+        mx1 = max(max(abs(v) for v in v1), 1)
+        w = [(-((abs(v) * 100) // mx1) if v < 0 else (abs(v) * 100) // mx1)
+             for v in v1]
+        v2 = [sum(cov[i][j] * w[j] for j in range(16)) for i in range(16)]
+
+        got = {r.dim: r for r in
+               _q("s10_pca_power", spark, sf_dir).collect()}
+        assert len(got) == 16
+        for d in range(16):
+            assert got[d + 1].v1 == v1[d]
+            assert got[d + 1].w == w[d]
+            assert got[d + 1].v2 == v2[d]
+
+        C = np.array([[float(x) for x in row] for row in cov])
+        eigvals, eigvecs = np.linalg.eigh(C)
+        top = eigvecs[:, -1]
+
+        def cos(a):
+            a = np.array([float(x) for x in a])
+            return abs(a @ top) / (np.linalg.norm(a) * np.linalg.norm(top))
+
+        # the synthetic embeddings are near-isotropic (lambda2/lambda1
+        # ~ 0.96-0.99), so 2 rounds can't reach the eigenvector — the
+        # pinned property is the power-iteration contraction itself:
+        # alignment with the true top eigenvector strictly improves
+        # every round despite the integer rescaling.
+        assert cos(np.ones(16)) < cos(v1) < cos(v2)

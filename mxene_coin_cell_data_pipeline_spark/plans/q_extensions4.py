@@ -1116,3 +1116,78 @@ def s10_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dir_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# e16: seasonal-naive forecast backtest (lag-24h, integer MAE)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "e16_seasonal_backtest",
+    """
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hr,
+             sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2),
+    f AS (
+      SELECT event_type, hr, v,
+             lag(v, 24) OVER (PARTITION BY event_type ORDER BY hr) AS fc
+      FROM h)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(count(fc) AS BIGINT) AS n_scored,
+           CAST(sum(abs(v - fc)) AS BIGINT) AS abs_err_micro_sum,
+           CAST(sum(abs(v - fc)) // greatest(count(fc), 1) AS BIGINT)
+             AS mae_micro
+    FROM f GROUP BY event_type
+    """,
+    survey="extension events: seasonal-naive forecast BACKTEST — "
+    "hourly value totals per event type, forecast each hour with the "
+    "value 24 hours earlier (the canonical seasonal-naive baseline "
+    "every production forecast must beat), score by mean absolute "
+    "error. The whole chain is integer micro-units (per-row "
+    "fixed-point totals, integer |v - fc| sums, floor-divided MAE) — "
+    "bit-deterministic on any engine/partition layout. Plan: one "
+    "map-side-combined (type, hour) aggregate, then ONE window lag "
+    "and the scoring aggregate on the same type-keyed exchange; at "
+    "100 TB the raw stream reduces to O(types × hours) rows before "
+    "any window state exists. Completes the time-series family "
+    "(e05 EWMA smoothing, e14 interpolation, e11 OHLC, a27 "
+    "histogram) with the evaluation primitive.",
+    note="Hours with no 24h-earlier bucket score NULL and are "
+    "excluded by count(fc) — the warm-up day. lag(v, 24) indexes "
+    "OBSERVED hours (rows), which coincides with wall-clock 24h only "
+    "where the hourly grid is dense (sf0.01+ here; sf0.001 is "
+    "sparse, making this the observed-row seasonal baseline there) — "
+    "production feeds densify first via e04/e14's grid explode, "
+    "after which row-lag and time-lag agree by construction.",
+)
+def e16_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly seasonal-naive (t-24h) backtest per event type with
+    integer micro-unit MAE."""
+    (events,) = _ctx(spark, sf_dir, "events")
+    h = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("vm"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.sum("vm").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hr")
+    f = h.withColumn("fc", F.lag("v", 24).over(w))
+    return f.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.count("fc").cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("v") - F.col("fc"))).cast("long").alias(
+            "abs_err_micro_sum"
+        ),
+        F.expr(
+            "CAST(sum(abs(v - fc)) div greatest(count(fc), 1) AS BIGINT)"
+        ).alias("mae_micro"),
+    )

@@ -510,3 +510,35 @@ class TestPcaPower:
         # alignment with the true top eigenvector strictly improves
         # every round despite the integer rescaling.
         assert cos(np.ones(16)) < cos(v1) < cos(v2)
+
+
+class TestSeasonalBacktest:
+    def test_mae_identity_and_warmup(self, spark, sf_dir):
+        rows = _q("e16_seasonal_backtest", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r.n_scored == max(r.n_hours - 24, 0)
+            if r.n_scored:
+                assert r.mae_micro == r.abs_err_micro_sum // r.n_scored
+            assert r.abs_err_micro_sum >= 0
+
+    def test_perfect_seasonal_signal_scores_zero(self, spark):
+        """A perfectly 24h-periodic series has zero seasonal-naive
+        error after warm-up."""
+        from pyspark.sql import Window
+
+        rows = [
+            (h, "x", float(10 + (h % 24)))  # value repeats every 24h
+            for h in range(72)
+        ]
+        df = spark.createDataFrame(rows, "hr long, event_type string, v double")
+        vm = F.floor(F.col("v") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        w = Window.partitionBy("event_type").orderBy("hr")
+        f = df.select("event_type", "hr", vm.alias("v")).withColumn(
+            "fc", F.lag("v", 24).over(w)
+        )
+        out = f.groupBy("event_type").agg(
+            F.count("fc").alias("n"),
+            F.sum(F.abs(F.col("v") - F.col("fc"))).alias("err"),
+        ).head()
+        assert out.n == 48 and out.err == 0

@@ -2,10 +2,13 @@
 C4-style intra-document span dedup (t17), BM25 retrieval scoring
 (t18), a mergeable fixed-bin histogram quantile sketch (a27) plus its
 live-on-stream form (st10) and the count-min frequency sketch (a28),
-matryoshka embedding truncation with measured recall (s09), triangle
-counting with clustering coefficient (g03), SCD Type-2 interval
-builds from a change stream (e15), and the hive-partitioned
-sink/source roundtrip with pruned reads (src05).
+matryoshka embedding truncation with measured recall (s09) plus
+integer-exact PCA power iteration training the direction it consumes
+(s10), triangle counting with clustering coefficient (g03), SCD
+Type-2 interval builds from a change stream (e15), seasonal-naive
+forecast backtesting (e16), the hive-partitioned sink/source
+roundtrip with pruned reads (src05), and the export-pipeline capstone
+composing screen → span-clean → dedup → pack (p05).
 
 North-star additions (no reference counterpart): the remaining
 first-class stages of a multimodal / retrieval-aware training-data

@@ -142,9 +142,9 @@ def _fsum6_micro(col) -> F.Column:
 #: additions d12/d13/d14/m05/a26, the round-4 curation family
 #: d15/o15/o16/s07/t14/s08, the wave-3 family
 #: t15/g02/e14/d16/src04/m06/st09/t16, and the wave-4 family
-#: m07/t17/t18/a27/s09/g03/e15/st10/a28/src05/p05/s10/e16 — 44
+#: m07/t17/t18/a27/s09/g03/e15/st10/a28/src05/p05/s10/e16/a29 — 45
 #: queries; the window holds 50, so one rotation covers them all and
-#: the union of r01-r05 windows reaches all 174.
+#: the union of r01-r05 windows reaches all 175.
 _DRIVER_PREFIX = [
     # events / time-series alignment family
     "e03_range_join",

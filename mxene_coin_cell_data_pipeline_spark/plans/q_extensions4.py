@@ -1194,3 +1194,102 @@ def e16_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(abs(v - fc)) div greatest(count(fc), 1) AS BIGINT)"
         ).alias("mae_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# a29: join-cardinality estimation via count-min inner product
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a29_join_size_sketch",
+    """
+    WITH n AS (
+      SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    truth AS (SELECT sum(c * c) AS true_size FROM n),
+    cells AS (
+      SELECT j.j,
+             (('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':'
+                || CAST(n.user_id AS VARCHAR)), 1, 8))::BIGINT) % 64
+               AS bucket,
+             sum(n.c) AS cm
+      FROM n, LATERAL (SELECT unnest(generate_series(0, 2)) AS j) j
+      GROUP BY 1, 2),
+    est AS (
+      SELECT min(s) AS est_size
+      FROM (SELECT j, sum(cm * cm) AS s FROM cells GROUP BY j))
+    SELECT CAST(truth.true_size AS BIGINT) AS true_size,
+           CAST(est.est_size AS BIGINT) AS est_size,
+           CAST(est.est_size - truth.true_size AS BIGINT) AS over_by,
+           CASE WHEN est.est_size >= truth.true_size THEN 1 ELSE 0 END
+             AS ge_ok,
+           CAST(est.est_size * 1000000 // truth.true_size AS BIGINT)
+             AS ratio_micro
+    FROM truth, est
+    """,
+    survey="A-family completion: JOIN-SIZE estimation by the count-min "
+    "inner product — the shuffle-planning primitive behind cost-based "
+    "join reordering and skew detection: the self-join cardinality on "
+    "a key (sum of per-key count²) is estimated as min over d hash "
+    "rows of sum(cm²), which upper-bounds the truth (colliding keys "
+    "only ADD cross terms) without ever materializing the join. Both "
+    "sides all-integer; the guarantee (est ≥ true) and the exact "
+    "overshoot ratio are emitted in-query. At 100 TB: each side's "
+    "sketch is one map-side-combined scan into d·w cells, sketches "
+    "of DIFFERENT tables combine by the same inner product (cmA·cmB), "
+    "and partial sketches merge by addition (a26/a27/a28's "
+    "mergeability) — estimate any join's output volume from kilobytes "
+    "of state before committing to a shuffle strategy.",
+    note="Demonstrated on the self-join (events × events on user_id) "
+    "so truth is cheaply exact for the oracle; two-table estimation "
+    "is the identical expression over two cell sets.",
+)
+def a29_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM-inner-product estimate of the user_id self-join size vs the
+    exact value, with the one-sided bound checked in-query."""
+    (events,) = _ctx(spark, sf_dir, "events")
+    n = events.groupBy("user_id").agg(F.count("*").alias("c"))
+    truth = n.agg(F.sum(F.col("c") * F.col("c")).alias("true_size"))
+    js = spark.range(3).select(F.col("id").cast("int").alias("j"))
+    cells = (
+        n.crossJoin(F.broadcast(js))
+        .withColumn(
+            "bucket",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("j").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 64,
+        )
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("cm"))
+    )
+    est = (
+        cells.groupBy("j")
+        .agg(F.sum(F.col("cm") * F.col("cm")).alias("s"))
+        .agg(F.min("s").alias("est_size"))
+    )
+    return (
+        truth.crossJoin(est)
+        .select(
+            F.col("true_size").cast("long").alias("true_size"),
+            F.col("est_size").cast("long").alias("est_size"),
+            (F.col("est_size") - F.col("true_size")).cast("long").alias("over_by"),
+            F.when(F.col("est_size") >= F.col("true_size"), 1)
+            .otherwise(0)
+            .alias("ge_ok"),
+            F.expr("CAST(est_size * 1000000 div true_size AS BIGINT)").alias(
+                "ratio_micro"
+            ),
+        )
+    )

@@ -542,3 +542,33 @@ class TestSeasonalBacktest:
             F.sum(F.abs(F.col("v") - F.col("fc"))).alias("err"),
         ).head()
         assert out.n == 48 and out.err == 0
+
+
+class TestJoinSizeSketch:
+    def test_bound_and_exactness(self, spark, sf_dir):
+        """est >= true always (CM inner product adds only nonnegative
+        collision cross-terms), and the true size matches a direct
+        per-key count-square sum."""
+        from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+        row = _q("a29_join_size_sketch", spark, sf_dir).head()
+        assert row.ge_ok == 1
+        assert row.est_size >= row.true_size
+        assert row.over_by == row.est_size - row.true_size
+        assert row.ratio_micro == row.est_size * 1000000 // row.true_size
+
+        (events,) = _ctx(spark, sf_dir, "events")
+        counts = [
+            r.c
+            for r in events.groupBy("user_id")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        assert row.true_size == sum(c * c for c in counts)
+        # the self-join size really is what the sketch estimates
+        assert row.true_size == events.select("user_id", "event_id").alias(
+            "a"
+        ).join(
+            events.select(F.col("user_id"), F.col("event_id").alias("e2")).alias("b"),
+            "user_id",
+        ).count()

@@ -1,0 +1,100 @@
+"""Physical-plan shape regression tests.
+
+The oracle gate proves VALUES; these pin the PLANS — the properties
+`.explain` audits established (broadcast dims, TakeOrdered instead of
+global sort, one exchange/sort where one suffices, directory-level
+partition pruning) so a future refactor can't silently regress a
+query into a correct-but-shuffle-heavy shape.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from mxene_coin_cell_data_pipeline_spark.plans.queries import QUERIES
+
+
+def _plan(name, spark, sf_dir) -> str:
+    df = QUERIES[name].spark(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-k queries must plan as TakeOrderedAndProject — a global
+    Sort+Limit materializes the full ordering on one node."""
+    for name in ("q03_top_revenue_orders", "t18_bm25_topk",
+                 "s09_matryoshka_topk"):
+        plan = _plan(name, spark, sf_dir)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """Snowflake dims must broadcast, never sort-merge."""
+    plan = _plan("q05_nation_volume", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # the fact table must not be sort-merge-joined against a dim
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_e15_single_exchange_single_sort(spark, sf_dir):
+    """Both SCD2 windows share one user_id exchange AND one sort
+    (the lag and lead windows use the same textual sort key)."""
+    plan = _plan("e15_scd2_intervals", spark, sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    assert len(re.findall(r"\bSort \[user_id", plan)) == 1
+    assert plan.count("Window") == 2
+
+
+def test_bm25_stats_row_broadcasts(spark, sf_dir):
+    """The corpus-stats single row joins back via broadcast — a
+    shuffle keyed by term must never materialize."""
+    plan = _plan("t18_bm25_topk", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "hashpartitioning(token" not in plan
+
+
+def test_t17_has_no_exchange_at_all(spark, sf_dir):
+    """Span self-dedup is row-local: zero exchanges in the whole plan
+    beyond the optional scan rebalance (RoundRobin/Repartition)."""
+    plan = _plan("t17_span_self_dedup", spark, sf_dir)
+    hashex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert hashex == []
+
+
+def test_sketch_aggregates_partial_map_side(spark, sf_dir):
+    """a27's heavy exchange carries (flag, bin) partials — the binned
+    aggregate must show a partial_count before the shuffle."""
+    plan = _plan("a27_histogram_quantile", spark, sf_dir)
+    assert "partial_count" in plan
+
+
+def test_src05_partition_pruning(spark, sf_dir):
+    """The hive-partitioned read prunes directories: the scan's
+    PartitionFilters must carry the event_type predicate."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+    (events,) = _ctx(spark, sf_dir, "events")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="planshape_"), "p")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    back = spark.read.parquet(tmp).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
+
+
+def test_ann_scans_broadcast_the_query_vector(spark, sf_dir):
+    """s01's brute-force scan must broadcast the 1-row query side —
+    an exchange of the corpus keyed for a join would be a regression."""
+    plan = _plan("s01_cosine_topk", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -20,6 +20,31 @@ from .text import tokenize
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2
+#: Library DEFAULT for per-bucket pair emission in the LSH/SimHash
+#: candidate generators. A band bucket of m co-hashed docs emits
+#: m(m-1)/2 pairs from the self-join — at web scale one viral
+#: boilerplate cluster (m ~ 1e6) is 5e11 pairs from ONE bucket, the
+#: single quadratic scale-killer in the dedup family (measured:
+#: SCALING.md — uncapped edges grew 100.5× on 10× duplicate-heavy
+#: data; capped 10.1×, linear). Buckets of m ≤ 64 keep the exact
+#: all-pairs emission; larger buckets emit m-1 star edges to the
+#: bucket's min doc_id, which keeps every bucket connected so the
+#: hash-min transitive closure builds identical keeper groups
+#: (pinned: tests/test_dedup_star_cap.py). Star-capped emission is
+#: the PRODUCTION default; pass ``bucket_cap=None`` to opt out into
+#: the fully-exact all-pairs shape (the DuckDB oracle queries
+#: d02/d05/d06/d08/d09 do, because their oracles define all-pairs
+#: semantics).
+DEFAULT_BUCKET_CAP = 64
+#: Same scale guard for the exact inverted-index path
+#: (``ngram_jaccard_pairs``): a shingle with document frequency df
+#: contributes O(df²) join pairs, so ultra-common shingles from a
+#: duplicate cluster blow up the posting-list self-join. The default
+#: restricts the shingle universe to df ≤ 64 (set sizes and
+#: intersections both computed over the SAME capped universe — a
+#: well-defined jaccard of stop-filtered shingle sets); pass
+#: ``max_df=None`` for the fully-exact all-shingle score.
+DEFAULT_MAX_DF = 64
 #: production fingerprint width: 64 bits = 4 bands × 16 bits, so the
 #: pigeonhole band join buckets on 2^16 values per band and candidate
 #: volume tracks true near-dups instead of corpus²/2^4 (the quadratic
@@ -87,7 +112,7 @@ def lsh_candidate_pairs(
     sig: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band bucket.
 
@@ -105,7 +130,9 @@ def lsh_candidate_pairs(
     link (b, c) inside a giant bucket whose members are dissimilar to
     the min doc can be missed — acceptable precisely because a full
     band collision at large m is overwhelming evidence of boilerplate.
-    ``None`` (default) is fully exact.
+    Capped emission (``DEFAULT_BUCKET_CAP``) is the production
+    default; ``bucket_cap=None`` opts out into the fully-exact
+    all-pairs shape.
     """
     n_bands = num_hashes // band_size
     bands = sig.select(
@@ -208,7 +235,7 @@ def minhash_near_dup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     threshold: float = 0.8,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """shingle → minhash → band-bucket join → exact-jaccard refine.
 
@@ -219,10 +246,11 @@ def minhash_near_dup_pairs(
     measured 3.8× faster cold at sf0.1, and at 100 TB the cache would
     not fit storage memory anyway.
 
-    ``bucket_cap`` bounds per-bucket pair emission (star edges past the
-    cap — see ``lsh_candidate_pairs``); it is the production setting
-    for duplicate-heavy corpora where one boilerplate cluster would
-    otherwise emit O(m²) candidates.
+    ``bucket_cap`` bounds per-bucket pair emission (star edges past
+    the cap — see ``lsh_candidate_pairs``); capped is the DEFAULT
+    because on duplicate-heavy corpora one boilerplate cluster would
+    otherwise emit O(m²) candidates. ``bucket_cap=None`` opts out
+    into the fully-exact all-pairs shape (the d02 oracle does).
     """
     sh = shingles(docs, text_col, n)
     sig = minhash_signatures(sh, num_hashes)
@@ -235,7 +263,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact n-gram jaccard dedup without LSH: candidates are all pairs
     sharing ≥1 shingle (inverted-index join). Exact but heavier than
@@ -252,7 +280,10 @@ def ngram_jaccard_pairs(
     both computed over the SAME capped universe, so the score is a
     well-defined jaccard (of stop-filtered shingle sets), not a
     distorted one; pairs whose every shared shingle is ultra-common are
-    the (intended) recall loss. Default None is fully exact.
+    the (intended) recall loss. The capped universe
+    (``DEFAULT_MAX_DF``) is the production default; ``max_df=None``
+    opts out into the fully-exact all-shingle score (the d05 oracle
+    does).
     """
     sh = shingles(docs, text_col, n)
     doc_sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
@@ -438,7 +469,7 @@ def simhash_hamming_pairs(
     n_bands: int = 4,
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``,
     found via the pigeonhole band join: split the fingerprint into
@@ -461,7 +492,9 @@ def simhash_hamming_pairs(
     all m fingerprints in the same bucket of EVERY band (m²/2 pairs ×
     4 bands before dedup); past the cap the bucket emits m−1 star
     edges to its min doc_id instead, hamming-refined like any other
-    candidate. Exact (``None``) by default.
+    candidate. Capped (``DEFAULT_BUCKET_CAP``) by default;
+    ``bucket_cap=None`` opts out into the exact all-pairs shape (the
+    d09 oracle does).
     """
     if max_hamming >= n_bands:
         raise ValueError("guaranteed recall needs max_hamming < n_bands")

@@ -132,76 +132,77 @@ def _fsum6_micro(col) -> F.Column:
 #: full driver_check sweep. Everything not listed follows in
 #: definition order, so the full registry is always exported.
 #:
-#: Round-4 rotation: the driver's correctness window covers a 50-query
+#: Round-5 rotation: the driver's correctness window covers a 50-query
 #: prefix, so the prefix is swapped each round until every query has an
-#: EXTERNAL verdict in some CORRECTNESS_r*.json. Rounds 1-3 verdicted
-#: 80 distinct queries; this prefix is 50 drawn from the 62 that had
-#: never been driver-checked. ROUND-5 ROTATION TODO: swap in the
-#: remaining never-verdicted set — the family siblings a13/a15/a22/
-#: o05/o13/w05/w06/c12/u02/j04/t06 plus the round-4 late
-#: additions d12/d13/d14/m05/a26, the round-4 curation family
-#: d15/o15/o16/s07/t14/s08, the wave-3 family
-#: t15/g02/e14/d16/src04/m06/st09/t16, and the wave-4 family
-#: m07/t17/t18/a27/s09/g03/e15/st10/a28/src05/p05/s10/e16/a29 — 45
-#: queries; the window holds 50, so one rotation covers them all and
-#: the union of r01-r05 windows reaches all 175.
+#: EXTERNAL verdict in some CORRECTNESS_r*.json. The union of the
+#: r01-r04 windows covers 130 distinct queries of 175; this prefix
+#: leads with the EXACT 45-query complement (recomputed this round
+#: directly from the four CORRECTNESS_r0*.json files — the round-4
+#: comment's hand-written list had dropped o07_latest_by_key and
+#: miscounted 44), so CORRECTNESS_r05 completes the union at 175/175.
+#: The remaining 5 window slots re-verify the uncapped dedup oracle
+#: queries whose call sites changed this round when star-capped
+#: emission became the library default (they now pin the uncapped
+#: shape explicitly — see functions/dedup.py DEFAULT_BUCKET_CAP).
 _DRIVER_PREFIX = [
-    # events / time-series alignment family
-    "e03_range_join",
-    "e05_ewma",
-    "e06_interval_coverage",
-    "e07_funnel",
-    "e08_spatial_join",
-    "e09_running_distinct",
-    "e10_twap",
-    "e11_ohlc_bars",
-    "e12_asof_forward",
-    "e13_interarrival_histogram",
-    # relational / aggregate surface
-    "a18_promo_ratio",
-    "a19_priority_counts",
-    "a20_approx_distinct_bound",
-    "a25_approx_percentile_bound",
-    "j08_salted_skew_agg",
-    "j13_param_grid",
-    "w10_navigation_functions",
-    "c13_variant_shred",
-    "c14_calendar_rollup",
-    "c15_map_column_ops",
-    "u04_bag_set_ops",
-    "u05_bag_counts_derived",
-    # iterative / sketch / layout / ops
-    "g01_pagerank",
-    "o06_stratified_sample",
-    "o08_weighted_sample",
-    "o09_zorder_layout",
-    "o10_table_profile",
-    "o11_compaction_bins",
-    "o12_cohort_retention",
-    "o14_gaps_islands",
-    # sources + Python-integration surface
-    "src01_jsonl_roundtrip",
-    "src02_csv_fallback",
-    "src03_python_datasource",
-    "a23_scalar_pandas_udf",
-    "a24_grouped_agg_pandas_udf",
-    "u03_udtf_sentences",
-    # streaming family (never-verdicted members)
-    "st03_stream_dedup",
-    "st05_stream_stream_join",
-    "st06_stream_upsert_snapshot",
-    # north-star: dedup / similarity / text / multimodal
-    "d07_signlsh_neardup",
-    "d11_url_dedup",
-    "s05_kmeans_iteration",
-    "s06_label_centroids",
-    "t07_winnow_fingerprint",
-    "t09_pii_redact",
-    "t10_unigram_logprob",
-    "t11_feature_hashing",
-    "t12_explode_outer",
-    "t13_curation_funnel",
-    "m04_byte_features",
+    # — the 45 never-driver-verdicted queries —
+    # family siblings from the pre-wave registry
+    "a13_percentiles",
+    "a15_listagg",
+    "a22_zscore",
+    "c12_json_extract",
+    "j04_outer_custdist",
+    "o05_hash_split",
+    "o07_latest_by_key",
+    "o13_winsorize",
+    "t06_top_bigrams",
+    "u02_intersect_except",
+    "w05_ntile_cume",
+    "w06_range_frame",
+    # round-4 star-cap + codec additions
+    "d12_lsh_star_cap",
+    "d13_simhash_star_cap",
+    "d14_star_cap_groups",
+    "m05_ppm_decode",
+    "a26_hll_sketch_merge",
+    # round-4 curation family
+    "d15_decontaminate",
+    "o15_sequence_pack",
+    "o16_domain_mixture",
+    "t14_dsir_resample",
+    "s07_int8_quantize",
+    "s08_semdedup",
+    # wave-3 family
+    "t15_bpe_pretokenize",
+    "t16_linear_classifier",
+    "g02_connected_components",
+    "e14_linear_interp",
+    "d16_bloom_decontaminate",
+    "src04_orc_roundtrip",
+    "m06_ppm_resize",
+    "st09_stream_decode",
+    # wave-4 family
+    "m07_wav_decode",
+    "t17_span_self_dedup",
+    "t18_bm25_topk",
+    "a27_histogram_quantile",
+    "a28_countmin_freq",
+    "a29_join_size_sketch",
+    "s09_matryoshka_topk",
+    "s10_pca_power",
+    "g03_triangle_count",
+    "e15_scd2_intervals",
+    "e16_seasonal_backtest",
+    "st10_stream_histogram",
+    "src05_hive_partitioned_roundtrip",
+    "p05_export_pipeline",
+    # — re-verification: uncapped-oracle dedup queries whose call
+    #   sites were touched by the round-5 bucket_cap default flip —
+    "d02_minhash_lsh",
+    "d05_ngram_jaccard",
+    "d06_near_dup_groups",
+    "d08_edit_distance_refine",
+    "d09_simhash_hamming",
 ]
 
 

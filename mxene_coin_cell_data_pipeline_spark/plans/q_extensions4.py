@@ -996,7 +996,10 @@ def p05_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_screened").cast("long").alias("n_screened"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("tok_total", F.lit(0)).cast("long").alias("tok_total"),
-        ((F.coalesce("tok_total", F.lit(0)) + 511) / F.lit(512))
+        # integer ceil-div (div, not float /): keeps the all-integer
+        # discipline — float division happens to be exact here only
+        # because 512 is a power of two and tok_total < 2^53
+        F.expr("(coalesce(tok_total, 0) + 511) div 512")
         .cast("long")
         .alias("n_packs"),
         F.coalesce("n_crossers", F.lit(0)).cast("long").alias("n_crossers"),
@@ -1045,7 +1048,15 @@ def p05_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matrix is an EXACT integer aggregate (one (i,j)-keyed shuffle of "
     "per-vector products, map-side combined), and both iteration "
     "rounds stay in bounded int64 via magnitude rescaling between "
-    "rounds (|w| ≤ 100). No float op exists anywhere in the chain, so "
+    "rounds (|w| ≤ 100). Explicit corpus bound for that claim: with "
+    "|qv| ≤ 2000 milli-units, |cov| ≤ 4e6·n_vectors, so the deepest "
+    "intermediate abs(v2)·10000 ≤ 16·100·10000·4e6·n ≈ 6.4e13·n and "
+    "int64 holds for n_vectors up to ~1.4e5 (sf1-scale embeddings); "
+    "past that, Spark wraps silently (non-ANSI) while DuckDB promotes "
+    "to HUGEINT — divide cov by a corpus-size factor (both engines, "
+    "same factor — the direction is scale-invariant) before the "
+    "second multiply to recover headroom at larger corpora. No float "
+    "op exists anywhere in the chain, so "
     "the eigenvector direction is bit-deterministic on any engine or "
     "partition layout. Negative-value floor division is sign-split "
     "(magnitude // positive) because Spark's div truncates toward "

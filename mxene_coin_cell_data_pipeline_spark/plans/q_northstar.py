@@ -106,7 +106,9 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, threshold=0.8)
+    # bucket_cap=None: the oracle above defines ALL-PAIRS semantics;
+    # the library default is star-capped (see functions/dedup.py).
+    return minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None)
 
 
 @_register(
@@ -156,7 +158,9 @@ QUERIES["d03_simhash"].oracle = f"""
 )
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.8)
+    # max_df=None: the oracle scores the full shingle universe; the
+    # library default caps posting lists (see functions/dedup.py).
+    return ngram_jaccard_pairs(docs, threshold=0.8, max_df=None)
 
 
 _COS = (

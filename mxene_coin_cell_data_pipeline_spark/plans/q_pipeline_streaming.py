@@ -622,7 +622,11 @@ def d06_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import minhash_near_dup_pairs, near_dup_groups
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return near_dup_groups(minhash_near_dup_pairs(docs, threshold=0.8))
+    # bucket_cap=None: the oracle's recursive CTE runs over the exact
+    # all-pairs LSH pair set (library default is star-capped).
+    return near_dup_groups(
+        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None)
+    )
 
 
 _D03_SIMHASH_SQL_REF = "d03_simhash"  # oracle reused as the d09 CTE
@@ -641,7 +645,10 @@ def d09_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import simhash_hamming_pairs
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return simhash_hamming_pairs(docs, max_hamming=3, n_bands=4)
+    # bucket_cap=None: oracle defines all-pairs band-join semantics.
+    return simhash_hamming_pairs(
+        docs, max_hamming=3, n_bands=4, bucket_cap=None
+    )
 
 
 def _d09_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4) -> str:
@@ -875,7 +882,10 @@ def d08_edit_distance_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import edit_distance_refine, minhash_near_dup_pairs
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return edit_distance_refine(docs, minhash_near_dup_pairs(docs, threshold=0.8))
+    # bucket_cap=None: refine tier must see the oracle's all-pairs set.
+    return edit_distance_refine(
+        docs, minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None)
+    )
 
 
 @_register(

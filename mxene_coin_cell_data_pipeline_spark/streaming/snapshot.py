@@ -25,6 +25,43 @@ import shutil
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+#: Marker file carrying the last-applied foreachBatch batch_id, stored
+#: INSIDE the snapshot directory so the tmp-dir rename swaps data and
+#: marker atomically (Spark's parquet reader ignores ``_``-prefixed
+#: files, like ``_SUCCESS``). This closes the at-least-once replay
+#: window of the non-idempotent additive merges: a crash after the
+#: snapshot rename but before the checkpoint's offset commit replays
+#: the batch with the SAME batch_id on restart, and the guard skips it
+#: instead of double-counting. Only meaningful under a checkpoint —
+#: batch_ids are a monotone sequence only within one checkpointed
+#: query lineage, so checkpoint-less runs (whose restart semantics are
+#: documented as at-least-once) never write or consult the marker.
+_META = "_LAST_BATCH"
+
+
+def _last_applied(snapshot_dir: str) -> int | None:
+    meta = os.path.join(snapshot_dir, _META)
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return int(f.read().strip())
+    return None
+
+
+def _atomic_swap(
+    merged: DataFrame, snapshot_dir: str, batch_id: int | None = None
+) -> None:
+    """Write ``merged`` to ``<dir>.tmp`` (plus the batch marker when
+    ``batch_id`` is given) and rename over the live snapshot — atomic
+    on one filesystem, so readers always see a complete snapshot."""
+    tmp = snapshot_dir + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        with open(os.path.join(tmp, _META), "w") as f:
+            f.write(str(batch_id))
+    if os.path.exists(snapshot_dir):
+        shutil.rmtree(snapshot_dir)
+    os.rename(tmp, snapshot_dir)
+
 
 def merge_latest_by_key(
     current: DataFrame | None,
@@ -72,11 +109,7 @@ def run_stream_latest_snapshot(
             else None
         )
         merged = merge_latest_by_key(current, batch_df, key, order_cols)
-        tmp = snapshot_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
-        os.rename(tmp, snapshot_dir)
+        _atomic_swap(merged, snapshot_dir)
 
     w = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -102,48 +135,23 @@ def run_stream_agg_snapshot(
     rollup (and the reason avg must be carried as (sum, n), never as a
     stored average). State size is O(keys), independent of history.
 
-    Additive merge is NOT idempotent (replaying a batch double-counts),
-    so restartability REQUIRES ``checkpoint_dir``: committed source
-    offsets persist there and a re-started run resumes at the first
-    unprocessed file, never re-merging a committed batch. Pinned by
-    tests/test_streaming_recovery.py, including the negative control
-    (no checkpoint → restart double-counts)."""
+    Additive merge is NOT idempotent on its own, so restartability
+    REQUIRES ``checkpoint_dir``: committed source offsets persist
+    there and a re-started run resumes at the first unprocessed file.
+    Under a checkpoint the merge is ALSO made idempotent via the
+    ``_LAST_BATCH`` marker swapped atomically with the snapshot —
+    closing the crash window between the snapshot rename and the
+    offset commit, where the checkpoint alone would replay (and
+    double-count) the last batch. Pinned by
+    tests/test_streaming_recovery.py, including the replayed-batch
+    guard test and the negative control (no checkpoint → restart
+    double-counts, the documented at-least-once shape)."""
     agg_cols = agg_cols or {"value": "sum"}
     spark = stream_df.sparkSession
+    guarded = checkpoint_dir is not None
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
-        # decimal partials: exact + associative, so the stored totals
-        # are identical for ANY micro-batch split of the feed (a double
-        # sum would drift by accumulation order as batches re-merge)
-        partial = batch_df.groupBy(key).agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.round(F.col(c), 6).cast("decimal(38,6)")).alias(
-                    f"sum_{c}"
-                )
-                for c in agg_cols
-            ],
-        )
-        if os.path.exists(snapshot_dir):
-            current = spark.read.parquet(snapshot_dir)
-            merged = (
-                current.unionByName(partial)
-                .groupBy(key)
-                .agg(
-                    F.sum("n").alias("n"),
-                    *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in agg_cols],
-                )
-            )
-        else:
-            merged = partial
-        tmp = snapshot_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
-        os.rename(tmp, snapshot_dir)
+        _merge_agg_batch(batch_df, batch_id, snapshot_dir, key, agg_cols, guarded)
 
     w = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -154,6 +162,47 @@ def run_stream_agg_snapshot(
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.start()
     q.awaitTermination()
+
+
+def _merge_agg_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_dir: str,
+    key: str,
+    agg_cols: dict[str, str],
+    guarded: bool,
+) -> None:
+    """One additive-merge step (module-level so the replay guard is
+    unit-testable outside a live query). ``guarded`` skips batches
+    already recorded in the snapshot's ``_LAST_BATCH`` marker."""
+    if guarded:
+        last = _last_applied(snapshot_dir)
+        if last is not None and batch_id <= last:
+            return
+    spark = batch_df.sparkSession
+    # decimal partials: exact + associative, so the stored totals
+    # are identical for ANY micro-batch split of the feed (a double
+    # sum would drift by accumulation order as batches re-merge)
+    partial = batch_df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.round(F.col(c), 6).cast("decimal(38,6)")).alias(f"sum_{c}")
+            for c in agg_cols
+        ],
+    )
+    if os.path.exists(snapshot_dir):
+        current = spark.read.parquet(snapshot_dir)
+        merged = (
+            current.unionByName(partial)
+            .groupBy(key)
+            .agg(
+                F.sum("n").alias("n"),
+                *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in agg_cols],
+            )
+        )
+    else:
+        merged = partial
+    _atomic_swap(merged, snapshot_dir, batch_id if guarded else None)
 
 
 def run_stream_histogram_snapshot(
@@ -173,39 +222,19 @@ def run_stream_histogram_snapshot(
 
     All-integer state (bins and counts), so the merged histogram is
     bit-identical to the single-pass batch histogram for ANY
-    micro-batch split of the feed. Additive merge is not idempotent;
-    restartability requires ``checkpoint_dir`` exactly as
+    micro-batch split of the feed. Additive merge is not idempotent on
+    its own; restartability requires ``checkpoint_dir``, under which
+    the ``_LAST_BATCH`` marker (swapped atomically with the snapshot)
+    additionally skips a replayed batch — exactly-once including the
+    rename-before-offset-commit crash window, exactly as
     ``run_stream_agg_snapshot`` documents."""
     spark = stream_df.sparkSession
+    guarded = checkpoint_dir is not None
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-        import shutil
-
-        partial = (
-            batch_df.select(
-                F.col(key),
-                F.floor(F.col(value_col) / F.lit(bin_width))
-                .cast("long")
-                .alias("bin"),
-            )
-            .groupBy(key, "bin")
-            .agg(F.count(F.lit(1)).alias("c"))
+        _merge_histogram_batch(
+            batch_df, batch_id, snapshot_dir, key, value_col, bin_width, guarded
         )
-        if os.path.exists(snapshot_dir):
-            current = spark.read.parquet(snapshot_dir)
-            merged = (
-                current.unionByName(partial)
-                .groupBy(key, "bin")
-                .agg(F.sum("c").alias("c"))
-            )
-        else:
-            merged = partial
-        tmp = snapshot_dir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(snapshot_dir)
-        os.rename(tmp, snapshot_dir)
 
     w = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -216,3 +245,39 @@ def run_stream_histogram_snapshot(
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.start()
     q.awaitTermination()
+
+
+def _merge_histogram_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_dir: str,
+    key: str,
+    value_col: str,
+    bin_width: float,
+    guarded: bool,
+) -> None:
+    """One histogram-merge step (module-level so the replay guard is
+    unit-testable outside a live query)."""
+    if guarded:
+        last = _last_applied(snapshot_dir)
+        if last is not None and batch_id <= last:
+            return
+    spark = batch_df.sparkSession
+    partial = (
+        batch_df.select(
+            F.col(key),
+            F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("bin"),
+        )
+        .groupBy(key, "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if os.path.exists(snapshot_dir):
+        current = spark.read.parquet(snapshot_dir)
+        merged = (
+            current.unionByName(partial)
+            .groupBy(key, "bin")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        merged = partial
+    _atomic_swap(merged, snapshot_dir, batch_id if guarded else None)

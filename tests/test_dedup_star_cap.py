@@ -42,7 +42,7 @@ def test_star_cap_emission_is_linear(spark):
     m = 12
     docs = _dup_heavy_docs(spark, m_cluster=m)
     sig = minhash_signatures(shingles(docs))
-    uncapped = lsh_candidate_pairs(sig).count()
+    uncapped = lsh_candidate_pairs(sig, bucket_cap=None).count()
     capped = lsh_candidate_pairs(sig, bucket_cap=4).count()
     # identical docs share every band bucket: uncapped emits the full
     # m(m-1)/2 distinct pairs, capped emits exactly the m-1 star edges
@@ -60,7 +60,7 @@ def test_star_cap_closure_identical(spark):
 
     docs = _dup_heavy_docs(spark, m_cluster=12)
     sig = minhash_signatures(shingles(docs))
-    full = near_dup_groups(lsh_candidate_pairs(sig))
+    full = near_dup_groups(lsh_candidate_pairs(sig, bucket_cap=None))
     star = near_dup_groups(lsh_candidate_pairs(sig, bucket_cap=4))
     got_full = {r["doc_id"]: r["group_id"] for r in full.collect()}
     got_star = {r["doc_id"]: r["group_id"] for r in star.collect()}
@@ -79,7 +79,9 @@ def test_simhash_star_cap_matches_uncapped_pairs(spark):
 
     m = 10
     docs = _dup_heavy_docs(spark, m_cluster=m)
-    uncapped = simhash_hamming_pairs(docs, max_hamming=3, n_bands=4)
+    uncapped = simhash_hamming_pairs(
+        docs, max_hamming=3, n_bands=4, bucket_cap=None
+    )
     capped = simhash_hamming_pairs(docs, max_hamming=3, n_bands=4, bucket_cap=4)
     un = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
     cp = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
@@ -101,10 +103,47 @@ def test_star_cap_small_buckets_stay_exact(spark):
     sig = minhash_signatures(shingles(docs))
     un = {
         (r["doc_a"], r["doc_b"])
-        for r in lsh_candidate_pairs(sig).collect()
+        for r in lsh_candidate_pairs(sig, bucket_cap=None).collect()
     }
     cp = {
         (r["doc_a"], r["doc_b"])
         for r in lsh_candidate_pairs(sig, bucket_cap=5).collect()
     }
     assert un == cp
+
+
+def test_star_cap_is_the_library_default(spark):
+    """Round-5 contract: star-capped emission is the DEFAULT. A caller
+    who does not opt out gets linear per-bucket emission — a cluster
+    larger than DEFAULT_BUCKET_CAP emits m-1 star edges, never the
+    m(m-1)/2 all-pairs set. ``bucket_cap=None`` / ``max_df=None`` are
+    the explicit exact-shape opt-outs (used by the d02/d05/d06/d08/d09
+    oracle queries)."""
+    import inspect
+
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        DEFAULT_BUCKET_CAP,
+        DEFAULT_MAX_DF,
+        lsh_candidate_pairs,
+        minhash_near_dup_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        shingles,
+        simhash_hamming_pairs,
+    )
+
+    for fn in (lsh_candidate_pairs, minhash_near_dup_pairs, simhash_hamming_pairs):
+        assert (
+            inspect.signature(fn).parameters["bucket_cap"].default
+            == DEFAULT_BUCKET_CAP
+        ), fn.__name__
+    assert (
+        inspect.signature(ngram_jaccard_pairs).parameters["max_df"].default
+        == DEFAULT_MAX_DF
+    )
+
+    m = DEFAULT_BUCKET_CAP + 6
+    docs = _dup_heavy_docs(spark, m_cluster=m, n_singletons=0)
+    sig = minhash_signatures(shingles(docs))
+    # default call — no opt-in — must emit the linear star shape
+    assert lsh_candidate_pairs(sig).count() == m - 1

@@ -273,3 +273,52 @@ def test_histogram_snapshot_checkpoint_recovery(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_additive_merge_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
+    """The rename-before-offset-commit crash window: a crash after the
+    snapshot swap but before the checkpoint commits the offset replays
+    the SAME batch_id on restart. The _LAST_BATCH marker (swapped
+    atomically with the snapshot) must make re-applying that batch a
+    no-op — without it the additive merge double-counts."""
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+    from mxene_coin_cell_data_pipeline_spark.streaming.snapshot import (
+        _merge_agg_batch,
+        _merge_histogram_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    snap = str(tmp_path / "snap")
+    _merge_agg_batch(ev, 0, snap, "event_type", {"value": "sum"}, guarded=True)
+    once = {r["event_type"]: r["n"] for r in spark.read.parquet(snap).collect()}
+    # replay of batch 0 (crash-window restart) — must be skipped
+    _merge_agg_batch(ev, 0, snap, "event_type", {"value": "sum"}, guarded=True)
+    assert {
+        r["event_type"]: r["n"] for r in spark.read.parquet(snap).collect()
+    } == once
+    # the next batch still applies (guard is <=, not a latch)
+    _merge_agg_batch(ev, 1, snap, "event_type", {"value": "sum"}, guarded=True)
+    assert sum(
+        r["n"] for r in spark.read.parquet(snap).collect()
+    ) == 2 * sum(once.values())
+
+    hist = str(tmp_path / "hist")
+    _merge_histogram_batch(ev, 0, hist, "event_type", "value", 10.0, guarded=True)
+    honce = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in spark.read.parquet(hist).collect()
+    }
+    _merge_histogram_batch(ev, 0, hist, "event_type", "value", 10.0, guarded=True)
+    assert {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in spark.read.parquet(hist).collect()
+    } == honce
+
+    # unguarded (checkpoint-less) keeps the documented at-least-once
+    # shape: the same replay double-counts
+    snap2 = str(tmp_path / "snap2")
+    _merge_agg_batch(ev, 0, snap2, "event_type", {"value": "sum"}, guarded=False)
+    _merge_agg_batch(ev, 0, snap2, "event_type", {"value": "sum"}, guarded=False)
+    assert sum(
+        r["n"] for r in spark.read.parquet(snap2).collect()
+    ) == 2 * sum(once.values())

@@ -93,6 +93,23 @@ HEADLINE = [
     "c15_map_column_ops",
     "j12_nullsafe_join",
     "s06_label_centroids",
+    # round-5 additions: the wave-3/4 heavies — the most expensive new
+    # plans get tracked perf history so a regression in the capped LSH
+    # chain, the export capstone, or the codec legs is visible r-to-r
+    "d12_lsh_star_cap",
+    "d14_star_cap_groups",
+    "p05_export_pipeline",
+    "g02_connected_components",
+    "g03_triangle_count",
+    "t17_span_self_dedup",
+    "t18_bm25_topk",
+    "s08_semdedup",
+    "s10_pca_power",
+    "m05_ppm_decode",
+    "m07_wav_decode",
+    "m08_avi_frames",
+    "st09_stream_decode",
+    "st10_stream_histogram",
 ]
 
 

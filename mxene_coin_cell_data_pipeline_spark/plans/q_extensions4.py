@@ -94,6 +94,72 @@ def m07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# m08: REAL video container codec — RIFF/AVI chunk walk + frame extraction
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "m08_avi_frames",
+    """
+    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+    fr AS (SELECT d.doc_id, d.nf, u.k,
+                  4 + (d.doc_id + u.k) % 5 AS m
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1))
+                            AS k) u),
+    o AS (SELECT doc_id, nf, k, m,
+                 224 + 8 + coalesce(sum(8 + m + (m % 2)) OVER (
+                     PARTITION BY doc_id ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS off
+          FROM fr),
+    b AS (SELECT o.doc_id, o.k,
+                 sum(('0x' || substr(md5(CAST(o.doc_id AS VARCHAR) || ':'
+                      || CAST(o.k AS VARCHAR) || ':'
+                      || CAST(j.j AS VARCHAR)), 1, 2))::BIGINT) AS bsum
+          FROM o, LATERAL (SELECT unnest(generate_series(0, o.m - 1))
+                           AS j) j
+          GROUP BY o.doc_id, o.k)
+    SELECT o.doc_id,
+           CAST(o.nf AS INT) AS n_frames,
+           CAST(o.k AS INT) AS frame_idx,
+           CAST(o.off AS BIGINT) AS off,
+           CAST(o.m AS INT) AS frame_bytes,
+           CAST(b.bsum AS BIGINT) AS byte_sum
+    FROM o JOIN b ON b.doc_id = o.doc_id AND b.k = o.k
+    """,
+    survey="north-star multimodal: REAL video container codec #3 — "
+    "deterministic RIFF/AVI files (LIST hdrl with avih/strh/strf, "
+    "LIST movi with 00db frame chunks, odd-size padding, frame bytes "
+    "from an md5 stream) generated per doc by make_avi and genuinely "
+    "parsed back by parse_avi's chunk walk (magic sniff, hdrl walk "
+    "for dwMicroSecPerFrame/dwTotalFrames, movi walk for ##db/##dc "
+    "frames, declared-vs-actual frame-count cross-check) under "
+    "Arrow-batched one-to-many mapInPandas. The emitted rows carry "
+    "each frame's ABSOLUTE byte offset, size, and integer byte sum, "
+    "and the oracle re-derives all three from the md5 stream and the "
+    "documented fixed header layout (AVI_MOVI_BASE + cumulative "
+    "chunk sizes) — a chunk-walk, padding, or offset bug flips the "
+    "hash. Completes the image/audio/VIDEO quartet with zero stubs: "
+    "m03's frame-sampling contract now runs from genuinely parsed "
+    "frame offsets (sample_avi_frames supersedes deterministic "
+    "slicing).",
+    note="ffmpeg/PyAV drop into the same mapInPandas slot for real "
+    "codecs inside the frames; the container walk, offsets, batching "
+    "and error contract are exactly what they would ride on.",
+)
+def m08_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate real AVI containers deterministically per doc_id,
+    parse them with the real RIFF/AVI chunk walk, emit one row per
+    extracted frame (offset, size, byte sum) — the video leg of the
+    multimodal quartet with zero stubs."""
+    from ..functions.multimodal import sample_avi_frames, with_avi_payload
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    # NOT scale_out-rebalanced: same A/B rationale as m07 above
+    return sample_avi_frames(with_avi_payload(docs.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
 # t17: intra-document repeated-span removal (C4-style)
 # ---------------------------------------------------------------------------
 
@@ -111,14 +177,21 @@ def m07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                (len(toks) + 2) // 3 - 1)) AS i) u),
     f AS (SELECT doc_id, chunk, min(cidx) AS first_idx
           FROM c GROUP BY doc_id, chunk),
+    r AS (SELECT doc_id, chunk,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY first_idx) AS BIGINT) AS rk
+          FROM f),
     k AS (SELECT doc_id, count(*) AS n_uniq_spans,
-                 md5(string_agg(chunk, ' ' ORDER BY first_idx)) AS kept_md5
-          FROM f GROUP BY doc_id)
+                 sum(rk * (('0x' || substr(md5(chunk), 1, 8))::BIGINT))
+                   AS kept_sig,
+                 sum(len(chunk)) + count(*) - 1 AS kept_len
+          FROM r GROUP BY doc_id)
     SELECT t.doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST((len(toks) + 2) // 3 AS BIGINT) AS n_spans,
            CAST(coalesce(k.n_uniq_spans, 0) AS BIGINT) AS n_uniq_spans,
-           coalesce(k.kept_md5, md5('')) AS kept_md5
+           CAST(coalesce(k.kept_len, 0) AS BIGINT) AS kept_len,
+           CAST(coalesce(k.kept_sig, 0) AS BIGINT) AS kept_sig
     FROM t LEFT JOIN k USING (doc_id)
     """,
     survey="north-star text: C4-style intra-document repeated-span "
@@ -131,9 +204,17 @@ def m07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "at 100 TB this is the cheapest possible self-clean pass, "
     "embarrassingly parallel with no exchange at all.",
     note="The oracle re-derives first-occurrence order via "
-    "min(position) + ordered string_agg; Spark's array_distinct "
-    "preserves first-occurrence order by construction — the kept_md5 "
-    "hash ties the two definitions together per row.",
+    "min(position) + rank; Spark's array_distinct preserves "
+    "first-occurrence order by construction. The order check is the "
+    "POSITION-WEIGHTED integer signature sum(rank · hash32(span)) — "
+    "a pure aggregate on both engines, so oracle memory is bounded "
+    "per DOC (never per corpus; the round-4 string_agg reassembly "
+    "OOM'd DuckDB at 100× because its intermediates grew with the "
+    "corpus). Any span substitution or reorder shifts the weighted "
+    "sum w.h.p. int64 bound is per-doc and corpus-size-independent: "
+    "sum ≤ (n_uniq²/2)·2³² — safe through ~8k distinct spans/doc "
+    "(~24k tokens), 40× the corpus's largest doc at ANY scale "
+    "factor.",
 )
 def t17_span_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop repeated 3-token spans within each document, keeping first
@@ -156,13 +237,30 @@ def t17_span_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("long").alias("n_tokens"),
         spans.alias("spans"),
     )
-    kept = F.array_distinct("spans")
+    # rank·hash32 weighted signature: order-sensitive, pure row-local
+    # arithmetic — no text reassembly on either engine (see note)
+    sig = F.expr(
+        "aggregate(transform(kept, (s, i) ->"
+        " (CAST(i AS BIGINT) + 1L)"
+        " * CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    kept_len = (
+        F.expr("aggregate(kept, 0L, (acc, s) -> acc + length(s))")
+        + F.greatest(F.size("kept") - 1, F.lit(0)).cast("long")
+    )
     return d.select(
         "doc_id",
         "n_tokens",
         F.size("spans").cast("long").alias("n_spans"),
-        F.size(kept).cast("long").alias("n_uniq_spans"),
-        F.md5(F.encode(F.array_join(kept, " "), "UTF-8")).alias("kept_md5"),
+        F.array_distinct("spans").alias("kept"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.size("kept").cast("long").alias("n_uniq_spans"),
+        kept_len.cast("long").alias("kept_len"),
+        sig.cast("long").alias("kept_sig"),
     )
 
 
@@ -775,19 +873,14 @@ def a28_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
+    from ..functions.stats import cms_bucket
+
     js = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+    # hash_fn="md5" is the oracle knob; the library default is the
+    # xxhash64 production path (functions/stats.py cms_bucket).
     tb = vocab.crossJoin(F.broadcast(js)).withColumn(
         "bucket",
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("j").cast("string"), "token")),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _CMS_W,
+        cms_bucket(F.col("token"), F.col("j"), _CMS_W, hash_fn="md5"),
     )
     cells = tb.groupBy("j", "bucket").agg(F.sum("n").alias("cell_n"))
     return (

@@ -108,7 +108,9 @@ def d02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _ctx(spark, sf_dir, "documents")
     # bucket_cap=None: the oracle above defines ALL-PAIRS semantics;
     # the library default is star-capped (see functions/dedup.py).
-    return minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None)
+    return minhash_near_dup_pairs(
+        docs, threshold=0.8, bucket_cap=None, hash_fn="md5"
+    )
 
 
 @_register(

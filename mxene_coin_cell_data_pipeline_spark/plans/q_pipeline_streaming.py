@@ -625,7 +625,7 @@ def d06_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket_cap=None: the oracle's recursive CTE runs over the exact
     # all-pairs LSH pair set (library default is star-capped).
     return near_dup_groups(
-        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None)
+        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None, hash_fn="md5")
     )
 
 
@@ -736,7 +736,9 @@ def d12_lsh_star_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import minhash_near_dup_pairs
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=_D12_CAP)
+    return minhash_near_dup_pairs(
+        docs, threshold=0.8, bucket_cap=_D12_CAP, hash_fn="md5"
+    )
 
 
 # the d06 closure fed by the CAPPED pair set — the complete production
@@ -777,7 +779,9 @@ def d14_star_cap_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return near_dup_groups(
-        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=_D12_CAP)
+        minhash_near_dup_pairs(
+            docs, threshold=0.8, bucket_cap=_D12_CAP, hash_fn="md5"
+        )
     )
 
 
@@ -884,7 +888,8 @@ def d08_edit_distance_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _ctx(spark, sf_dir, "documents")
     # bucket_cap=None: refine tier must see the oracle's all-pairs set.
     return edit_distance_refine(
-        docs, minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None)
+        docs,
+        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None, hash_fn="md5"),
     )
 
 

@@ -213,26 +213,13 @@ def e13_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t11_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signed hashed bag-of-words (256 dims) per document; zero-sum
-    collision cells dropped as in the standard formulation."""
-    from ..functions.sampling import hash_bucket
+    collision cells dropped as in the standard formulation.
+    hash_fn="md5" is the oracle knob — the library default is the
+    xxhash64 production path (functions/text.py hashed_features)."""
+    from ..functions.text import hashed_features
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    from ..functions.text import tokenize
-
-    toks = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
-    sign = F.when(
-        hash_bucket(F.col("tok"), n_buckets=2, salt="s|") == 0, F.lit(1)
-    ).otherwise(F.lit(-1))
-    hashed = toks.select(
-        "doc_id",
-        hash_bucket(F.col("tok"), n_buckets=256).alias("feat_idx"),
-        sign.alias("sign"),
-    )
-    return (
-        hashed.groupBy("doc_id", "feat_idx")
-        .agg(F.sum("sign").alias("weight"), F.count(F.lit(1)).alias("n_tokens"))
-        .filter(F.col("weight") != 0)
-    )
+    return hashed_features(docs, n_dims=256, hash_fn="md5")
 
 
 @_register(

@@ -55,7 +55,12 @@ def main() -> None:
     for scale in (1, 10):
         docs, m, n_bg = corpus(spark, scale)
         sig = minhash_signatures(shingles(docs)).localCheckpoint(eager=True)
-        for mode, kwargs in (("uncapped", {}), (f"cap{cap}", {"bucket_cap": cap})):
+        # bucket_cap=None must be EXPLICIT since round 5 made the
+        # star-capped emission the library default
+        for mode, kwargs in (
+            ("uncapped", {"bucket_cap": None}),
+            (f"cap{cap}", {"bucket_cap": cap}),
+        ):
             t0 = time.time()
             n_edges = lsh_candidate_pairs(sig, **kwargs).count()
             dt = time.time() - t0

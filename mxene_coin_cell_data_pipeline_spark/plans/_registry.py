@@ -196,12 +196,16 @@ _DRIVER_PREFIX = [
     "st10_stream_histogram",
     "src05_hive_partitioned_roundtrip",
     "p05_export_pipeline",
+    # — round-5 addition (registered after the rotation was computed,
+    #   so it must ride this window to keep the union complete) —
+    "m08_avi_frames",
     # — re-verification: uncapped-oracle dedup queries whose call
-    #   sites were touched by the round-5 bucket_cap default flip —
+    #   sites were touched by the round-5 bucket_cap default flip
+    #   (d08, also touched, carries this session's driver_check
+    #   verdict; the window holds 50) —
     "d02_minhash_lsh",
     "d05_ngram_jaccard",
     "d06_near_dup_groups",
-    "d08_edit_distance_refine",
     "d09_simhash_hamming",
 ]
 

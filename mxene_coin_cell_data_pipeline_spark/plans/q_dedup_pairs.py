@@ -1,0 +1,324 @@
+"""Near-dup pair/closure oracle queries (d06/d08/d09/d12/d13/d14),
+split from q_pipeline_streaming in round 5 along family lines — zero
+behavior change; plans/queries.py imports this module immediately
+after q_pipeline_streaming, so registration order is preserved. The
+all-pairs oracle queries pin ``bucket_cap=None``/``hash_fn="md5"``
+explicitly (the library defaults are star-capped xxhash64 — see
+functions/dedup.py); the d12/d13/d14 star-cap family is the
+scale-safe production shape those defaults encode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.dedup import SIMHASH_BITS
+from ._registry import QUERIES, _ctx, _register
+from .q_northstar import _BAND_SELECTS, _JACCARD_TAIL, _MH_COLS, _SH_CTE
+
+_D02_PAIRS_SQL = QUERIES["d02_minhash_lsh"].oracle
+
+QUERIES_D06_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {_D02_PAIRS_SQL}
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src)
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+    """
+
+
+@_register(
+    "d06_near_dup_groups",
+    QUERIES_D06_ORACLE,
+    survey="north-star dedup: transitive closure of near-dup pairs into keeper "
+    "groups (distributed hash-min label propagation vs recursive-CTE closure)",
+    note="Iterative DataFrame algorithm (join+min per round, localCheckpoint "
+    "lineage truncation) oracle-checked against DuckDB's recursive CTE over "
+    "the identical LSH pair set.",
+)
+def d06_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the MinHash near-dup graph: every doc
+    that has a duplicate gets its component's min doc_id as group_id
+    (the canonical keep-first keeper)."""
+    from ..functions.dedup import minhash_near_dup_pairs, near_dup_groups
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    # bucket_cap=None: the oracle's recursive CTE runs over the exact
+    # all-pairs LSH pair set (library default is star-capped).
+    return near_dup_groups(
+        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None, hash_fn="md5")
+    )
+
+
+_D03_SIMHASH_SQL_REF = "d03_simhash"  # oracle reused as the d09 CTE
+
+
+@_register(
+    "d09_simhash_hamming",
+    None,  # filled below from d03's fingerprint SQL
+    survey="north-star dedup: SimHash hamming-distance pairs via the "
+    "pigeonhole band join (≤ n_bands−1 differing bits must share an exact "
+    "band) + bit_count(xor) refine — the fingerprint-side companion to "
+    "d02's MinHash set-similarity path",
+)
+def d09_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs within hamming distance 3 of each other's SimHash."""
+    from ..functions.dedup import simhash_hamming_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    # bucket_cap=None: oracle defines all-pairs band-join semantics.
+    return simhash_hamming_pairs(
+        docs, max_hamming=3, n_bands=4, bucket_cap=None
+    )
+
+
+def _d09_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4) -> str:
+    """Pigeonhole band join over the ``bits``-wide fingerprint, hamming
+    refined via 32-bit fingerprint words (matches the Spark plan — no
+    signed-int64 overflow at any width)."""
+    sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
+    band_w = bits // n_bands
+    n_words = (bits + 31) // 32
+    word_exprs = []
+    for i in range(n_words):
+        w = min(32, bits - i * 32)
+        val = " + ".join(
+            f"(CASE WHEN substr(simhash_bits, {i * 32 + j + 1}, 1) = '1' "
+            f"THEN {1 << (w - 1 - j)} ELSE 0 END)"
+            for j in range(w)
+        )
+        word_exprs.append(f"({val}) AS w{i}")
+    words_sel = ", ".join(word_exprs)
+    wcols = ", ".join(f"w{i}" for i in range(n_words))
+    wcols_ab = ", ".join(
+        f"a.w{i} AS w{i}a, b2.w{i} AS w{i}b" for i in range(n_words)
+    )
+    ham = " + ".join(f"bit_count(xor(w{i}a, w{i}b))" for i in range(n_words))
+    return f"""
+    WITH sh AS ({sh_sql}),
+    v AS (SELECT doc_id, simhash_bits, {words_sel} FROM sh),
+    b AS (SELECT doc_id, {wcols}, u.j,
+                 substr(simhash_bits, u.j * {band_w} + 1, {band_w}) AS band
+          FROM v, LATERAL (SELECT unnest(generate_series(0, {n_bands - 1}))
+                           AS j) u),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b, {wcols_ab}
+      FROM b a JOIN b b2 ON a.j = b2.j AND a.band = b2.band
+                        AND a.doc_id < b2.doc_id)
+    SELECT doc_a, doc_b, {ham} AS hamming
+    FROM cand WHERE {ham} <= 3
+    """
+
+
+QUERIES["d09_simhash_hamming"].oracle = _d09_oracle()
+
+
+_D12_CAP = 2  # exercises the star path on sf0.01's m=3 buckets
+
+
+@_register(
+    "d12_lsh_star_cap",
+    f"""
+    WITH {_SH_CTE},
+    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    ann AS (SELECT doc_id, band, bucket,
+                   count(*) OVER (PARTITION BY band, bucket) AS m,
+                   min(doc_id) OVER (PARTITION BY band, bucket) AS mn
+            FROM bands),
+    cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ann a JOIN ann b ON a.band = b.band AND a.bucket = b.bucket
+                            AND a.doc_id < b.doc_id
+      WHERE a.m <= {_D12_CAP}
+      UNION ALL
+      SELECT mn AS doc_a, doc_id AS doc_b FROM ann
+      WHERE m > {_D12_CAP} AND doc_id <> mn)),
+    {_JACCARD_TAIL.lstrip()}
+    SELECT c.doc_a, c.doc_b,
+           i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
+    FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes na ON na.doc_id = c.doc_a
+    JOIN sizes nb ON nb.doc_id = c.doc_b
+    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.8
+    """,
+    survey="north-star dedup, the 100 TB emission shape: MinHash+LSH with "
+    "a per-bucket pair-emission cap — buckets over the cap emit m−1 STAR "
+    "edges to their min doc_id (the d10 first-occurrence pattern) instead "
+    "of m(m−1)/2 pairs, so one viral boilerplate cluster can never emit "
+    "corpus-quadratic candidates; small buckets keep exact all-pairs",
+    note="The candidate graph stays bucket-connected under the cap, so "
+    "hash-min closure (d06) builds identical keeper groups; refined "
+    "similarity on star edges scores (min, x) pairs only — the documented "
+    "recall trade for giant buckets.",
+)
+def d12_lsh_star_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs with the production bucket cap."""
+    from ..functions.dedup import minhash_near_dup_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, threshold=0.8, bucket_cap=_D12_CAP, hash_fn="md5"
+    )
+
+
+# the d06 closure fed by the CAPPED pair set — the complete production
+# chain (capped emission -> refine -> hash-min groups), oracle-checked
+# against a recursive CTE over the identical capped pair SQL
+_D14_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+      {{d12_sql}}
+    ),
+    sym AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src)
+    SELECT src AS doc_id, least(src, min(dst)) AS group_id
+    FROM reach GROUP BY src
+    """
+
+
+@_register(
+    "d14_star_cap_groups",
+    None,  # assigned below from d12's registered oracle
+    survey="north-star dedup, the full 100 TB chain: bucket-capped LSH "
+    "candidate emission (star edges past the cap) -> jaccard refine -> "
+    "hash-min transitive closure into keeper groups — the exact pipeline "
+    "a production dedup pass runs, with every stage's pair volume bounded "
+    "linearly in duplicate-cluster size",
+    note="Closure over the capped pair set; tests/test_dedup_star_cap.py "
+    "additionally pins that this closure equals the uncapped one on "
+    "duplicate-heavy corpora (star edges keep every bucket connected).",
+)
+def d14_star_cap_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper groups from the capped near-dup graph."""
+    from ..functions.dedup import minhash_near_dup_pairs, near_dup_groups
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return near_dup_groups(
+        minhash_near_dup_pairs(
+            docs, threshold=0.8, bucket_cap=_D12_CAP, hash_fn="md5"
+        )
+    )
+
+
+QUERIES["d14_star_cap_groups"].oracle = _D14_ORACLE.format(
+    d12_sql=QUERIES["d12_lsh_star_cap"].oracle
+)
+
+
+def _d13_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4, cap: int = 2) -> str:
+    """d09's pigeonhole band join with the per-bucket star cap."""
+    sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
+    band_w = bits // n_bands
+    n_words = (bits + 31) // 32
+    word_exprs = []
+    for i in range(n_words):
+        w = min(32, bits - i * 32)
+        val = " + ".join(
+            f"(CASE WHEN substr(simhash_bits, {i * 32 + j + 1}, 1) = '1' "
+            f"THEN {1 << (w - 1 - j)} ELSE 0 END)"
+            for j in range(w)
+        )
+        word_exprs.append(f"({val}) AS w{i}")
+    words_sel = ", ".join(word_exprs)
+    wcols = ", ".join(f"w{i}" for i in range(n_words))
+    wcols_a = ", ".join(f"va.w{i} AS w{i}a" for i in range(n_words))
+    wcols_b = ", ".join(f"vb.w{i} AS w{i}b" for i in range(n_words))
+    ham = " + ".join(f"bit_count(xor(w{i}a, w{i}b))" for i in range(n_words))
+    return f"""
+    WITH sh AS ({sh_sql}),
+    v AS (SELECT doc_id, simhash_bits, {words_sel} FROM sh),
+    b AS (SELECT doc_id, u.j,
+                 substr(simhash_bits, u.j * {band_w} + 1, {band_w}) AS band
+          FROM v, LATERAL (SELECT unnest(generate_series(0, {n_bands - 1}))
+                           AS j) u),
+    ann AS (SELECT doc_id, j, band,
+                   count(*) OVER (PARTITION BY j, band) AS m,
+                   min(doc_id) OVER (PARTITION BY j, band) AS mn
+            FROM b),
+    pairs AS (SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM ann a JOIN ann b2 ON a.j = b2.j AND a.band = b2.band
+                             AND a.doc_id < b2.doc_id
+      WHERE a.m <= {cap}
+      UNION ALL
+      SELECT mn AS doc_a, doc_id AS doc_b FROM ann
+      WHERE m > {cap} AND doc_id <> mn)),
+    cand AS (SELECT p.doc_a, p.doc_b, {wcols_a}, {wcols_b}
+             FROM pairs p JOIN v va ON va.doc_id = p.doc_a
+                          JOIN v vb ON vb.doc_id = p.doc_b)
+    SELECT doc_a, doc_b, {ham} AS hamming
+    FROM cand WHERE {ham} <= 3
+    """
+
+
+@_register(
+    "d13_simhash_star_cap",
+    None,  # assigned below (needs d03's generated fingerprint SQL)
+    survey="north-star dedup, the 100 TB emission shape: SimHash pigeonhole "
+    "band join with the per-bucket star cap — identical fingerprints land "
+    "in the same bucket of EVERY band, so a cluster of m exact dups costs "
+    "4·m²/2 pairs uncapped; capped it is m−1 star edges, hamming-refined "
+    "like any candidate",
+)
+def d13_simhash_star_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-≤3 SimHash pairs with the production bucket cap."""
+    from ..functions.dedup import simhash_hamming_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, max_hamming=3, n_bands=4, bucket_cap=2)
+
+
+QUERIES["d13_simhash_star_cap"].oracle = _d13_oracle(cap=2)
+
+
+QUERIES_D08_ORACLE = f"""
+    WITH pairs AS (
+      {_D02_PAIRS_SQL}
+    )
+    SELECT p.doc_a, p.doc_b,
+           levenshtein(a.text, b.text) AS lev,
+           CASE WHEN greatest(length(a.text), length(b.text)) = 0 THEN 1.0
+                ELSE 1.0 - levenshtein(a.text, b.text) * 1.0 /
+                     greatest(length(a.text), length(b.text))
+           END AS edit_sim
+    FROM pairs p
+    JOIN documents a ON p.doc_a = a.doc_id
+    JOIN documents b ON p.doc_b = b.doc_id
+    """
+
+
+@_register(
+    "d08_edit_distance_refine",
+    QUERIES_D08_ORACLE,
+    survey="north-star dedup: levenshtein refine of MinHash candidate pairs "
+    "(third tier: LSH bands → jaccard → character edit distance, each "
+    "touching only survivors of the previous; edit distance is O(len²) per "
+    "pair and must never run all-pairs)",
+)
+def d08_edit_distance_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level similarity for every MinHash near-dup pair —
+    catches in-place small edits that shift every overlapping shingle."""
+    from ..functions.dedup import edit_distance_refine, minhash_near_dup_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    # bucket_cap=None: refine tier must see the oracle's all-pairs set.
+    return edit_distance_refine(
+        docs,
+        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=None, hash_fn="md5"),
+    )
+
+

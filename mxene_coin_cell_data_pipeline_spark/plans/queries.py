@@ -32,6 +32,7 @@ from . import q_tpch_core  # noqa: E402,F401
 from . import q_cycler_events  # noqa: E402,F401
 from . import q_northstar  # noqa: E402,F401
 from . import q_pipeline_streaming  # noqa: E402,F401
+from . import q_dedup_pairs  # noqa: E402,F401
 from . import q_align  # noqa: E402,F401
 from . import q_relational1  # noqa: E402,F401
 from . import q_relational2  # noqa: E402,F401
@@ -43,6 +44,7 @@ from . import q_python_integration  # noqa: E402,F401
 from . import q_curation  # noqa: E402,F401
 from . import q_extensions3  # noqa: E402,F401
 from . import q_extensions4  # noqa: E402,F401
+from . import q_extensions5  # noqa: E402,F401
 
 # kept re-exports (tests and family modules historically reached these
 # through plans.queries)

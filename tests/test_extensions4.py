@@ -459,9 +459,15 @@ class TestExportPipeline:
             n_clean_expected = len([t for t in cleaned.split(" ") if t])
             derived = r.n_tokens - 3 * (r.n_spans - r.n_uniq_spans)
             assert derived == n_clean_expected
-            assert (
-                hashlib.md5(cleaned.encode()).hexdigest() == r.kept_md5
+            # round-5 bounded-oracle form: kept_len + the rank·hash32
+            # position-weighted signature replace the full-text md5
+            # (same differential strength, per-doc-bounded memory)
+            assert len(cleaned) == r.kept_len
+            want_sig = sum(
+                (i + 1) * int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+                for i, s in enumerate(keep)
             )
+            assert want_sig == r.kept_sig
 
 
 class TestPcaPower:

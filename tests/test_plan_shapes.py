@@ -98,3 +98,63 @@ def test_ann_scans_broadcast_the_query_vector(spark, sf_dir):
     plan = _plan("s01_cosine_topk", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_m08_avi_frames_has_no_exchange(spark, sf_dir):
+    """The video frame-extraction path is scan-bound mapInPandas:
+    zero hash exchanges anywhere — generate payloads, parse, emit
+    frame rows, all narrow."""
+    plan = _plan("m08_avi_frames", spark, sf_dir)
+    hashex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert hashex == []
+
+
+def test_hashed_features_single_exchange_with_partials(spark, sf_dir):
+    """The hashing-trick vectorizer (xxhash64 default) is one
+    (doc_id, feat_idx) aggregate: exactly one hash exchange, with
+    map-side partial aggregation before it — and the xxhash64 path
+    must not smuggle md5 into the plan."""
+    from mxene_coin_cell_data_pipeline_spark.functions.text import (
+        hashed_features,
+    )
+    from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    df = hashed_features(docs, n_dims=256)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hashex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hashex) == 1
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "xxhash64" in plan and "md5" not in plan
+
+
+def test_minhash_default_band_buckets_use_xxhash64(spark, sf_dir):
+    """The default (production) LSH chain's band-bucket join must key
+    on xxhash64 buckets; md5 appears ONLY when the oracle knob asks
+    for it."""
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    sig = minhash_signatures(shingles(docs))
+    plan = (
+        lsh_candidate_pairs(sig)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "xxhash64" in plan and "md5" not in plan
+    sig_md5 = minhash_signatures(shingles(docs), hash_fn="md5")
+    plan_md5 = (
+        lsh_candidate_pairs(sig_md5, hash_fn="md5")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "md5" in plan_md5

@@ -112,6 +112,14 @@ def main() -> int:
     ap.add_argument("--tz", default=None, help="session timezone override (stress TZ purity)")
     ap.add_argument("--out", default="")
     ap.add_argument("--cpus", default=8, type=int)
+    ap.add_argument(
+        "--duckdb-mem",
+        default="",
+        help="DuckDB memory_limit (e.g. 48GB) + disk-spill temp dir — "
+        "REQUIRED for large scale factors: at 100x the shingle-explosion "
+        "oracles (d12's LSH chain) exceed host RAM and the kernel "
+        "OOM-kills the whole sweep without it (observed: 119 GB RSS)",
+    )
     args = ap.parse_args()
 
     spark = driver_like_session(cpus=args.cpus, tz=args.tz)
@@ -121,6 +129,11 @@ def main() -> int:
     names = [n.strip() for n in args.only.split(",") if n.strip()] or list(fns)
 
     con = duckdb.connect()
+    if args.duckdb_mem:
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
+        spill = "/tmp/duckdb_spill"
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
     for t in TABLE_NAMES:
         # driver data is a single file <t>.parquet; Spark-written tables
         # (tools/gen_10x.py, sources/layout.py) are DIRECTORIES of

@@ -183,6 +183,12 @@ def main() -> int:
             row["status"]
         ]
         print(f"{flag} {name:34s} {row['sec']:6.2f}s {row.get('detail','')[:140]}", flush=True)
+        if args.out:
+            # write INCREMENTALLY: a timeout/OOM-kill mid-run must not
+            # lose the queries that already completed (the 100x sweep
+            # wrapper reads whatever landed before the kill)
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1, default=str)
 
     print(
         f"\n== {n_pass} pass, {n_fail} fail, {n_crash} crash, {n_noorc} no-oracle "

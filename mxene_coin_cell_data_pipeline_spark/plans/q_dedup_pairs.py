@@ -1,7 +1,12 @@
 """Near-dup pair/closure oracle queries (d06/d08/d09/d12/d13/d14),
 split from q_pipeline_streaming in round 5 along family lines — zero
-behavior change; plans/queries.py imports this module immediately
-after q_pipeline_streaming, so registration order is preserved. The
+QUERY-behavior change; plans/queries.py imports this module
+immediately after q_pipeline_streaming. Note the six queries now
+register after that module's remaining entries (w07 &c), so the
+definition order of NON-window queries shifts — harmless, because
+the driver's correctness window is the explicit 50-name
+_DRIVER_PREFIX, which is order-pinned independently of definition
+order. The
 all-pairs oracle queries pin ``bucket_cap=None``/``hash_fn="md5"``
 explicitly (the library defaults are star-capped xxhash64 — see
 functions/dedup.py); the d12/d13/d14 star-cap family is the

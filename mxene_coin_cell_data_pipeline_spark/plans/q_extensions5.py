@@ -566,26 +566,17 @@ def a29_join_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _ctx(spark, sf_dir, "events")
     n = events.groupBy("user_id").agg(F.count("*").alias("c"))
     truth = n.agg(F.sum(F.col("c") * F.col("c")).alias("true_size"))
+    from ..functions.stats import cms_bucket
+
     js = spark.range(3).select(F.col("id").cast("int").alias("j"))
+    # hash_fn="md5" is the oracle knob, same discipline as a28
     cells = (
         n.crossJoin(F.broadcast(js))
         .withColumn(
             "bucket",
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.col("j").cast("string"),
-                            F.col("user_id").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 64,
+            cms_bucket(
+                F.col("user_id").cast("string"), F.col("j"), 64, hash_fn="md5"
+            ),
         )
         .groupBy("j", "bucket")
         .agg(F.sum("c").alias("cm"))

@@ -20,6 +20,7 @@ at once give the same final snapshot.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -34,21 +35,35 @@ from pyspark.sql import DataFrame, Window, functions as F
 #: the batch with the SAME batch_id on restart, and the guard skips it
 #: instead of double-counting. Only meaningful under a checkpoint —
 #: batch_ids are a monotone sequence only within one checkpointed
-#: query lineage, so checkpoint-less runs (whose restart semantics are
-#: documented as at-least-once) never write or consult the marker.
+#: query LINEAGE, so the marker records the checkpoint identity next
+#: to the batch_id and is IGNORED on mismatch: a snapshot dir reused
+#: against a fresh/reset checkpoint (batch_ids restart at 0) must
+#: merge its first batches, not skip them. Checkpoint-less runs
+#: (whose restart semantics are documented as at-least-once) never
+#: write or consult the marker.
 _META = "_LAST_BATCH"
 
 
-def _last_applied(snapshot_dir: str) -> int | None:
+def _last_applied(snapshot_dir: str, ckpt_id: str) -> int | None:
+    """Last batch_id applied FROM THIS CHECKPOINT LINEAGE, else None
+    (no marker, unreadable marker, or a different lineage's marker)."""
     meta = os.path.join(snapshot_dir, _META)
     if os.path.exists(meta):
-        with open(meta) as f:
-            return int(f.read().strip())
+        try:
+            with open(meta) as f:
+                rec = json.loads(f.read())
+            if rec.get("ckpt") == ckpt_id:
+                return int(rec["batch_id"])
+        except (ValueError, KeyError):
+            pass
     return None
 
 
 def _atomic_swap(
-    merged: DataFrame, snapshot_dir: str, batch_id: int | None = None
+    merged: DataFrame,
+    snapshot_dir: str,
+    batch_id: int | None = None,
+    ckpt_id: str | None = None,
 ) -> None:
     """Write ``merged`` to ``<dir>.tmp`` (plus the batch marker when
     ``batch_id`` is given) and rename over the live snapshot — atomic
@@ -57,7 +72,7 @@ def _atomic_swap(
     merged.write.mode("overwrite").parquet(tmp)
     if batch_id is not None:
         with open(os.path.join(tmp, _META), "w") as f:
-            f.write(str(batch_id))
+            f.write(json.dumps({"ckpt": ckpt_id, "batch_id": batch_id}))
     if os.path.exists(snapshot_dir):
         shutil.rmtree(snapshot_dir)
     os.rename(tmp, snapshot_dir)
@@ -148,10 +163,12 @@ def run_stream_agg_snapshot(
     double-counts, the documented at-least-once shape)."""
     agg_cols = agg_cols or {"value": "sum"}
     spark = stream_df.sparkSession
-    guarded = checkpoint_dir is not None
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        _merge_agg_batch(batch_df, batch_id, snapshot_dir, key, agg_cols, guarded)
+        _merge_agg_batch(
+            batch_df, batch_id, snapshot_dir, key, agg_cols,
+            ckpt_id=checkpoint_dir,
+        )
 
     w = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -170,13 +187,16 @@ def _merge_agg_batch(
     snapshot_dir: str,
     key: str,
     agg_cols: dict[str, str],
-    guarded: bool,
+    ckpt_id: str | None,
 ) -> None:
     """One additive-merge step (module-level so the replay guard is
-    unit-testable outside a live query). ``guarded`` skips batches
-    already recorded in the snapshot's ``_LAST_BATCH`` marker."""
-    if guarded:
-        last = _last_applied(snapshot_dir)
+    unit-testable outside a live query). A non-None ``ckpt_id``
+    (the checkpoint location — the query-lineage identity) skips
+    batches already recorded for THAT lineage in the snapshot's
+    ``_LAST_BATCH`` marker; a marker from another lineage is
+    ignored."""
+    if ckpt_id is not None:
+        last = _last_applied(snapshot_dir, ckpt_id)
         if last is not None and batch_id <= last:
             return
     spark = batch_df.sparkSession
@@ -202,7 +222,10 @@ def _merge_agg_batch(
         )
     else:
         merged = partial
-    _atomic_swap(merged, snapshot_dir, batch_id if guarded else None)
+    _atomic_swap(
+        merged, snapshot_dir,
+        batch_id if ckpt_id is not None else None, ckpt_id,
+    )
 
 
 def run_stream_histogram_snapshot(
@@ -229,11 +252,11 @@ def run_stream_histogram_snapshot(
     rename-before-offset-commit crash window, exactly as
     ``run_stream_agg_snapshot`` documents."""
     spark = stream_df.sparkSession
-    guarded = checkpoint_dir is not None
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         _merge_histogram_batch(
-            batch_df, batch_id, snapshot_dir, key, value_col, bin_width, guarded
+            batch_df, batch_id, snapshot_dir, key, value_col, bin_width,
+            ckpt_id=checkpoint_dir,
         )
 
     w = (
@@ -254,12 +277,13 @@ def _merge_histogram_batch(
     key: str,
     value_col: str,
     bin_width: float,
-    guarded: bool,
+    ckpt_id: str | None,
 ) -> None:
     """One histogram-merge step (module-level so the replay guard is
-    unit-testable outside a live query)."""
-    if guarded:
-        last = _last_applied(snapshot_dir)
+    unit-testable outside a live query); ``ckpt_id`` as in
+    ``_merge_agg_batch``."""
+    if ckpt_id is not None:
+        last = _last_applied(snapshot_dir, ckpt_id)
         if last is not None and batch_id <= last:
             return
     spark = batch_df.sparkSession
@@ -280,4 +304,7 @@ def _merge_histogram_batch(
         )
     else:
         merged = partial
-    _atomic_swap(merged, snapshot_dir, batch_id if guarded else None)
+    _atomic_swap(
+        merged, snapshot_dir,
+        batch_id if ckpt_id is not None else None, ckpt_id,
+    )

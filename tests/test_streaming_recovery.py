@@ -289,26 +289,26 @@ def test_additive_merge_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
 
     ev = load_table(spark, sf_dir, "events").limit(500)
     snap = str(tmp_path / "snap")
-    _merge_agg_batch(ev, 0, snap, "event_type", {"value": "sum"}, guarded=True)
+    _merge_agg_batch(ev, 0, snap, "event_type", {"value": "sum"}, ckpt_id="ckA")
     once = {r["event_type"]: r["n"] for r in spark.read.parquet(snap).collect()}
     # replay of batch 0 (crash-window restart) — must be skipped
-    _merge_agg_batch(ev, 0, snap, "event_type", {"value": "sum"}, guarded=True)
+    _merge_agg_batch(ev, 0, snap, "event_type", {"value": "sum"}, ckpt_id="ckA")
     assert {
         r["event_type"]: r["n"] for r in spark.read.parquet(snap).collect()
     } == once
     # the next batch still applies (guard is <=, not a latch)
-    _merge_agg_batch(ev, 1, snap, "event_type", {"value": "sum"}, guarded=True)
+    _merge_agg_batch(ev, 1, snap, "event_type", {"value": "sum"}, ckpt_id="ckA")
     assert sum(
         r["n"] for r in spark.read.parquet(snap).collect()
     ) == 2 * sum(once.values())
 
     hist = str(tmp_path / "hist")
-    _merge_histogram_batch(ev, 0, hist, "event_type", "value", 10.0, guarded=True)
+    _merge_histogram_batch(ev, 0, hist, "event_type", "value", 10.0, ckpt_id="ckA")
     honce = {
         (r["event_type"], r["bin"]): r["c"]
         for r in spark.read.parquet(hist).collect()
     }
-    _merge_histogram_batch(ev, 0, hist, "event_type", "value", 10.0, guarded=True)
+    _merge_histogram_batch(ev, 0, hist, "event_type", "value", 10.0, ckpt_id="ckA")
     assert {
         (r["event_type"], r["bin"]): r["c"]
         for r in spark.read.parquet(hist).collect()
@@ -317,8 +317,17 @@ def test_additive_merge_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
     # unguarded (checkpoint-less) keeps the documented at-least-once
     # shape: the same replay double-counts
     snap2 = str(tmp_path / "snap2")
-    _merge_agg_batch(ev, 0, snap2, "event_type", {"value": "sum"}, guarded=False)
-    _merge_agg_batch(ev, 0, snap2, "event_type", {"value": "sum"}, guarded=False)
+    _merge_agg_batch(ev, 0, snap2, "event_type", {"value": "sum"}, ckpt_id=None)
+    _merge_agg_batch(ev, 0, snap2, "event_type", {"value": "sum"}, ckpt_id=None)
     assert sum(
         r["n"] for r in spark.read.parquet(snap2).collect()
     ) == 2 * sum(once.values())
+
+    # lineage mismatch: a snapshot reused against a DIFFERENT
+    # checkpoint (fresh lineage, batch_ids restart at 0) must MERGE
+    # its batch 0, not skip it — the marker carries the checkpoint
+    # identity and is ignored on mismatch
+    _merge_agg_batch(ev, 0, snap, "event_type", {"value": "sum"}, ckpt_id="ckB")
+    assert sum(
+        r["n"] for r in spark.read.parquet(snap).collect()
+    ) == 3 * sum(once.values())

@@ -61,8 +61,13 @@ def run_batch(names: list[str], args) -> dict[str, dict]:
         rc, timed_out = -1, True
     got: dict[str, dict] = {}
     if os.path.exists(tmp_out):
-        with open(tmp_out) as f:
-            got = json.load(f)
+        try:
+            with open(tmp_out) as f:
+                got = json.load(f)
+        except ValueError:
+            # the kill can land mid-rewrite of the incremental --out —
+            # a truncated file means only the in-flight query is lost
+            got = {}
         os.remove(tmp_out)
     for n in names:
         if n not in got:

@@ -84,12 +84,18 @@ _G01_BASE = 0.15  # teleport mass; keep as a literal (see agg comment)
 
 
 def _g01_edges_sql() -> str:
+    # MATERIALIZED pins one evaluation of the symmetrized edge list:
+    # g01/g02/g03 reference `g` up to 6 times and DuckDB's default CTE
+    # inlining recomputed the 120M-row distinct per reference at 100x,
+    # spilling past the disk budget (observed: g02 oracle crash in the
+    # 100x sweep). Same result set, bounded oracle memory.
     return """
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS src, l.l_suppkey AS dst
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
     back AS (SELECT dst AS src, src AS dst FROM edges),
-    g AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM back),
+    g AS MATERIALIZED (
+      SELECT src, dst FROM edges UNION SELECT src, dst FROM back),
     deg AS (SELECT src, count(*) AS outdeg FROM g GROUP BY src),
     verts AS (SELECT DISTINCT src AS v FROM g)
     """

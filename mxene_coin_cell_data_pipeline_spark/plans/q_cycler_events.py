@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
-from ._registry import QUERIES, _ctx, _dsum6, _register
+from ._registry import QUERIES, _ctx, _dsum6, _fsum6_micro, _register
 
 # =====================================================================
 # Cycler-operator analogs over the events table
@@ -44,27 +44,37 @@ def a02_last_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a03_guarded_ratio",
     """
+    WITH s AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) END) AS n_micro,
+             sum(CASE WHEN event_type = 'view'
+                      THEN CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) END) AS d_micro
+      FROM events GROUP BY user_id)
     SELECT user_id,
-           CASE WHEN coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0) = 0
-                THEN NULL
-                ELSE sum(CASE WHEN event_type = 'purchase' THEN value END)
-                     / sum(CASE WHEN event_type = 'view' THEN value END)
+           CASE WHEN coalesce(d_micro, 0) = 0 THEN NULL
+                ELSE CAST(n_micro AS DOUBLE) / CAST(d_micro AS DOUBLE)
            END AS purchase_view_ratio
-    FROM events GROUP BY user_id
+    FROM s
     """,
     survey="A3 C9 (guarded ratio; NULL on zero/absent denominator)",
+    note="micro-unit integer sums (see _fsum6_micro): the r05 100x sweep "
+    "caught the raw double-sum form hash-diverging once per-user event "
+    "counts grew 100x — the ratio of two EXACT int64 sums (cast to "
+    "double, one division) is bit-identical on both engines at any "
+    "group size, and the scale factor 1e6 cancels in the ratio.",
 )
 def a03_guarded_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ev,) = _ctx(spark, sf_dir, "events")
-    num = F.sum(F.when(F.col("event_type") == "purchase", F.col("value")))
-    den = F.sum(F.when(F.col("event_type") == "view", F.col("value")))
+    num = _fsum6_micro(F.when(F.col("event_type") == "purchase", F.col("value")))
+    den = _fsum6_micro(F.when(F.col("event_type") == "view", F.col("value")))
     agg = ev.groupBy("user_id").agg(num.alias("_n"), den.alias("_d"))
     return agg.select(
         "user_id",
         F.when(
-            F.coalesce(F.col("_d"), F.lit(0.0)) == 0, F.lit(None).cast("double")
+            F.coalesce(F.col("_d"), F.lit(0)) == 0, F.lit(None).cast("double")
         )
-        .otherwise(F.col("_n") / F.col("_d"))
+        .otherwise(F.col("_n").cast("double") / F.col("_d").cast("double"))
         .alias("purchase_view_ratio"),
     )
 

@@ -591,8 +591,11 @@ def p04_ir_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT l_returnflag,
              sum(l_quantity) AS sum_qty,
-             sum(l_extendedprice) AS sum_price,
-             avg(l_discount) AS avg_disc
+             CAST(sum(CAST(floor(l_extendedprice * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS sum_price,
+             CAST(sum(CAST(floor(l_discount * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / CAST(count(l_discount) AS DOUBLE) / 1000000.0
+               AS avg_disc
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
     UNION ALL
@@ -610,10 +613,23 @@ def w07_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand (each input row emitted once per metric), not N self-unions:
     the input aggregate is computed once however many metrics unpivot."""
     (li,) = _ctx(spark, sf_dir, "lineitem")
+    # exact micro-unit sums (see _registry._fsum6): the r05 100x sweep
+    # caught the raw double sum/avg drifting once per-flag row counts
+    # hit 15M — sum_qty's addends are integers (exact at any order)
+    # but sum_price/avg_disc need order-independent accumulation
+    micro = lambda c: F.sum(  # noqa: E731
+        F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
     agg = li.groupBy("l_returnflag").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        F.sum("l_extendedprice").alias("sum_price"),
-        F.avg("l_discount").alias("avg_disc"),
+        (micro("l_extendedprice").cast("double") / F.lit(1000000.0)).alias(
+            "sum_price"
+        ),
+        (
+            micro("l_discount").cast("double")
+            / F.count("l_discount").cast("double")
+            / F.lit(1000000.0)
+        ).alias("avg_disc"),
     )
     return agg.unpivot(
         ["l_returnflag"],

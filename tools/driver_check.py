@@ -131,9 +131,18 @@ def main() -> int:
     con = duckdb.connect()
     if args.duckdb_mem:
         con.execute(f"SET memory_limit='{args.duckdb_mem}'")
-        spill = "/tmp/duckdb_spill"
+        # per-process spill dir: concurrent driver_check instances
+        # sharing one temp_directory collide on DuckDB's numbered
+        # duckdb_temp_storage-*.tmp files (observed: one process
+        # removes another's segment -> IOException escapes as
+        # terminate() and kills the whole check)
+        spill = f"/tmp/duckdb_spill_{os.getpid()}"
         os.makedirs(spill, exist_ok=True)
         con.execute(f"SET temp_directory='{spill}'")
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, spill, ignore_errors=True)
     for t in TABLE_NAMES:
         # driver data is a single file <t>.parquet; Spark-written tables
         # (tools/gen_10x.py, sources/layout.py) are DIRECTORIES of

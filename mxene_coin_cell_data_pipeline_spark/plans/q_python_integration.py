@@ -331,7 +331,10 @@ def a23_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "a24_grouped_agg_pandas_udf",
     """
-    SELECT event_type, round(exp(avg(ln(value))), 9) AS geo_mean
+    SELECT event_type,
+           round(exp(CAST(sum(CAST(floor(ln(value) * 1000000.0 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / count(*)), 9) AS geo_mean
     FROM events WHERE value > 0 GROUP BY event_type
     """,
     survey="UDF-surface completion: GROUPED_AGG pandas_udf (per-key "
@@ -344,8 +347,10 @@ def a23_scalar_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a24_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geometric mean per event_type via a grouped-agg pandas UDF,
-    verified against the exp(avg(ln)) SQL identity (same float op
-    order inside numpy: mean of logs, then exp)."""
+    verified against the exp(avg(ln)) SQL identity with both engines
+    summing the SAME int64 micro-unit log addends (order-free; see
+    functions/pyudf.py geo_mean — the raw float mean drifted on the
+    9th decimal at 100x group sizes)."""
     from ..functions.pyudf import geo_mean
 
     (ev,) = _ctx(spark, sf_dir, "events")

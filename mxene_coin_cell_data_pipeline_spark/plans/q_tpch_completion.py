@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
-from ._registry import QUERIES, _ctx, _dsum6, _register
+from ._registry import QUERIES, _ctx, _dsum6, _fsum6, _register
 from .flagship import events_as_timeseries
 
 # =====================================================================
@@ -22,7 +22,9 @@ from .flagship import events_as_timeseries
 @_register(
     "q06_forecast_revenue",
     """
-    SELECT sum(l_extendedprice * l_discount) AS revenue, count(*) AS n
+    SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 1000000.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+           count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -45,7 +47,12 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            # _fsum6: raw double sum drifted on the last digit at 100x
+            # (60M-row partial-agg tree vs DuckDB's order — measured
+            # 3855839400.2000766 vs ...076); micro-unit int64 is exact
+            # and engine-identical at any layout. Total ~3.9e15 micro
+            # at 100x — 2400x int64 headroom.
+            _fsum6(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n"),
         )
     )

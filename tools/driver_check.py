@@ -35,7 +35,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mxene_coin_cell_data_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
-def driver_like_session(cpus: int = 8, tz: str | None = None):
+def driver_like_session(
+    cpus: int = 8, tz: str | None = None, driver_mem: str = "8g"
+):
     """A session with the DRIVER's semantics: ANSI on (Spark 4 default),
     no lenient overrides. nanosAsLong is NOT pre-set here — load_table
     must set it itself, as it must under the real driver session."""
@@ -47,7 +49,7 @@ def driver_like_session(cpus: int = 8, tz: str | None = None):
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
     )
     if tz:
@@ -120,9 +122,18 @@ def main() -> int:
         "oracles (d12's LSH chain) exceed host RAM and the kernel "
         "OOM-kills the whole sweep without it (observed: 119 GB RSS)",
     )
+    ap.add_argument(
+        "--driver-mem",
+        default="8g",
+        help="Spark driver JVM heap — the default mirrors the driver's "
+        "session; raise for solo large-scale sweeps (100x d06's closure "
+        "aggregate needs headroom a contended 8g heap doesn't have)",
+    )
     args = ap.parse_args()
 
-    spark = driver_like_session(cpus=args.cpus, tz=args.tz)
+    spark = driver_like_session(
+        cpus=args.cpus, tz=args.tz, driver_mem=args.driver_mem
+    )
     from mxene_coin_cell_data_pipeline_spark.plans import oracle_sqls, query_fns
 
     fns, sqls = query_fns(), oracle_sqls()

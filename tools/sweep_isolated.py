@@ -52,6 +52,8 @@ def run_batch(names: list[str], args) -> dict[str, dict]:
     ]
     if args.duckdb_mem:
         cmd += ["--duckdb-mem", args.duckdb_mem]
+    if args.driver_mem:
+        cmd += ["--driver-mem", args.driver_mem]
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=args.timeout
@@ -86,6 +88,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=6)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--duckdb-mem", default="48GB")
+    ap.add_argument("--driver-mem", default="8g")
     ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("--only", default="")
     args = ap.parse_args()

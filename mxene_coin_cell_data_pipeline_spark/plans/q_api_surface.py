@@ -201,7 +201,8 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id,
              value % 10 AS lat,
              (event_id % 1000) / 100.0 AS lon
-      FROM events),
+      FROM events
+      ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 200000),
     cells AS (
       SELECT event_id, lat, lon,
              CAST(floor(lon / 0.1) AS BIGINT) AS cx,
@@ -224,27 +225,40 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="extension: spatial proximity join via grid bucketing — points "
     "hashed to 0.1° cells, each probe exploded to its 3×3 neighborhood, "
     "equi-join on cell, exact squared-distance residual post-join (the "
-    "2-D generalization of e03's band join; candidate volume tracks local "
-    "point density × 9, never corpus² — the PostGIS/Sedona "
-    "grid-partitioned join shape in pure DataFrame ops). Distance kept in "
-    "squared-euclidean form: +,*,sqrt are IEEE-exact across engines, "
-    "sin/cos (haversine) are not — a boundary-membership trap for any "
-    "cross-engine spatial comparison",
+    "2-D generalization of e03's band join; the PostGIS/Sedona "
+    "grid-partitioned join shape in pure DataFrame ops). DENSITY BOUND "
+    "(the spatial analogue of the d12 star cap): all-pairs-within-radius "
+    "output grows as density² at a fixed grid — at 100x the uncapped "
+    "form is 9e10 candidates (measured: the oracle alone exceeds an "
+    "hour) — so the point set is capped to a deterministic md5 top-200k "
+    "before the join, keeping candidate volume scale-independent; the "
+    "cap does not bind at sf<=0.1, so small-SF results are identical to "
+    "the uncapped form. Production fixed-radius joins at growing "
+    "density must bound work the same way: cap, coarsen the grid, or "
+    "emit per-cell aggregates. Distance kept in squared-euclidean form: "
+    "+,*,sqrt are IEEE-exact across engines, sin/cos (haversine) are "
+    "not — a boundary-membership trap for any cross-engine spatial "
+    "comparison",
 )
 def e08_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All point pairs within 0.1° (synthetic lat/lon derived from the
-    events table), bucketed pair counts as the stable output."""
+    events table, density-capped at md5 top-200k points), bucketed
+    pair counts as the stable output."""
     from ..sources.tables import scale_out
 
     (ev,) = _ctx(spark, sf_dir, "events")
-    # the 9x probe explosion + broadcast cell probe are narrow — spread
-    # a parallelism-starved scan first (identity on splittable layouts)
+    # density cap: deterministic md5 top-k (TakeOrdered — no full
+    # shuffle), then spread the 200k survivors across the cluster.
+    # event_id is unique at every scale factor (gen_10x strides it),
+    # so the md5 order is total and the cap is engine-reproducible.
     pts = scale_out(
         ev.select(
             "event_id",
             (F.col("value") % 10).alias("lat"),
             ((F.col("event_id") % 1000) / 100.0).alias("lon"),
-        ),
+        )
+        .orderBy(F.md5(F.col("event_id").cast("string")))
+        .limit(200000),
         "event_id",
     )
     cells = pts.select(

@@ -348,12 +348,15 @@ def st04_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the file-stream source into stateful session aggregation,
     complete mode → the final sink state is the exact session set.
     Session end is last-event + gap (Spark's end-exclusive contract),
-    so the oracle's boundary is `diff >= gap`, unlike e02's `>`."""
-    from ..streaming import read_events_stream, run_stream_to_memory
+    so the oracle's boundary is `diff >= gap`, unlike e02's `>`.
+    The session set grows with the corpus (~1.5M rows at 100x), so it
+    drains through the distributed complete-mode parquet sink — the
+    driver-side memory sink blew maxResultSize at 100x."""
+    from ..streaming import read_events_stream, run_stream_complete_parquet
     from ..streaming.features import stream_sessionize
 
     sess = stream_sessionize(read_events_stream(spark, sf_dir))
-    out = run_stream_to_memory(sess, output_mode="complete")
+    out = run_stream_complete_parquet(sess)
     return out.select(
         "user_id",
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),

@@ -32,7 +32,11 @@ from .features import (
     stream_exact_dedup,
     windowed_event_rollup,
 )
-from .run import run_stream_append_parquet, run_stream_to_memory
+from .run import (
+    run_stream_append_parquet,
+    run_stream_complete_parquet,
+    run_stream_to_memory,
+)
 from .snapshot import (
     merge_latest_by_key,
     run_stream_agg_snapshot,
@@ -49,6 +53,7 @@ __all__ = [
     "stream_exact_dedup",
     "windowed_event_rollup",
     "run_stream_append_parquet",
+    "run_stream_complete_parquet",
     "run_stream_to_memory",
     "run_stream_latest_snapshot",
     "run_stream_agg_snapshot",

@@ -429,7 +429,8 @@ def t06_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s04_knn_join",
     """
     WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-               WHERE label = 0),
+               WHERE label = 0
+               ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 512),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
           WHERE label <> 0),
     scored AS (
@@ -448,7 +449,11 @@ def t06_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey="north-star similarity: exact k-NN JOIN (batch of queries × "
     "corpus, broadcast probe side, per-query window top-k) — the "
-    "multi-query companion to s01's single-probe top-k",
+    "multi-query companion to s01's single-probe top-k. PROBE BOUND: "
+    "brute-force probes × corpus work is quadratic when the probe set "
+    "grows with the corpus, so the probe batch is capped to a "
+    "deterministic md5 top-512 (not binding at sf<=0.1); an unbounded "
+    "probe stream is what the IVF path (s02) exists for",
     note="ranking runs on the raw cosine (gaps between distinct vectors "
     "dwarf gemm-vs-fold ulp noise); the emitted score is round(,9) on "
     "both sides so the hash is partition-layout independent.",
@@ -461,11 +466,14 @@ def s04_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import knn_join_blas
 
     (emb,) = _ctx(spark, sf_dir, "embeddings")
-    out = knn_join_blas(
-        emb.filter(F.col("label") == 0),
-        emb.filter(F.col("label") != 0),
-        k=3,
+    # probe bound: deterministic md5 top-512 (vec_id is unique at every
+    # scale factor) — see the survey note; TakeOrdered, no full shuffle
+    probes = (
+        emb.filter(F.col("label") == 0)
+        .orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(512)
     )
+    out = knn_join_blas(probes, emb.filter(F.col("label") != 0), k=3)
     return out.withColumn("cosine", F.round("cosine", 9))
 
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
-from ._registry import QUERIES, _ctx, _dsum6, _register
+from ._registry import QUERIES, _ctx, _dsum6, _fsum6, _register
 
 # =====================================================================
 # Timeseries alignment operators (engine extensions beyond SURVEY §2.5)
@@ -215,7 +215,8 @@ def w02_pivot_step_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH weekly AS (
       SELECT user_id,
              (epoch_us(ts) // 86400000000) // 7 AS week,
-             sum(value) AS wsum
+             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 AS wsum
       FROM events WHERE event_type = 'purchase'
       GROUP BY user_id, week)
     SELECT user_id, week, wsum,
@@ -235,7 +236,11 @@ def w03_rolling_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.expr("(unix_micros(ts) div 86400000000) div 7").alias("week"),
         )
-        .agg(F.sum("value").alias("wsum"))
+        # _fsum6: a raw double sum drifted in the last place at 100x —
+        # Spark's partial-agg split of a group's addends vs DuckDB's
+        # sequential order. Exact micro-units also make the downstream
+        # window avg bit-stable: 4 exact 1e-6-grid doubles sum exactly.
+        .agg(_fsum6(F.col("value")).alias("wsum"))
     )
     w = Window.partitionBy("user_id").orderBy("week").rowsBetween(-3, 0)
     return weekly.select(

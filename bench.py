@@ -120,6 +120,68 @@ EXTENDED = [
 ]
 
 
+def _bench_only() -> dict:
+    """Production-path perf twins (VERDICT r05 task 7): the xxhash64
+    defaults of the library functions whose REGISTERED queries pin the
+    md5 oracle knob (d02/d06/a28/t11). Bench-only — not registry
+    entries (xxhash64 is JVM-only, so DuckDB cannot hash-match the
+    exact pair/bucket sets; correctness of the shared kernels is pinned
+    by the md5 twins' oracles plus tests/test_hash_modes.py) — so
+    the perf the library actually ships is tracked by BENCH history,
+    not only tools/measure_hash_modes.py."""
+    from pyspark.sql import functions as F
+
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_groups,
+    )
+    from mxene_coin_cell_data_pipeline_spark.functions.stats import cms_bucket
+    from mxene_coin_cell_data_pipeline_spark.functions.text import hashed_features
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    def d02_xxh(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        # library defaults: hash_fn="xxhash64", bucket_cap=64 star emission
+        return minhash_near_dup_pairs(docs, threshold=0.8)
+
+    def d06_xxh(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return near_dup_groups(minhash_near_dup_pairs(docs, threshold=0.8))
+
+    def a28_xxh(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        vocab = (
+            docs.select(
+                F.explode(
+                    F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+"), 0)
+                ).alias("token")
+            )
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+        )
+        js = spark.range(3).select(F.col("id").cast("int").alias("j"))
+        tb = vocab.crossJoin(F.broadcast(js)).withColumn(
+            "bucket", cms_bucket(F.col("token"), F.col("j"), 32)
+        )
+        cells = tb.groupBy("j", "bucket").agg(F.sum("n").alias("cell_n"))
+        return (
+            tb.join(F.broadcast(cells), ["j", "bucket"])
+            .groupBy("token")
+            .agg(F.min("cell_n").alias("cms_n"), F.max("n").alias("exact_n"))
+        )
+
+    def t11_xxh(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        return hashed_features(docs, n_dims=256)
+
+    return {
+        "d02_minhash_lsh_xxh": d02_xxh,
+        "d06_near_dup_groups_xxh": d06_xxh,
+        "a28_countmin_freq_xxh": a28_xxh,
+        "t11_feature_hashing_xxh": t11_xxh,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -140,41 +202,70 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    bench_only = _bench_only()
+    fns = {name: QUERIES[name].spark for name in HEADLINE + EXTENDED}
+    fns.update(bench_only)
+
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for name in HEADLINE + EXTENDED:
+        for fn in fns.values():
             try:
-                run(QUERIES[name].spark(spark, warm_sf))
+                run(fn(spark, warm_sf))
             except Exception:
                 pass  # a warmup failure must never sink the bench
 
     times: dict[str, float] = {}
     for _pass in range(2):
-        for name in HEADLINE + EXTENDED:
-            spec = QUERIES[name]
+        for name, fn in fns.items():
             t0 = time.perf_counter()
-            run(spec.spark(spark, sf_dir))
+            run(fn(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 3)
             if name not in times or elapsed < times[name]:
                 times[name] = elapsed
 
     # "value" stays the ORIGINAL 58-query headline total — directly
     # comparable to the round-1 pin in BASELINE.md; the wave-3/4
-    # heavies report separately so their history is tracked without
-    # making the headline series incomparable across rounds.
+    # heavies and the xxh production twins report separately so their
+    # history is tracked without making the headline series
+    # incomparable across rounds.
     total = round(sum(times[n] for n in HEADLINE), 3)
     total_ext = round(sum(times[n] for n in EXTENDED), 3)
+    total_xxh = round(sum(times[n] for n in bench_only), 3)
+
+    # Output protocol (VERDICT r05 task 3): the per-query map blew the
+    # driver's tail capture in r05 (BENCH_r05.json parsed: null), so
+    # the map goes to a committed detail file and stderr, and the LAST
+    # stdout line is a COMPACT headline JSON the driver can always
+    # parse from a bounded tail.
+    detail = {
+        "metric": "total_headline_query_sec",
+        "value": total,
+        "unit": "sec",
+        "value_extended_wave34_sec": total_ext,
+        "value_bench_only_xxh_sec": total_xxh,
+        "n_headline": len(HEADLINE),
+        "n_extended": len(EXTENDED),
+        "n_bench_only": len(bench_only),
+        "queries": times,
+        "sf": sf,
+    }
+    detail_file = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    with open(detail_file, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps({"per_query_detail": detail_file, "queries": times}), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "total_headline_query_sec",
                 "value": total,
                 "unit": "sec",
-                "value_extended_wave34_sec": total_ext,
-                "n_headline": len(HEADLINE),
-                "n_extended": len(EXTENDED),
-                "queries": times,
                 "sf": sf,
+                "value_extended_wave34_sec": total_ext,
+                "value_bench_only_xxh_sec": total_xxh,
+                "detail": os.path.basename(detail_file),
             }
         )
     )

@@ -132,81 +132,74 @@ def _fsum6_micro(col) -> F.Column:
 #: full driver_check sweep. Everything not listed follows in
 #: definition order, so the full registry is always exported.
 #:
-#: Round-5 rotation: the driver's correctness window covers a 50-query
-#: prefix, so the prefix is swapped each round until every query has an
-#: EXTERNAL verdict in some CORRECTNESS_r*.json. The union of the
-#: r01-r04 windows covers 130 distinct queries of 175; this prefix
-#: leads with the EXACT 45-query complement (recomputed this round
-#: directly from the four CORRECTNESS_r0*.json files — the round-4
-#: comment's hand-written list had dropped o07_latest_by_key and
-#: miscounted 44), so CORRECTNESS_r05 completes the union at 175/175.
-#: The remaining 5 window slots re-verify the uncapped dedup oracle
-#: queries whose call sites changed this round when star-capped
-#: emission became the library default (they now pin the uncapped
-#: shape explicitly — see functions/dedup.py DEFAULT_BUCKET_CAP).
+#: Round-6 rotation (VERDICT r05 task 2): the union of the r01-r05
+#: windows driver-verified all 176 registered queries, but 9 queries'
+#: LAST driver verdict is a failure or no_oracle (p01's r01 ANSI
+#: divide-by-zero, since fixed; the r01 window's early red set) — the
+#: driver never revisited them. This window leads with those 9, then
+#: the queries whose float-sum fixes landed AFTER their last window
+#: (the round-5 100x-sweep fixes: q06/a24/a03/w03/w07) plus e08
+#: (adaptive-grid rework this round), then the stalest verdicts
+#: (r01/r02-last), topped up with r03-last entries to fill 50.
 _DRIVER_PREFIX = [
-    # — the 45 never-driver-verdicted queries —
-    # family siblings from the pre-wave registry
-    "a13_percentiles",
-    "a15_listagg",
-    "a22_zscore",
-    "c12_json_extract",
-    "j04_outer_custdist",
-    "o05_hash_split",
-    "o07_latest_by_key",
-    "o13_winsorize",
-    "t06_top_bigrams",
-    "u02_intersect_except",
-    "w05_ntile_cume",
-    "w06_range_frame",
-    # round-4 star-cap + codec additions
-    "d12_lsh_star_cap",
-    "d13_simhash_star_cap",
-    "d14_star_cap_groups",
-    "m05_ppm_decode",
-    "a26_hll_sketch_merge",
-    # round-4 curation family
-    "d15_decontaminate",
-    "o15_sequence_pack",
-    "o16_domain_mixture",
-    "t14_dsir_resample",
-    "s07_int8_quantize",
-    "s08_semdedup",
-    # wave-3 family
-    "t15_bpe_pretokenize",
-    "t16_linear_classifier",
-    "g02_connected_components",
-    "e14_linear_interp",
-    "d16_bloom_decontaminate",
-    "src04_orc_roundtrip",
-    "m06_ppm_resize",
-    "st09_stream_decode",
-    # wave-4 family
-    "m07_wav_decode",
-    "t17_span_self_dedup",
-    "t18_bm25_topk",
-    "a27_histogram_quantile",
-    "a28_countmin_freq",
-    "a29_join_size_sketch",
-    "s09_matryoshka_topk",
-    "s10_pca_power",
-    "g03_triangle_count",
-    "e15_scd2_intervals",
-    "e16_seasonal_backtest",
-    "st10_stream_histogram",
-    "src05_hive_partitioned_roundtrip",
-    "p05_export_pipeline",
-    # — round-5 addition (registered after the rotation was computed,
-    #   so it must ride this window to keep the union complete) —
-    "m08_avi_frames",
-    # — re-verification: uncapped-oracle dedup queries whose call
-    #   sites were touched by the round-5 bucket_cap default flip
-    #   (d08, also touched, carries this session's driver_check
-    #   verdict; the window holds 50) —
-    "d02_minhash_lsh",
-    "d05_ngram_jaccard",
-    "d06_near_dup_groups",
-    "d09_simhash_hamming",
+    # — the 9 ever-driver-failed queries (red/no_oracle in r01/r02,
+    #   never revisited; all pass tools/driver_check.py today) —
+    "p01_cycler_pipeline",
+    "p02_cycler_features_sql",
+    "p04_ir_sql",
+    "qc01_aggregate_checks",
+    "m02_decode_stub",
+    "st01_stream_window_rollup",
+    "e02_sessionize",
+    "w02_pivot_step_counts",
+    "a11_regr_fade",
+    # — round-5 100x-sweep fixes landed after these queries' last
+    #   driver window; re-verify the fixed plans externally —
+    "q06_forecast_revenue",
+    "a24_grouped_agg_pandas_udf",
+    "a03_guarded_ratio",
+    "w03_rolling_capacity",
+    "w07_unpivot",
+    # — reworked this round: adaptive-density grid replaces the
+    #   input cap (VERDICT r05 task 4) —
+    "e08_spatial_join",
+    # — stalest external verdicts (last seen r01/r02) —
+    "u01_union_slices",
+    "a02_last_non_null",
+    "a04_first_norm",
+    "a06_argmin_nearest",
+    "a07_neighbor_median_delta",
+    "a08_min_subtract",
+    "a10_running_first_shift",
+    "c05_c06_labels",
+    "c07_substring_filter",
+    "c04_c08_casts",
+    "d03_simhash",
+    "s02_ivf_topk",
+    "t02_quality_score",
+    "t03_language_id",
+    "t04_fingerprint",
+    "m01_binary_meta",
+    "m03_frame_sample",
+    "d08_edit_distance_refine",
+    "e01_asof_join",
+    "e04_resample_ffill",
+    "s03_signlsh_pairs",
+    # — r03-last fills to hold the window at 50 —
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_nation_volume",
+    "o03_topk_orders",
+    "w01_rank_per_group",
+    "a05_trapezoid",
+    "d01_exact_dedup",
+    "s01_cosine_topk",
+    "d04_embedding_neardup",
+    "t01_token_stats",
+    "st02_stream_static_join",
+    "p03_dqdv_sql",
+    "t05_tfidf_top_terms",
+    "q07_nation_pair_volume",
 ]
 
 

@@ -194,20 +194,52 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+#: e08 adaptive-density grid ladder: cell (= radius) halves for every
+#: 4× growth in point count past the base rung, so expected per-cell
+#: occupancy — and with it per-point candidate work AND output degree —
+#: stays constant at any scale. Thresholds are INTEGER comparisons and
+#: every cell value is an exact power-of-two scaling of the same 0.1
+#: double literal (halving only touches the exponent), so the Spark
+#: driver and the DuckDB oracle pick bit-identical parameters from the
+#: same count.
+_E08_BASE_N = 100_000
+_E08_MAX_HALVINGS = 14
+
+
+def _e08_cell(n_pts: int) -> float:
+    cell, thr = 0.1, _E08_BASE_N
+    for _ in range(_E08_MAX_HALVINGS):
+        if n_pts <= thr:
+            break
+        thr *= 4
+        cell /= 2
+    return cell
+
+
+def _e08_cell_sql() -> str:
+    rungs = " ".join(
+        f"WHEN n <= {_E08_BASE_N * 4**k} THEN 0.1/{2**k}"
+        for k in range(_E08_MAX_HALVINGS)
+    )
+    return f"CASE {rungs} ELSE 0.1/{2**_E08_MAX_HALVINGS} END"
+
+
 @_register(
     "e08_spatial_join",
-    """
-    WITH pts AS (
+    f"""
+    WITH params AS (
+      SELECT {_e08_cell_sql()} AS cell
+      FROM (SELECT count(*) AS n FROM events)),
+    pts AS (
       SELECT event_id,
              value % 10 AS lat,
              (event_id % 1000) / 100.0 AS lon
-      FROM events
-      ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 200000),
+      FROM events),
     cells AS (
       SELECT event_id, lat, lon,
-             CAST(floor(lon / 0.1) AS BIGINT) AS cx,
-             CAST(floor(lat / 0.1) AS BIGINT) AS cy
-      FROM pts),
+             CAST(floor(lon / cell) AS BIGINT) AS cx,
+             CAST(floor(lat / cell) AS BIGINT) AS cy
+      FROM pts, params),
     probes AS (
       SELECT c.event_id, c.lat, c.lon, c.cx + dx.i AS px, c.cy + dy.i AS py
       FROM cells c,
@@ -215,58 +247,59 @@ def st08_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT unnest(range(-1, 2)) AS i) dy),
     pairs AS (
       SELECT p.event_id AS a, b.event_id AS b
-      FROM probes p JOIN cells b ON b.cx = p.px AND b.cy = p.py
+      FROM probes p JOIN cells b ON b.cx = p.px AND b.cy = p.py, params
       WHERE p.event_id < b.event_id
         AND (p.lon - b.lon) * (p.lon - b.lon)
-            + (p.lat - b.lat) * (p.lat - b.lat) < 0.01)
+            + (p.lat - b.lat) * (p.lat - b.lat) < cell * cell)
     SELECT a % 16 AS bucket, count(*) AS n_pairs
     FROM pairs GROUP BY 1
     """,
     survey="extension: spatial proximity join via grid bucketing — points "
-    "hashed to 0.1° cells, each probe exploded to its 3×3 neighborhood, "
+    "hashed to square cells, each probe exploded to its 3×3 neighborhood, "
     "equi-join on cell, exact squared-distance residual post-join (the "
     "2-D generalization of e03's band join; the PostGIS/Sedona "
-    "grid-partitioned join shape in pure DataFrame ops). DENSITY BOUND "
-    "(the spatial analogue of the d12 star cap): all-pairs-within-radius "
-    "output grows as density² at a fixed grid — at 100x the uncapped "
-    "form is 9e10 candidates (measured: the oracle alone exceeds an "
-    "hour) — so the point set is capped to a deterministic md5 top-200k "
-    "before the join, keeping candidate volume scale-independent; the "
-    "cap does not bind at sf<=0.1, so small-SF results are identical to "
-    "the uncapped form. Production fixed-radius joins at growing "
-    "density must bound work the same way: cap, coarsen the grid, or "
-    "emit per-cell aggregates. Distance kept in squared-euclidean form: "
-    "+,*,sqrt are IEEE-exact across engines, sin/cos (haversine) are "
-    "not — a boundary-membership trap for any cross-engine spatial "
-    "comparison",
+    "grid-partitioned join shape in pure DataFrame ops). ADAPTIVE "
+    "DENSITY GRID (the spatial analogue of the d12 star cap, applied "
+    "as a resolution knob instead of an input cap): a fixed-radius "
+    "all-pairs join grows as density² — at 100x that is 9e10 pairs "
+    "(measured: the fixed-grid oracle alone exceeds an hour) — so the "
+    "cell size AND the join radius halve for every 4× point growth "
+    "(r ~ sqrt(C·A/N), the natural nearest-neighbor scale used by "
+    "KNN-graph construction and DBSCAN eps heuristics). ALL points are "
+    "kept at every scale; per-point candidate work and output degree "
+    "stay constant, total work O(N). The ladder is integer-threshold + "
+    "exact power-of-two halvings of one shared 0.1 literal, so both "
+    "engines derive bit-identical cell/radius from the same count and "
+    "the compare stays tolerance-free. Distance kept in "
+    "squared-euclidean form: +,*,sqrt are IEEE-exact across engines, "
+    "sin/cos (haversine) are not — a boundary-membership trap for any "
+    "cross-engine spatial comparison",
+    note="At sf<=0.1 the count sits in the base rung (cell=0.1), so "
+    "results are identical to the classic fixed-0.1° form; the ladder "
+    "only bites past 100k points, where fixed-radius semantics are "
+    "the thing that does not survive scale.",
 )
 def e08_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All point pairs within 0.1° (synthetic lat/lon derived from the
-    events table, density-capped at md5 top-200k points), bucketed
-    pair counts as the stable output."""
-    from ..sources.tables import scale_out
-
+    """All point pairs within one adaptive cell-width (synthetic
+    lat/lon derived from the events table; radius tracks the natural
+    neighbor scale as density grows), bucketed pair counts as the
+    stable output."""
     (ev,) = _ctx(spark, sf_dir, "events")
-    # density cap: deterministic md5 top-k (TakeOrdered — no full
-    # shuffle), then spread the 200k survivors across the cluster.
-    # event_id is unique at every scale factor (gen_10x strides it),
-    # so the md5 order is total and the cap is engine-reproducible.
-    pts = scale_out(
-        ev.select(
-            "event_id",
-            (F.col("value") % 10).alias("lat"),
-            ((F.col("event_id") % 1000) / 100.0).alias("lon"),
-        )
-        .orderBy(F.md5(F.col("event_id").cast("string")))
-        .limit(200000),
+    # driver-side scalar: one parquet-metadata count picks the grid
+    # rung (bounded-collect discipline, same as d16's bloom sizing) —
+    # replaces round-5's md5 top-200k TakeOrdered input cap.
+    cell = _e08_cell(ev.count())
+    pts = ev.select(
         "event_id",
+        (F.col("value") % 10).alias("lat"),
+        ((F.col("event_id") % 1000) / 100.0).alias("lon"),
     )
     cells = pts.select(
         "event_id",
         "lat",
         "lon",
-        F.floor(F.col("lon") / 0.1).alias("cx"),
-        F.floor(F.col("lat") / 0.1).alias("cy"),
+        F.floor(F.col("lon") / cell).alias("cx"),
+        F.floor(F.col("lat") / cell).alias("cy"),
     )
     off = F.explode(F.sequence(F.lit(-1), F.lit(1)))
     probes = (
@@ -280,14 +313,20 @@ def e08_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cy") + F.col("dy")).alias("py"),
         )
     )
-    j = probes.join(
+    # both sides of a spatial self-join grow together — broadcast is
+    # never the 100-TB shape (Catalyst would otherwise broadcast the
+    # 9×-exploded probe side and stream the scan on ONE task). A
+    # shuffle hash join on the cell keys partitions both sides by
+    # cell: full cluster-width parallelism, per-task memory bounded by
+    # the adaptive grid's constant per-cell occupancy, no sort.
+    j = probes.hint("shuffle_hash").join(
         cells, (F.col("px") == F.col("cx")) & (F.col("py") == F.col("cy"))
     ).filter(
         (F.col("a_id") < F.col("event_id"))
         & (
             (F.col("a_lon") - F.col("lon")) * (F.col("a_lon") - F.col("lon"))
             + (F.col("a_lat") - F.col("lat")) * (F.col("a_lat") - F.col("lat"))
-            < 0.01
+            < cell * cell
         )
     )
     return j.groupBy((F.col("a_id") % 16).alias("bucket")).agg(

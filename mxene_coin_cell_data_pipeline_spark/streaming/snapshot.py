@@ -115,16 +115,9 @@ def run_stream_latest_snapshot(
     batch is a no-op), so this sink is exactly-once even under the
     at-least-once replay window of a mid-batch crash."""
     order_cols = order_cols or ["ts", "event_id"]
-    spark = stream_df.sparkSession
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        current = (
-            spark.read.parquet(snapshot_dir)
-            if os.path.exists(snapshot_dir)
-            else None
-        )
-        merged = merge_latest_by_key(current, batch_df, key, order_cols)
-        _atomic_swap(merged, snapshot_dir)
+        _merge_latest_batch(batch_df, batch_id, snapshot_dir, key, order_cols)
 
     w = (
         stream_df.writeStream.foreachBatch(_merge)
@@ -135,6 +128,30 @@ def run_stream_latest_snapshot(
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.start()
     q.awaitTermination()
+
+
+def _merge_latest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    snapshot_dir: str,
+    key: str,
+    order_cols: list[str],
+) -> None:
+    """One latest-by-key merge step (module-level so the replay
+    behavior is unit-testable outside a live query, parametrized with
+    the additive runners in tests/test_streaming_recovery.py). Unlike
+    the additive merges, this one needs NO ``_LAST_BATCH`` guard:
+    re-merging an already-applied batch re-selects the same latest row
+    per key — idempotent by construction, exactly-once under replay
+    with or without a checkpoint."""
+    spark = batch_df.sparkSession
+    current = (
+        spark.read.parquet(snapshot_dir)
+        if os.path.exists(snapshot_dir)
+        else None
+    )
+    merged = merge_latest_by_key(current, batch_df, key, order_cols)
+    _atomic_swap(merged, snapshot_dir)
 
 
 def run_stream_agg_snapshot(

@@ -275,6 +275,81 @@ def test_histogram_snapshot_checkpoint_recovery(spark, sf_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.parametrize("runner", ["agg", "histogram", "latest"])
+def test_replayed_batch_is_noop_all_runners(spark, sf_dir, tmp_path, runner):
+    """The rename-before-offset-commit crash window, parametrized over
+    ALL THREE snapshot runners' merge steps: replaying an
+    already-applied batch_id must leave the snapshot unchanged, and
+    the NEXT batch must still apply. The additive runners (agg,
+    histogram) get this from the _LAST_BATCH guard; the latest-by-key
+    runner is idempotent by construction (no guard needed) — both
+    roads must land on the same observable."""
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+    from mxene_coin_cell_data_pipeline_spark.streaming.snapshot import (
+        _merge_agg_batch,
+        _merge_histogram_batch,
+        _merge_latest_batch,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    snap = str(tmp_path / "snap")
+
+    def merge(batch_df, batch_id):
+        if runner == "agg":
+            _merge_agg_batch(
+                batch_df, batch_id, snap, "event_type", {"value": "sum"},
+                ckpt_id="ckA",
+            )
+        elif runner == "histogram":
+            _merge_histogram_batch(
+                batch_df, batch_id, snap, "event_type", "value", 10.0,
+                ckpt_id="ckA",
+            )
+        else:
+            _merge_latest_batch(
+                batch_df, batch_id, snap, "user_id", ["ts", "event_id"]
+            )
+
+    def snapshot_rows():
+        return sorted(
+            map(tuple, spark.read.parquet(snap).drop("_rn").collect())
+        )
+
+    merge(ev, 0)
+    once = snapshot_rows()
+    # replay of batch 0 (crash-window restart) — must be a no-op
+    merge(ev, 0)
+    assert snapshot_rows() == once
+    # the next batch still applies (the guard is <=, not a latch;
+    # the idempotent merge folds genuinely-new rows)
+    if runner == "latest":
+        # newer versions for every key: the later ts must win
+        max_once = max(
+            r["ts"] for r in spark.read.parquet(snap).collect()
+        )
+        batch1 = ev.withColumn("ts", F.col("ts") + F.expr("INTERVAL 400 DAYS"))
+    else:
+        batch1 = ev
+    merge(batch1, 1)
+    after = snapshot_rows()
+    assert after != once
+    if runner == "agg":
+        total = sum(r["n"] for r in spark.read.parquet(snap).collect())
+        assert total == 2 * len(ev.collect())
+    elif runner == "histogram":
+        total = sum(r["c"] for r in spark.read.parquet(snap).collect())
+        assert total == 2 * len(ev.collect())
+    else:
+        # every key's kept row now carries a batch-1 (shifted) ts
+        assert all(
+            r["ts"] > max_once
+            for r in spark.read.parquet(snap).collect()
+        )
+        # and a second replay of batch 1 is again a no-op
+        merge(batch1, 1)
+        assert snapshot_rows() == after
+
+
 def test_additive_merge_replayed_batch_is_skipped(spark, sf_dir, tmp_path):
     """The rename-before-offset-commit crash window: a crash after the
     snapshot swap but before the checkpoint commits the offset replays

@@ -1,26 +1,19 @@
 """Extension family, wave 4 part A (round 4; round 5 split the
-module's second half into q_extensions5 along family lines and added
-m08): real WAV audio codec (m07), real AVI video container codec
-(m08), C4-style intra-document span dedup (t17), BM25 retrieval
-scoring (t18), a mergeable fixed-bin histogram quantile sketch (a27)
-plus its live-on-stream form (st10), matryoshka embedding truncation
-with measured recall (s09), triangle counting with clustering
-coefficient (g03), and SCD Type-2 interval builds from a change
-stream (e15). Part B (q_extensions5): a28, src05, p05, s10, e16,
-a29.
+module's second half into q_extensions5, round 6 split the codec pair
+into q_wave4_codecs and the text pair into q_wave4_text along family
+lines): a mergeable fixed-bin histogram quantile sketch (a27) plus
+its live-on-stream form (st10), matryoshka embedding truncation with
+measured recall (s09), triangle counting with clustering coefficient
+(g03), and SCD Type-2 interval builds from a change stream (e15).
+Part B (q_extensions5): a28, src05, p05, s10, e16, a29.
 
-North-star additions (no reference counterpart): the remaining
-first-class stages of a multimodal / retrieval-aware training-data
-pipeline — audio joins image as a REAL byte-format parse (RIFF chunk
-walk, PCM16 samples), span-level self-dedup removes boilerplate the
-doc-level dedups can't see, BM25 is the lexical-retrieval scorer that
-pairs with the embedding ANN family, the histogram/CMS sketches are
-the mergeable (map-side-combinable) shapes that replace exact
-median/frequency counting at fact scale, matryoshka truncation is the
-dimension-reduction knob every 100 TB ANN deployment turns first,
-g03 completes the graph family (centrality/components/local
-structure), e15 is the CDC-to-warehouse history build, and src05 is
-the partition-pruned access pattern that dominates 100 TB reads.
+North-star additions (no reference counterpart): the
+histogram sketches are the mergeable (map-side-combinable) shapes
+that replace exact median counting at fact scale, matryoshka
+truncation is the dimension-reduction knob every 100 TB ANN
+deployment turns first, g03 completes the graph family
+(centrality/components/local structure), and e15 is the
+CDC-to-warehouse history build.
 """
 
 from __future__ import annotations
@@ -28,355 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ._registry import _ctx, _register  # noqa: F401
-
-# ---------------------------------------------------------------------------
-# m07: REAL audio codec — WAV/RIFF PCM16 decode
-# ---------------------------------------------------------------------------
-
-_WAV_NIB = (
-    "(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' "
-    "|| CAST(u.k AS VARCHAR)), {i}, 1)) - 1)"
-)
-_WAV_V = (
-    f"{_WAV_NIB.format(i=1)} * 4096 + {_WAV_NIB.format(i=2)} * 256 + "
-    f"{_WAV_NIB.format(i=3)} * 16 + {_WAV_NIB.format(i=4)} - 32768"
-)
-
-
-@_register(
-    "m07_wav_decode",
-    f"""
-    WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS n,
-                      8000 + (doc_id % 4) * 1000 AS rate
-               FROM documents),
-    s AS (SELECT d.doc_id, {_WAV_V} AS v
-          FROM d, LATERAL (SELECT unnest(generate_series(0, d.n - 1))
-                           AS k) u),
-    agg AS (SELECT doc_id, count(*) AS ns, max(abs(v)) AS peak,
-                   sum(v * v) AS sq
-            FROM s GROUP BY doc_id)
-    SELECT d.doc_id,
-           CAST(44 + 2 * d.n AS INT) AS n_bytes,
-           CAST(d.rate AS INT) AS sample_rate,
-           CAST(d.n AS INT) AS n_samples,
-           CAST(a.peak AS INT) AS peak_abs,
-           CAST(a.sq AS DOUBLE) / d.n AS mean_square
-    FROM d JOIN agg a USING (doc_id)
-    """,
-    survey="north-star multimodal: REAL audio codec #2 — deterministic "
-    "PCM16 WAV containers (44-byte canonical RIFF header + little-endian "
-    "int16 samples from an md5 stream) generated per doc and genuinely "
-    "parsed back by parse_wav's chunk walk (magic sniff, fmt codec "
-    "check, odd-size pad handling) under Arrow-batched mapInPandas; "
-    "peak and energy accumulate in pure integers so the oracle "
-    "re-derives byte length, rate, sample count, peak_abs and the "
-    "square sum from the same md5 stream — a header-walk or "
-    "endianness bug flips the hash. Completes the image/audio/video "
-    "brief with zero stubs on the audio leg.",
-    note="mean_square = int64 square sum / n — sumsq < 2^53 for any "
-    "bounded clip, so the single division is the only float op and is "
-    "IEEE-identical on both engines.",
-)
-def m07_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generate real PCM16 WAV files deterministically per doc_id,
-    decode them with the real RIFF codec, emit (n_bytes, sample_rate,
-    n_samples, peak_abs, mean_square) — the audio decode path with
-    zero stubs (audio sibling of m05's image path)."""
-    from ..functions.multimodal import decode_audio, with_wav_payload
-
-    (docs,) = _ctx(spark, sf_dir, "documents")
-    # NOT scale_out-rebalanced: a same-session A/B at sf0.1 measured the
-    # added exchange + per-worker batch overhead costing MORE than the
-    # single-task Python gen saves (0.89s -> 1.52s); on splittable
-    # production layouts the scan parallelizes by itself
-    return decode_audio(with_wav_payload(docs.select("doc_id")))
-
-
-# ---------------------------------------------------------------------------
-# m08: REAL video container codec — RIFF/AVI chunk walk + frame extraction
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "m08_avi_frames",
-    """
-    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
-    fr AS (SELECT d.doc_id, d.nf, u.k,
-                  4 + (d.doc_id + u.k) % 5 AS m
-           FROM d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1))
-                            AS k) u),
-    o AS (SELECT doc_id, nf, k, m,
-                 224 + 8 + coalesce(sum(8 + m + (m % 2)) OVER (
-                     PARTITION BY doc_id ORDER BY k
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                   0) AS off
-          FROM fr),
-    b AS (SELECT o.doc_id, o.k,
-                 sum(('0x' || substr(md5(CAST(o.doc_id AS VARCHAR) || ':'
-                      || CAST(o.k AS VARCHAR) || ':'
-                      || CAST(j.j AS VARCHAR)), 1, 2))::BIGINT) AS bsum
-          FROM o, LATERAL (SELECT unnest(generate_series(0, o.m - 1))
-                           AS j) j
-          GROUP BY o.doc_id, o.k)
-    SELECT o.doc_id,
-           CAST(o.nf AS INT) AS n_frames,
-           CAST(o.k AS INT) AS frame_idx,
-           CAST(o.off AS BIGINT) AS off,
-           CAST(o.m AS INT) AS frame_bytes,
-           CAST(b.bsum AS BIGINT) AS byte_sum
-    FROM o JOIN b ON b.doc_id = o.doc_id AND b.k = o.k
-    """,
-    survey="north-star multimodal: REAL video container codec #3 — "
-    "deterministic RIFF/AVI files (LIST hdrl with avih/strh/strf, "
-    "LIST movi with 00db frame chunks, odd-size padding, frame bytes "
-    "from an md5 stream) generated per doc by make_avi and genuinely "
-    "parsed back by parse_avi's chunk walk (magic sniff, hdrl walk "
-    "for dwMicroSecPerFrame/dwTotalFrames, movi walk for ##db/##dc "
-    "frames, declared-vs-actual frame-count cross-check) under "
-    "Arrow-batched one-to-many mapInPandas. The emitted rows carry "
-    "each frame's ABSOLUTE byte offset, size, and integer byte sum, "
-    "and the oracle re-derives all three from the md5 stream and the "
-    "documented fixed header layout (AVI_MOVI_BASE + cumulative "
-    "chunk sizes) — a chunk-walk, padding, or offset bug flips the "
-    "hash. Completes the image/audio/VIDEO quartet with zero stubs: "
-    "m03's frame-sampling contract now runs from genuinely parsed "
-    "frame offsets (sample_avi_frames supersedes deterministic "
-    "slicing).",
-    note="ffmpeg/PyAV drop into the same mapInPandas slot for real "
-    "codecs inside the frames; the container walk, offsets, batching "
-    "and error contract are exactly what they would ride on.",
-)
-def m08_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Generate real AVI containers deterministically per doc_id,
-    parse them with the real RIFF/AVI chunk walk, emit one row per
-    extracted frame (offset, size, byte sum) — the video leg of the
-    multimodal quartet with zero stubs."""
-    from ..functions.multimodal import sample_avi_frames, with_avi_payload
-
-    (docs,) = _ctx(spark, sf_dir, "documents")
-    # NOT scale_out-rebalanced: same A/B rationale as m07 above
-    return sample_avi_frames(with_avi_payload(docs.select("doc_id")))
-
-
-# ---------------------------------------------------------------------------
-# t17: intra-document repeated-span removal (C4-style)
-# ---------------------------------------------------------------------------
-
-
-@_register(
-    "t17_span_self_dedup",
-    """
-    WITH t AS (
-      SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS toks
-      FROM documents),
-    c AS (
-      SELECT t.doc_id, u.i AS cidx,
-             array_to_string(toks[3 * u.i + 1 : 3 * u.i + 3], ' ') AS chunk
-      FROM t, LATERAL (SELECT unnest(generate_series(0,
-               (len(toks) + 2) // 3 - 1)) AS i) u),
-    f AS (SELECT doc_id, chunk, min(cidx) AS first_idx
-          FROM c GROUP BY doc_id, chunk),
-    r AS (SELECT doc_id, chunk,
-                 CAST(row_number() OVER (PARTITION BY doc_id
-                                         ORDER BY first_idx) AS BIGINT) AS rk
-          FROM f),
-    k AS (SELECT doc_id, count(*) AS n_uniq_spans,
-                 sum(rk * (('0x' || substr(md5(chunk), 1, 8))::BIGINT))
-                   AS kept_sig,
-                 sum(len(chunk)) + count(*) - 1 AS kept_len
-          FROM r GROUP BY doc_id)
-    SELECT t.doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST((len(toks) + 2) // 3 AS BIGINT) AS n_spans,
-           CAST(coalesce(k.n_uniq_spans, 0) AS BIGINT) AS n_uniq_spans,
-           CAST(coalesce(k.kept_len, 0) AS BIGINT) AS kept_len,
-           CAST(coalesce(k.kept_sig, 0) AS BIGINT) AS kept_sig
-    FROM t LEFT JOIN k USING (doc_id)
-    """,
-    survey="north-star text: C4-style intra-document repeated-span "
-    "removal — partition each doc into consecutive 3-token spans, keep "
-    "the FIRST occurrence of each distinct span, reassemble (C4 does "
-    "this with three-sentence spans; doc-level dedup like d01/d02 "
-    "cannot see boilerplate repeated INSIDE one document). Entirely "
-    "row-local array HOFs — split, slice, array_distinct (first-"
-    "occurrence order) — one scan, zero shuffles, codegen end to end: "
-    "at 100 TB this is the cheapest possible self-clean pass, "
-    "embarrassingly parallel with no exchange at all.",
-    note="The oracle re-derives first-occurrence order via "
-    "min(position) + rank; Spark's array_distinct preserves "
-    "first-occurrence order by construction. The order check is the "
-    "POSITION-WEIGHTED integer signature sum(rank · hash32(span)) — "
-    "a pure aggregate on both engines, so oracle memory is bounded "
-    "per DOC (never per corpus; the round-4 string_agg reassembly "
-    "OOM'd DuckDB at 100× because its intermediates grew with the "
-    "corpus). Any span substitution or reorder shifts the weighted "
-    "sum w.h.p. int64 bound is per-doc and corpus-size-independent: "
-    "sum ≤ (n_uniq²/2)·2³² — safe through ~8k distinct spans/doc "
-    "(~24k tokens), 40× the corpus's largest doc at ANY scale "
-    "factor.",
-)
-def t17_span_self_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drop repeated 3-token spans within each document, keeping first
-    occurrences; emit span counts + the md5 of the cleaned text."""
-    from ..sources.tables import scale_out
-
-    (docs,) = _ctx(spark, sf_dir, "documents")
-    docs = scale_out(docs)  # row-local HOFs inherit scan parallelism
-    toks = F.regexp_extract_all("text", F.lit(r"[^ ]+"), 0)
-    # sequence(0, -1) would generate a DESCENDING sequence in Spark, so
-    # the zero-token case is guarded to an explicitly empty span list.
-    spans = F.when(F.size("toks") == 0, F.array().cast("array<string>")).otherwise(
-        F.expr(
-            "transform(sequence(0, (size(toks) + 2) div 3 - 1),"
-            " i -> array_join(slice(toks, i * 3 + 1, 3), ' '))"
-        )
-    )
-    d = docs.select("doc_id", toks.alias("toks")).select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        spans.alias("spans"),
-    )
-    # rank·hash32 weighted signature: order-sensitive, pure row-local
-    # arithmetic — no text reassembly on either engine (see note)
-    sig = F.expr(
-        "aggregate(transform(kept, (s, i) ->"
-        " (CAST(i AS BIGINT) + 1L)"
-        " * CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)),"
-        " 0L, (acc, x) -> acc + x)"
-    )
-    kept_len = (
-        F.expr("aggregate(kept, 0L, (acc, s) -> acc + length(s))")
-        + F.greatest(F.size("kept") - 1, F.lit(0)).cast("long")
-    )
-    return d.select(
-        "doc_id",
-        "n_tokens",
-        F.size("spans").cast("long").alias("n_spans"),
-        F.array_distinct("spans").alias("kept"),
-    ).select(
-        "doc_id",
-        "n_tokens",
-        "n_spans",
-        F.size("kept").cast("long").alias("n_uniq_spans"),
-        kept_len.cast("long").alias("kept_len"),
-        sig.cast("long").alias("kept_sig"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# t18: BM25 lexical retrieval scoring
-# ---------------------------------------------------------------------------
-
-#: fixed query terms (present across the synthetic corpus with spread
-#: document frequencies — 'scan' rarer than 'value')
-_BM25_TERMS = ("scan", "join", "window")
-_BM25_K1 = "1.2"
-_BM25_B = "0.75"
-
-
-def _bm25_term_sql(term: str) -> str:
-    """Per-term score: rational idf × saturated tf. Only IEEE
-    +,-,*,/ (each correctly rounded, bit-identical across engines) —
-    no log, so no libm divergence."""
-    return (
-        f"(CAST(st.n_docs - st.df_{term} AS DOUBLE) + 0.5)"
-        f" / (CAST(st.df_{term} AS DOUBLE) + 0.5)"
-        f" * (CAST(tf_{term} AS DOUBLE) * ({_BM25_K1} + 1.0))"
-        f" / (CAST(tf_{term} AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}"
-        f" + {_BM25_B} * (CAST(dl AS DOUBLE) / st.avgdl)))"
-    )
-
-
-@_register(
-    "t18_bm25_topk",
-    f"""
-    WITH tok AS (
-      SELECT doc_id, regexp_extract_all(lower(text), '[^ ]+') AS toks
-      FROM documents),
-    pd AS (
-      SELECT doc_id, len(toks) AS dl,
-             {", ".join(f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}"
-                        for t in _BM25_TERMS)}
-      FROM tok),
-    st AS (
-      SELECT count(*) AS n_docs,
-             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-             {", ".join(f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
-                        for t in _BM25_TERMS)}
-      FROM pd)
-    SELECT pd.doc_id,
-           {" + ".join(f"(CASE WHEN tf_{t} > 0 THEN {_bm25_term_sql(t)}"
-                       f" ELSE 0.0 END)" for t in _BM25_TERMS)} AS bm25
-    FROM pd, st
-    ORDER BY bm25 DESC, pd.doc_id
-    LIMIT 10
-    """,
-    survey="north-star text: BM25 lexical retrieval top-k — the "
-    "classic sparse scorer that pairs with the embedding ANN family "
-    "(s01/s02) for hybrid retrieval. Corpus statistics (N, df per "
-    "term, avgdl) come from ONE aggregate pass reduced to a single "
-    "broadcast row; the score itself is row-local. Uses the rational "
-    "idf (N-df+0.5)/(df+0.5) — the argument of the classical log — so "
-    "the whole score is IEEE +,-,*,/ only: correctly-rounded ops are "
-    "bit-identical across engines where libm log is not. Plan: one "
-    "scan for stats + one scan for scoring + TakeOrdered; at 100 TB "
-    "the stats row broadcasts and scoring stays embarrassingly "
-    "parallel — no shuffle keyed by term ever materializes.",
-    note="Ranking by rational idf is order-equivalent per term to "
-    "log-idf (log is monotone); the summed score differs from classic "
-    "BM25 numerically but is deterministic, which is what the "
-    "tolerance-free hash gate needs.",
-)
-def t18_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 over the documents table for a fixed 3-term query,
-    rational-idf variant (see oracle note)."""
-    from ..sources.tables import scale_out
-
-    (docs,) = _ctx(spark, sf_dir, "documents")
-    docs = scale_out(docs)  # per-doc tf filters are narrow and heavy
-    toks = F.regexp_extract_all(F.lower("text"), F.lit(r"[^ ]+"), 0)
-
-    def _tf(term: str) -> F.Column:
-        # NB: a two-arg lambda would make F.filter pass (element, index)
-        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
-
-    per_doc = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[_tf(t).alias(f"tf_{t}") for t in _BM25_TERMS],
-    )
-    stats = per_doc.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
-            for t in _BM25_TERMS
-        ],
-    )
-    k1, b = 1.2, 0.75
-    scored = per_doc.crossJoin(F.broadcast(stats))
-    score = None
-    for t in _BM25_TERMS:
-        tf = F.col(f"tf_{t}").cast("double")
-        idf = (F.col("n_docs").cast("double") - F.col(f"df_{t}").cast("double") + F.lit(0.5)) / (
-            F.col(f"df_{t}").cast("double") + F.lit(0.5)
-        )
-        denom = tf + F.lit(k1) * (
-            F.lit(1.0)
-            - F.lit(b)
-            + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
-        )
-        # associativity mirrors the oracle exactly: (idf * num) / denom
-        term = F.when(
-            F.col(f"tf_{t}") > 0, idf * (tf * F.lit(k1 + 1.0)) / denom
-        ).otherwise(F.lit(0.0))
-        score = term if score is None else score + term
-    return (
-        scored.select("doc_id", score.alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(10)
-    )
-
 
 # ---------------------------------------------------------------------------
 # a27: mergeable fixed-bin histogram quantile sketch
@@ -801,5 +445,3 @@ def st10_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p95_bin_lo"),
     )
-
-

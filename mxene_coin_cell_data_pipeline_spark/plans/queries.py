@@ -43,6 +43,8 @@ from . import q_api_surface  # noqa: E402,F401
 from . import q_python_integration  # noqa: E402,F401
 from . import q_curation  # noqa: E402,F401
 from . import q_extensions3  # noqa: E402,F401
+from . import q_wave4_codecs  # noqa: E402,F401
+from . import q_wave4_text  # noqa: E402,F401
 from . import q_extensions4  # noqa: E402,F401
 from . import q_extensions5  # noqa: E402,F401
 

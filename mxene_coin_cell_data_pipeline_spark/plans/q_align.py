@@ -9,6 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from ..functions.similarity import (
+    SIGNLSH_BASE_N,
+    SIGNLSH_BASE_PLANES,
+    SIGNLSH_MAX_EXTRA,
+)
 from ..sources.tables import load_table
 from ._registry import QUERIES, _ctx, _dsum6, _fsum6, _register
 
@@ -254,15 +259,33 @@ _SIGNLSH_W = (
 )
 
 
-def _signlsh_oracle(n_planes: int = 8) -> str:
+def _signlsh_planes_sql() -> str:
+    """SQL twin of ``signlsh_adaptive_planes``: integer-threshold CASE
+    ladder picking the plane count from count(*) — both engines derive
+    the identical parameter from the same count (e08's contract)."""
+    rungs = " ".join(
+        f"WHEN n <= {SIGNLSH_BASE_N * 2**k} THEN {SIGNLSH_BASE_PLANES + k}"
+        for k in range(SIGNLSH_MAX_EXTRA)
+    )
+    return f"CASE {rungs} ELSE {SIGNLSH_BASE_PLANES + SIGNLSH_MAX_EXTRA} END"
+
+
+def _signlsh_oracle() -> str:
+    # Compute the MAX-width bit string unconditionally, then take the
+    # count-laddered PREFIX: plane j's bit is independent of the total
+    # plane count, so substr() reproduces the adaptive bucket exactly.
+    max_planes = SIGNLSH_BASE_PLANES + SIGNLSH_MAX_EXTRA
     dots = ",\n             ".join(
-        f"sum(x * {_SIGNLSH_W.format(j=j)}) AS d{j}" for j in range(n_planes)
+        f"sum(x * {_SIGNLSH_W.format(j=j)}) AS d{j}" for j in range(max_planes)
     )
     bits = " || ".join(
-        f"CASE WHEN d{j} >= 0 THEN '1' ELSE '0' END" for j in range(n_planes)
+        f"CASE WHEN d{j} >= 0 THEN '1' ELSE '0' END" for j in range(max_planes)
     )
     return f"""
-    WITH dims AS (
+    WITH params AS (
+      SELECT {_signlsh_planes_sql()} AS planes
+      FROM (SELECT count(*) AS n FROM embeddings)),
+    dims AS (
       SELECT vec_id, u.x, u.dim - 1 AS dim
       FROM embeddings,
            LATERAL (SELECT unnest(embedding::DOUBLE[]) AS x,
@@ -271,7 +294,9 @@ def _signlsh_oracle(n_planes: int = 8) -> str:
       SELECT vec_id,
              {dots}
       FROM dims GROUP BY vec_id),
-    buckets AS (SELECT vec_id, {bits} AS bucket FROM dots)
+    buckets AS (
+      SELECT vec_id, substr({bits}, 1, planes) AS bucket
+      FROM dots, params)
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket
     FROM buckets a JOIN buckets b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -283,7 +308,20 @@ def _signlsh_oracle(n_planes: int = 8) -> str:
     _signlsh_oracle(),
     survey="north-star similarity: sign-random-projection LSH (hyperplane "
     "SimHash buckets from md5-derived deterministic weights) candidate pairs — "
-    "the bucket-join ANN scale path complementing IVF (s02)",
+    "the bucket-join ANN scale path complementing IVF (s02). ADAPTIVE PLANE "
+    "COUNT (e08's density-grid discipline applied to LSH): a fixed plane "
+    "count puts n vectors in a fixed 2^p buckets, so occupancy grows with n "
+    "and pairs grow as n²/2^p — at 100× the 8-plane table emitted ~78M pairs "
+    "and OOM'd the compare. One extra plane per 2× corpus growth past the "
+    "4096-vector base rung keeps occupancy and output degree constant; bit j "
+    "is independent of total width, so the oracle reproduces the adaptive "
+    "bucket as a substr() prefix of the max-width bit string, and both "
+    "engines pick the identical integer plane count from the same count(*) — "
+    "the compare stays tolerance-free",
+    note="At sf<=0.1 (2k vectors) the count sits in the base rung, so "
+    "results are identical to the classic fixed-8-plane form; the ladder "
+    "only bites past 4096 vectors, where fixed-width LSH is the thing that "
+    "does not survive scale.",
 )
 def s03_signlsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import signlsh_candidate_pairs

@@ -553,9 +553,10 @@ def w06_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d07_signlsh_neardup",
     None,  # filled below: s03's candidate SQL + exact cosine refine
     survey="north-star dedup: embedding near-dup at corpus scale — sign-LSH "
-    "bucket-join candidates (s03) refined by exact cosine ≥ threshold; the "
-    "unblocked companion to d04 (candidate volume tracks bucket occupancy, "
-    "not corpus²)",
+    "bucket-join candidates (s03, count-adaptive plane ladder so candidate "
+    "volume stays O(n) at any corpus size) refined by exact cosine ≥ "
+    "threshold; the unblocked companion to d04 (candidate volume tracks "
+    "bucket occupancy, not corpus²)",
 )
 def d07_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import signlsh_near_dup_pairs

@@ -32,8 +32,10 @@ def main() -> int:
     for n in sorted(res):
         d = res[n]
         rows = d.get("rows_spark")
+        sec = d.get("sec")
+        sec_s = f"{sec:.1f}" if isinstance(sec, (int, float)) else "—"
         print(
-            f"| {n} | {d['status']} | {d.get('sec', 0):.1f} | "
+            f"| {n} | {d['status']} | {sec_s} | "
             f"{rows if rows is not None else '—'} |"
         )
     bad = sorted(n for n, d in res.items() if d["status"] != "pass")

@@ -624,8 +624,15 @@ def chunk_dedup(
     word-window here is the same machinery with a deterministic
     splitter. Two shuffles total, both keyed uniformly: one on the
     chunk hash (the global first-occurrence ranking), one on doc_id
-    (reassembly). Emits per-doc audit columns only — length + md5 of
-    the deduplicated text — so the comparison never ships full text.
+    (reassembly). Emits per-doc audit columns only, and every audit
+    column is a PURE BOUNDED AGGREGATE (the t17 discipline):
+    ``dedup_len`` is sum(len(kept chunk)) + n_kept - 1 — numerically
+    identical to the length of the space-joined reassembly, without
+    materializing it — and ``dedup_sig`` is the position-weighted
+    integer signature sum((chunk_idx + 1) · hash32(chunk)) over kept
+    chunks, order/content-sensitive w.h.p. with per-doc-bounded int64
+    state on both engines (the earlier string_agg reassembly grew
+    oracle intermediates with the corpus and OOM'd DuckDB at 100×).
     """
     w = tokenize(F.col(text_col))
     n_chunks = F.ceil(F.size(w) / F.lit(float(chunk_words))).cast("int")
@@ -641,24 +648,28 @@ def chunk_dedup(
     )
     first = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "chunk_idx")
     ranked = ch.withColumn("rn", F.row_number().over(first))
-    kept = F.when(
-        F.col("rn") == 1,
-        F.struct(F.col("chunk_idx").alias("i"), F.col("chunk").alias("c")),
-    )
+    hash32 = F.conv(F.substring(F.md5("chunk"), 1, 8), 16, 10).cast("long")
     agg = ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
-        F.array_join(
-            F.transform(F.sort_array(F.collect_list(kept)), lambda s: s["c"]),
-            " ",
-        ).alias("_new_text"),
+        F.sum(
+            F.when(F.col("rn") == 1, F.length("chunk").cast("long"))
+        ).alias("_kept_chars"),
+        F.sum(
+            F.when(
+                F.col("rn") == 1,
+                (F.col("chunk_idx").cast("long") + 1) * hash32,
+            )
+        ).alias("_sig"),
     )
     return agg.select(
         "doc_id",
         "n_chunks",
         "n_kept",
-        F.when(F.col("n_kept") > 0, F.length("_new_text")).alias("dedup_len"),
-        F.when(F.col("n_kept") > 0, F.md5("_new_text")).alias("dedup_fp"),
+        F.when(
+            F.col("n_kept") > 0, F.col("_kept_chars") + F.col("n_kept") - 1
+        ).cast("long").alias("dedup_len"),
+        F.when(F.col("n_kept") > 0, F.col("_sig")).alias("dedup_sig"),
     )
 
 

@@ -627,20 +627,23 @@ def o09_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_chunks,
            CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
            CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0 THEN
-             length(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
-                               ORDER BY chunk_idx))
+             CAST(sum(CASE WHEN rn = 1 THEN length(chunk) END)
+                  + sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) - 1 AS BIGINT)
            END AS dedup_len,
            CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0 THEN
-             md5(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
-                            ORDER BY chunk_idx))
-           END AS dedup_fp
+             CAST(sum(CASE WHEN rn = 1 THEN
+               (chunk_idx + 1)
+               * ('0x' || substr(md5(chunk), 1, 8))::BIGINT END) AS BIGINT)
+           END AS dedup_sig
     FROM k GROUP BY doc_id
     """,
     survey="north-star dedup: sub-document exact dedup with reassembly "
     "(C4/CCNet paragraph-dedup pattern — chunk, keep the globally first "
     "occurrence of each distinct chunk, rebuild docs from survivors in "
     "order); two uniform shuffles (chunk-hash ranking, doc_id reassembly), "
-    "audit output is length+md5 so full text never crosses the compare",
+    "audit output is bounded per-doc aggregates (derived length + "
+    "position-weighted hash signature) so neither engine materializes "
+    "reassembled text — the t17 bounded-oracle discipline",
 )
 def d10_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See functions.dedup.chunk_dedup (3-word chunks over the

@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -419,18 +421,37 @@ def signlsh_near_dup_pairs(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup at corpus scale: sign-LSH bucket-join
     candidates (``signlsh_candidate_pairs``) refined by exact cosine ≥
     threshold. The unblocked companion to ``embedding_near_dup_pairs``
     (which needs a pre-existing blocking key): candidate volume tracks
-    bucket occupancy — (1 − θ/π)^n_planes collision probability — not
-    corpus², and the refine join fetches vectors for candidates only.
-    Recall is tunable with n_planes (fewer planes = more candidates =
-    higher recall); band-OR multiprobe is the standard extension when
-    one bucket table under-recalls.
+    bucket occupancy — (1 − θ/π)^n_planes per-table collision
+    probability — not corpus², and the refine join fetches vectors for
+    candidates only.
+
+    Recall is SCALE-INDEPENDENT by default: ``n_planes=None`` widens
+    the bucket key with the corpus (constant occupancy), which alone
+    would multiply single-table recall by ~(1 − θ/π) per extra plane
+    — a finder that keeps its output degree constant by missing an
+    ever-larger fraction of true near-dups. ``n_tables=None``
+    compensates with the standard band-OR construction
+    (``signlsh_adaptive_tables``): t independent plane tables, a pair
+    is a candidate if it collides in ANY table, t chosen so OR-recall
+    at cosine ≥ 0.9 never drops below the 8-plane base rung. Total
+    candidate volume stays O(t·n) with t growing ~+1 per 2 extra
+    planes. Pass explicit ``n_planes``/``n_tables`` to pin a classic
+    fixed-geometry form; ``n_vectors`` skips the sizing ``count()``
+    when the caller already knows it.
     """
-    cand = signlsh_candidate_pairs(embeddings, n_planes, id_col, vec_col)
+    cand = signlsh_candidate_pairs(
+        embeddings, n_planes, id_col, vec_col, n_tables=n_tables,
+        n_vectors=n_vectors,
+    )
+    if "bucket" in cand.columns:
+        cand = cand.select("vec_a", "vec_b")
     withv = embeddings.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
@@ -458,7 +479,7 @@ def signlsh_near_dup_pairs(
     )
 
 
-def _hyperplane_weight(seed: int, dim_col: Column) -> Column:
+def _hyperplane_weight(seed: int | str, dim_col: Column) -> Column:
     """Deterministic pseudo-random hyperplane weight in [-1, 1):
     md5("seed|dim") first 8 hex chars → uniform int → scaled. Engine-
     portable (any SQL engine with md5 reproduces it bit-for-bit)."""
@@ -468,6 +489,15 @@ def _hyperplane_weight(seed: int, dim_col: Column) -> Column:
         10,
     ).cast("double")
     return h / F.lit(2147483648.0) - F.lit(1.0)
+
+
+def _plane_seed(table: int, plane: int) -> str:
+    """Seed string for plane ``plane`` of OR-table ``table``. Table 0
+    keeps the historical bare-integer seeds (so its buckets — and every
+    registered oracle built on them — are byte-identical to the
+    single-table form); additional tables draw from a disjoint seed
+    namespace."""
+    return str(plane) if table == 0 else f"t{table}p{plane}"
 
 
 #: sign-LSH adaptive-plane ladder — the e08 density-grid discipline
@@ -499,11 +529,37 @@ def signlsh_adaptive_planes(n_vectors: int) -> int:
     return planes
 
 
+#: Reference collision probability per plane at the recall-contract
+#: similarity (cosine ≥ 0.9): s = 1 − θ/π with θ = acos(0.9). A pair
+#: this similar shares one p-plane bucket with probability s^p.
+_SIGNLSH_REF_S = 1.0 - math.acos(0.9) / math.pi
+SIGNLSH_MAX_TABLES = 16
+
+
+def signlsh_adaptive_tables(n_planes: int) -> int:
+    """Band-OR table count compensating the adaptive width's recall
+    decay: the smallest t with 1 − (1 − s^p)^t ≥ s^8 (the single-table
+    base-rung recall at cosine ≥ 0.9). Each extra plane multiplies
+    single-table recall by ~s ≈ 0.857, so a count-adaptive width alone
+    finds a vanishing fraction of true near-dups as the corpus grows;
+    OR-ing t independent tables restores it while per-table occupancy
+    stays constant — total candidate volume O(t·n), t ≈ +1 per 2
+    planes. Pure integer/driver-side math: both engines derive the
+    identical t from the identical plane count."""
+    base_recall = _SIGNLSH_REF_S**SIGNLSH_BASE_PLANES
+    miss = 1.0 - _SIGNLSH_REF_S**n_planes
+    t = 1
+    while 1.0 - miss**t < base_recall and t < SIGNLSH_MAX_TABLES:
+        t += 1
+    return t
+
+
 def signlsh_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    table: int = 0,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH bucket per vector.
 
@@ -520,7 +576,7 @@ def signlsh_buckets(
     dots = [
         F.sum(
             F.col("x").cast("double")
-            * _hyperplane_weight(j, F.col("dim").cast("string"))
+            * _hyperplane_weight(_plane_seed(table, j), F.col("dim").cast("string"))
         ).alias(f"d{j}")
         for j in range(n_planes)
     ]
@@ -536,27 +592,57 @@ def signlsh_candidate_pairs(
     n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int | None = 1,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing a sign-LSH bucket — the ANN
     candidate generator whose work tracks bucket occupancy, not n².
 
     ``n_planes=None`` (the default) sizes the bucket table adaptively
     from the corpus count (``signlsh_adaptive_planes``): occupancy and
-    output degree stay constant as the corpus grows. Pass an explicit
-    plane count only to pin the classic fixed-width form (exact at any
-    single scale; its pair volume grows as n²/2^planes)."""
+    output degree stay constant as the corpus grows. NOTE the recall
+    tradeoff: each extra adaptive plane multiplies the probability
+    that a truly-similar pair collides by ~(1 − θ/π) (≈0.86 at cosine
+    0.9), so a single adaptive table's recall DECAYS with corpus size
+    — it keeps constant output degree by finding a shrinking fraction
+    of true near-dups. ``n_tables=None`` applies the band-OR
+    compensation (``signlsh_adaptive_tables``): candidates collide in
+    ANY of t independent plane tables, with t sized so recall at
+    cosine ≥ 0.9 stays at the base rung (this is what
+    ``signlsh_near_dup_pairs`` defaults to). ``n_tables=1`` (this
+    function's default) pins the classic single-table form whose
+    output carries the shared ``bucket``; with multiple tables the
+    output is the distinct ``(vec_a, vec_b)`` union. Pass
+    ``n_vectors`` to skip the sizing ``count()`` (a full Spark job
+    over the input, not free) when the caller already knows it."""
     if n_planes is None:
-        # driver-side scalar: one parquet-metadata count picks the
+        # driver-side scalar: one count() job over the input picks the
         # ladder rung (bounded-collect discipline, same as e08's grid).
-        n_planes = signlsh_adaptive_planes(embeddings.count())
-    b = signlsh_buckets(embeddings, n_planes, id_col, vec_col)
-    a_side = b.select(F.col(id_col).alias("vec_a"), "bucket")
-    b_side = b.select(F.col(id_col).alias("vec_b"), "bucket")
-    return (
-        a_side.join(b_side, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "bucket")
-    )
+        # On a bare parquet scan this folds to footer metadata; on a
+        # derived input it is a real job — pass n_vectors to skip it.
+        n_planes = signlsh_adaptive_planes(
+            n_vectors if n_vectors is not None else embeddings.count()
+        )
+    if n_tables is None:
+        n_tables = signlsh_adaptive_tables(n_planes)
+    per_table = []
+    for t in range(n_tables):
+        b = signlsh_buckets(embeddings, n_planes, id_col, vec_col, table=t)
+        a_side = b.select(F.col(id_col).alias("vec_a"), "bucket")
+        b_side = b.select(F.col(id_col).alias("vec_b"), "bucket")
+        per_table.append(
+            a_side.join(b_side, "bucket")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "bucket")
+        )
+    if n_tables == 1:
+        return per_table[0]
+    out = per_table[0]
+    for p in per_table[1:]:
+        out = out.unionByName(p)
+    # a pair colliding in several tables is one candidate — the
+    # distinct is a shuffle over O(t·n) candidate rows, not n².
+    return out.select("vec_a", "vec_b").distinct()
 
 
 def kmeans_lloyd_iteration(

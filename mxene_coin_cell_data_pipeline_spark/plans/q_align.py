@@ -13,6 +13,7 @@ from ..functions.similarity import (
     SIGNLSH_BASE_N,
     SIGNLSH_BASE_PLANES,
     SIGNLSH_MAX_EXTRA,
+    signlsh_adaptive_tables,
 )
 from ..sources.tables import load_table
 from ._registry import QUERIES, _ctx, _dsum6, _fsum6, _register
@@ -300,6 +301,67 @@ def _signlsh_oracle() -> str:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket
     FROM buckets a JOIN buckets b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+
+def _signlsh_tables_sql() -> str:
+    """SQL twin of ``signlsh_adaptive_tables``: the band-OR table count
+    as an integer CASE over the plane count, generated FROM the Python
+    function so the two ladders cannot drift."""
+    rungs = " ".join(
+        f"WHEN {p} THEN {signlsh_adaptive_tables(p)}"
+        for p in range(
+            SIGNLSH_BASE_PLANES, SIGNLSH_BASE_PLANES + SIGNLSH_MAX_EXTRA + 1
+        )
+    )
+    return f"CASE planes {rungs} END"
+
+
+#: weight of plane {j} in OR-table ``tbl`` — table 0 uses the historic
+#: bare-integer seed (bit-compatible with ``_SIGNLSH_W``), table i>0
+#: the disjoint 't{{i}}p{{j}}' namespace (``similarity._plane_seed``).
+_SIGNLSH_WT = (
+    "(('0x' || substr(md5((CASE WHEN tbl = 0 THEN '{j}' "
+    "ELSE 't' || tbl || 'p{j}' END) || '|' || CAST(dim AS VARCHAR)), 1, 8))"
+    "::BIGINT / 2147483648.0 - 1.0)"
+)
+
+
+def _signlsh_multiprobe_candidates_sql() -> str:
+    """Band-OR multiprobe candidate pairs: per OR-table bucket self-
+    join, unioned by colliding in ANY table, distinct pairs. The table
+    count and the count-laddered plane PREFIX both derive from the
+    same count(*) CASE ladders as the Spark side, and table 0's bit
+    string is byte-identical to the single-table oracle's."""
+    max_planes = SIGNLSH_BASE_PLANES + SIGNLSH_MAX_EXTRA
+    dots = ",\n             ".join(
+        f"sum(x * {_SIGNLSH_WT.format(j=j)}) AS d{j}" for j in range(max_planes)
+    )
+    bits = " || ".join(
+        f"CASE WHEN d{j} >= 0 THEN '1' ELSE '0' END" for j in range(max_planes)
+    )
+    return f"""
+    WITH params AS (
+      SELECT planes, {_signlsh_tables_sql()} AS tables
+      FROM (SELECT {_signlsh_planes_sql()} AS planes
+            FROM (SELECT count(*) AS n FROM embeddings))),
+    tbls AS (
+      SELECT unnest(generate_series(0, tables - 1)) AS tbl FROM params),
+    dims AS (
+      SELECT vec_id, u.x, u.dim - 1 AS dim
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding::DOUBLE[]) AS x,
+                           generate_subscripts(embedding, 1) AS dim) u),
+    dots AS (
+      SELECT vec_id, tbl,
+             {dots}
+      FROM dims CROSS JOIN tbls GROUP BY vec_id, tbl),
+    buckets AS (
+      SELECT vec_id, tbl, substr({bits}, 1, planes) AS bucket
+      FROM dots, params)
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a JOIN buckets b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     """
 
 

@@ -274,10 +274,15 @@ def _e08_cell_sql() -> str:
     "squared-euclidean form: +,*,sqrt are IEEE-exact across engines, "
     "sin/cos (haversine) are not — a boundary-membership trap for any "
     "cross-engine spatial comparison",
-    note="At sf<=0.1 the count sits in the base rung (cell=0.1), so "
-    "results are identical to the classic fixed-0.1° form; the ladder "
-    "only bites past 100k points, where fixed-radius semantics are "
-    "the thing that does not survive scale.",
+    note="At sf<=0.1 the count sits in the base rung (cell=0.1), the "
+    "same grid parameters as the classic fixed-0.1° form (not claimed "
+    "bit-identical to the r04/r05 query: the radius predicate is now "
+    "cell*cell = double(0.1)^2, which exceeds the old 0.01 literal by "
+    "2 ulp, so a pair whose squared distance lands in that sliver "
+    "would classify differently — both engines share the new "
+    "predicate, so the compare is unaffected); the ladder only bites "
+    "past 100k points, where fixed-radius semantics are the thing "
+    "that does not survive scale.",
 )
 def e08_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All point pairs within one adaptive cell-width (synthetic

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..sources.tables import load_table
 from ._registry import QUERIES, _ctx, _dsum6, _register
-from .q_align import _signlsh_oracle
+from .q_align import _signlsh_multiprobe_candidates_sql
 
 # =====================================================================
 # Relational completeness: semi/anti/outer joins, grouped HAVING,
@@ -551,12 +551,21 @@ def w06_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "d07_signlsh_neardup",
-    None,  # filled below: s03's candidate SQL + exact cosine refine
+    None,  # filled below: band-OR candidate SQL + exact cosine refine
     survey="north-star dedup: embedding near-dup at corpus scale — sign-LSH "
-    "bucket-join candidates (s03, count-adaptive plane ladder so candidate "
-    "volume stays O(n) at any corpus size) refined by exact cosine ≥ "
-    "threshold; the unblocked companion to d04 (candidate volume tracks "
-    "bucket occupancy, not corpus²)",
+    "bucket-join candidates (count-adaptive plane ladder so candidate volume "
+    "stays O(n) at any corpus size) OR'd over a recall-compensating number "
+    "of independent plane tables (band-OR construction: the adaptive width "
+    "alone multiplies recall by ~0.86 per extra plane, so a single table "
+    "finds a vanishing fraction of true near-dups as the corpus grows; "
+    "signlsh_adaptive_tables sizes t so OR-recall at cos≥0.9 never drops "
+    "below the 8-plane base rung), refined by exact cosine ≥ threshold; the "
+    "unblocked companion to d04 (candidate volume tracks bucket occupancy "
+    "× t, not corpus²)",
+    note="At the base rung (≤4096 vectors: 8 planes → 1 table) the band-OR "
+    "form reduces to the classic single-table candidates, so sf≤0.1 results "
+    "are unchanged; past it, both engines derive the identical (planes, "
+    "tables) pair from the same count(*) integer ladders.",
 )
 def d07_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.similarity import signlsh_near_dup_pairs
@@ -568,7 +577,7 @@ def d07_signlsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["d07_signlsh_neardup"].oracle = f"""
-    WITH cand AS ({_signlsh_oracle()}),
+    WITH cand AS ({_signlsh_multiprobe_candidates_sql()}),
     e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT vec_a, vec_b, cosine FROM (
       SELECT cand.vec_a, cand.vec_b,

@@ -31,22 +31,24 @@ def test_bench_only_twins_run_and_match_sibling_schemas(spark, sf_dir):
         "a28_countmin_freq_xxh",
         "t11_feature_hashing_xxh",
     }
-    # every twin must be timed by the bench loop
-    sibling_cols = {
-        "d06_near_dup_groups_xxh": "d06_near_dup_groups",
-        "a28_countmin_freq_xxh": "a28_countmin_freq",
+    # exact expected column sets per twin — a twin drifting to another
+    # query's shape must FAIL here, so no disjunctions
+    expected_cols = {
+        "d02_minhash_lsh_xxh": {"doc_a", "doc_b", "jaccard"},
+        "d06_near_dup_groups_xxh": set(
+            QUERIES["d06_near_dup_groups"].spark(spark, sf_dir).columns
+        ),
+        "a28_countmin_freq_xxh": {"token", "cms_n", "exact_n"},
+        "t11_feature_hashing_xxh": set(
+            QUERIES["t11_feature_hashing"].spark(spark, sf_dir).columns
+        ),
     }
     for name, fn in twins.items():
         df = fn(spark, sf_dir)
-        rows = df.limit(5).collect()  # executes the plan end-to-end
-        assert rows is not None
-        sib = sibling_cols.get(name)
-        if sib:
-            want = set(QUERIES[sib].spark(spark, sf_dir).columns)
-            # a28's md5 form also emits the guarantee-check columns;
-            # the twin keeps the sketch columns proper
-            assert set(df.columns) <= want or set(df.columns) >= {
-                "token",
-                "cms_n",
-                "exact_n",
-            }
+        # executes the plan end-to-end; sf0.001 corpora are tiny but
+        # never empty for these four (d02's near-dup pairs can be, so
+        # assert only that the count is a well-defined non-negative)
+        assert df.limit(5).count() >= 0
+        got = set(df.columns)
+        want = expected_cols[name]
+        assert got == want, f"{name}: {got} != {want}"

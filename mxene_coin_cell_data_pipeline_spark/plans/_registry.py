@@ -131,75 +131,67 @@ def _fsum6_micro(col) -> F.Column:
 #: text/multimodal heads — every one oracle-backed and green in the
 #: full driver_check sweep. Everything not listed follows in
 #: definition order, so the full registry is always exported.
-#:
-#: Round-6 rotation (VERDICT r05 task 2): the union of the r01-r05
-#: windows driver-verified all 176 registered queries, but 9 queries'
-#: LAST driver verdict is a failure or no_oracle (p01's r01 ANSI
-#: divide-by-zero, since fixed; the r01 window's early red set) — the
-#: driver never revisited them. This window leads with those 9, then
-#: the queries whose float-sum fixes landed AFTER their last window
-#: (the round-5 100x-sweep fixes: q06/a24/a03/w03/w07) plus e08
-#: (adaptive-grid rework this round), then the stalest verdicts
-#: (r01/r02-last), topped up with r03-last entries to fill 50.
+#: Round-7 rotation (VERDICT r06 task 6): every query's latest driver
+#: verdict is green (union of r01-r06 windows = 176/176), so this
+#: window is pure staleness rotation — leads with the three queries
+#: whose plans/oracles CHANGED this round (s03/d07: band-OR multiprobe
+#: sign-LSH; d10: bounded-oracle restatement of the chunk audit), then
+#: all 28 queries whose last driver verdict is r03, topped up with the
+#: stalest r04-last entries to fill 50.
 _DRIVER_PREFIX = [
-    # — the 9 ever-driver-failed queries (red/no_oracle in r01/r02,
-    #   never revisited; all pass tools/driver_check.py today) —
-    "p01_cycler_pipeline",
-    "p02_cycler_features_sql",
-    "p04_ir_sql",
-    "qc01_aggregate_checks",
-    "m02_decode_stub",
-    "st01_stream_window_rollup",
-    "e02_sessionize",
-    "w02_pivot_step_counts",
-    "a11_regr_fade",
-    # — round-5 100x-sweep fixes landed after these queries' last
-    #   driver window; re-verify the fixed plans externally —
-    "q06_forecast_revenue",
-    "a24_grouped_agg_pandas_udf",
-    "a03_guarded_ratio",
-    "w03_rolling_capacity",
-    "w07_unpivot",
-    # — reworked this round: adaptive-density grid replaces the
-    #   input cap (VERDICT r05 task 4) —
-    "e08_spatial_join",
-    # — stalest external verdicts (last seen r01/r02) —
-    "u01_union_slices",
-    "a02_last_non_null",
-    "a04_first_norm",
-    "a06_argmin_nearest",
-    "a07_neighbor_median_delta",
-    "a08_min_subtract",
-    "a10_running_first_shift",
-    "c05_c06_labels",
-    "c07_substring_filter",
-    "c04_c08_casts",
-    "d03_simhash",
-    "s02_ivf_topk",
-    "t02_quality_score",
-    "t03_language_id",
-    "t04_fingerprint",
-    "m01_binary_meta",
-    "m03_frame_sample",
-    "d08_edit_distance_refine",
-    "e01_asof_join",
-    "e04_resample_ffill",
+    # — changed this round (multiprobe LSH oracle; d10 bounded oracle) —
     "s03_signlsh_pairs",
-    # — r03-last fills to hold the window at 50 —
-    "q01_pricing_summary",
-    "q03_top_revenue_orders",
-    "q05_nation_volume",
-    "o03_topk_orders",
-    "w01_rank_per_group",
-    "a05_trapezoid",
-    "d01_exact_dedup",
-    "s01_cosine_topk",
-    "d04_embedding_neardup",
-    "t01_token_stats",
-    "st02_stream_static_join",
-    "p03_dqdv_sql",
-    "t05_tfidf_top_terms",
-    "q07_nation_pair_volume",
+    "d07_signlsh_neardup",
+    "d10_chunk_dedup",
+    # — all 28 queries whose last driver verdict is r03 —
+    "j01_semi_join",
+    "j02_anti_join",
+    "j03_min_per_group",
+    "q18_having",
+    "w04_rollup",
+    "a14_distinct_agg",
+    "s04_knn_join",
+    "a16_stats_agg",
+    "w08_grouping_sets",
+    "j05_correlated_avg",
+    "j06_disjunctive_join",
+    "j07_waiting_supplier",
+    "st04_stream_sessionize",
+    "a17_quantile_2pass",
+    "w09_cube",
+    "j09_group_vs_global",
+    "j10_max_over_agg",
+    "j11_nested_semi",
+    "q10_returned_revenue",
+    "t08_repetition_metrics",
+    "q08_market_share",
+    "q09_product_profit",
+    "q16_supplier_cnt",
+    "st07_stream_stateful_energy",
+    "a21_sliding_median",
+    "j12_nullsafe_join",
+    "st08_stream_incremental_agg",
+    # — stalest r04-last fills to hold the window at 50 —
+    "e03_range_join",
+    "st03_stream_dedup",
+    "t07_winnow_fingerprint",
+    "o06_stratified_sample",
+    "m04_byte_features",
+    "j08_salted_skew_agg",
+    "s05_kmeans_iteration",
+    "st05_stream_stream_join",
+    "c13_variant_shred",
+    "u03_udtf_sentences",
+    "a18_promo_ratio",
+    "a19_priority_counts",
+    "t09_pii_redact",
+    "e05_ewma",
+    "e06_interval_coverage",
+    "o08_weighted_sample",
+    "o09_zorder_layout",
+    "st06_stream_upsert_snapshot",
+    "g01_pagerank",
+    "a20_approx_distinct_bound",
 ]
 
 

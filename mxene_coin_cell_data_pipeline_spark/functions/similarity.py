@@ -625,24 +625,55 @@ def signlsh_candidate_pairs(
         )
     if n_tables is None:
         n_tables = signlsh_adaptive_tables(n_planes)
-    per_table = []
-    for t in range(n_tables):
-        b = signlsh_buckets(embeddings, n_planes, id_col, vec_col, table=t)
+    if n_tables == 1:
+        b = signlsh_buckets(embeddings, n_planes, id_col, vec_col)
         a_side = b.select(F.col(id_col).alias("vec_a"), "bucket")
         b_side = b.select(F.col(id_col).alias("vec_b"), "bucket")
-        per_table.append(
+        return (
             a_side.join(b_side, "bucket")
             .filter(F.col("vec_a") < F.col("vec_b"))
             .select("vec_a", "vec_b", "bucket")
         )
-    if n_tables == 1:
-        return per_table[0]
-    out = per_table[0]
-    for p in per_table[1:]:
-        out = out.unionByName(p)
+    # Fused multi-table build: ALL t·p plane dot products in ONE
+    # posexplode + ONE groupBy over the vectors (t separate
+    # signlsh_buckets calls would scan and shuffle the wide vector
+    # table t times), then one posexplode of the per-vector bucket
+    # array and one self-join keyed (table, bucket) — identical pair
+    # set to t independent bucket joins OR'd, at 1× the build cost.
+    dims = embeddings.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    dots = [
+        F.sum(
+            F.col("x").cast("double")
+            * _hyperplane_weight(_plane_seed(t, j), F.col("dim").cast("string"))
+        ).alias(f"d_{t}_{j}")
+        for t in range(n_tables)
+        for j in range(n_planes)
+    ]
+    agg = dims.groupBy(id_col).agg(*dots)
+    per_table_bits = [
+        F.concat(
+            *[
+                F.when(F.col(f"d_{t}_{j}") >= 0, "1").otherwise("0")
+                for j in range(n_planes)
+            ]
+        )
+        for t in range(n_tables)
+    ]
+    multi = agg.select(
+        id_col, F.posexplode(F.array(*per_table_bits)).alias("tbl", "bucket")
+    )
+    a_side = multi.select(F.col(id_col).alias("vec_a"), "tbl", "bucket")
+    b_side = multi.select(F.col(id_col).alias("vec_b"), "tbl", "bucket")
     # a pair colliding in several tables is one candidate — the
     # distinct is a shuffle over O(t·n) candidate rows, not n².
-    return out.select("vec_a", "vec_b").distinct()
+    return (
+        a_side.join(b_side, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
 
 
 def kmeans_lloyd_iteration(

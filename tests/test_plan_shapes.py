@@ -187,3 +187,30 @@ def test_qc01_no_whole_column_percentile_buffer(spark, sf_dir):
     for line in plan.split("\n"):
         if "min_by" in line:
             assert "key=[]" in line or "keys=[]" in line, line
+
+
+def test_multiprobe_lsh_builds_all_tables_in_one_pass(spark, sf_dir):
+    """The band-OR multiprobe candidate generator must compute ALL
+    t·p plane dot products in ONE posexplode + ONE aggregate over the
+    vectors — t separate bucket builds would scan and shuffle the wide
+    embedding table t times (the 100-TB difference between one pass
+    and five). One Generate for the dims explode plus one for the
+    bucket-array explode; exactly one partial/final HashAggregate pair
+    keyed by vec_id."""
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        signlsh_candidate_pairs,
+    )
+    from mxene_coin_cell_data_pipeline_spark.plans._registry import _ctx
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    cand = signlsh_candidate_pairs(emb, n_planes=8, n_tables=3)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    # one dims explode + one bucket-array explode per join side (the
+    # self-join re-plans the build on each side) — never 3 per side
+    assert plan.count("Generate posexplode") <= 4, plan.count(
+        "Generate posexplode"
+    )
+    # the vec_id aggregate appears once per join side (partial+final
+    # each), not once per OR-table
+    n_agg = len(re.findall(r"HashAggregate \(?keys=\[vec_id", plan))
+    assert n_agg <= 4, n_agg

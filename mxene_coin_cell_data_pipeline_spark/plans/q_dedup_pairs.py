@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.dedup import SIMHASH_BITS
 from ._registry import QUERIES, _ctx, _register
-from .q_northstar import _BAND_SELECTS, _JACCARD_TAIL, _MH_COLS, _SH_CTE
+from .q_northstar import _BAND_SELECTS, _JACCARD_TAIL_CAND, _MH_COLS, _SH_CTE
 
 _D02_PAIRS_SQL = QUERIES["d02_minhash_lsh"].oracle
 
@@ -147,7 +147,7 @@ _D12_CAP = 2  # exercises the star path on sf0.01's m=3 buckets
       UNION ALL
       SELECT mn AS doc_a, doc_id AS doc_b FROM ann
       WHERE m > {_D12_CAP} AND doc_id <> mn)),
-    {_JACCARD_TAIL.lstrip()}
+    {_JACCARD_TAIL_CAND.lstrip()}
     SELECT c.doc_a, c.doc_b,
            i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
     FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b

@@ -70,6 +70,26 @@ inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
           GROUP BY 1, 2)
 """
 
+#: candidate-constrained refine tail for the LSH queries (d02/d12 and
+#: their d08/d14 embeddings): value-identical to _JACCARD_TAIL's
+#: ``inter`` inner-joined to ``cand`` (rows outside cand are discarded
+#: downstream anyway, and a cand pair with zero shared shingles
+#: produces no group either way), but the aggregate's group
+#: cardinality is bounded by |cand| instead of by every co-shingle
+#: document pair — the unconstrained form's hash table is quadratic in
+#: per-shingle document frequency and exceeded DuckDB's 48GB+disk at
+#: 100x on the templated corpus. d05 (exact all-pairs jaccard, no
+#: candidate set) keeps the unconstrained tail: that IS its semantics.
+_JACCARD_TAIL_CAND = """
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b
+                     AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+"""
+
 
 @_register(
     "d01_exact_dedup",
@@ -94,7 +114,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM bands a JOIN bands b ON a.band = b.band
                                        AND a.bucket = b.bucket
                                        AND a.doc_id < b.doc_id),
-    {_JACCARD_TAIL.lstrip()}
+    {_JACCARD_TAIL_CAND.lstrip()}
     SELECT c.doc_a, c.doc_b,
            i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
     FROM cand c JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b

@@ -304,25 +304,33 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
-    """Exact n-gram jaccard dedup without LSH: candidates are all pairs
-    sharing ≥1 shingle (inverted-index join). Exact but heavier than
-    LSH; the scale path caps posting lists via ``max_df``.
+    """Exact n-gram jaccard dedup without LSH, with PREFIX FILTERING
+    (the AllPairs/PPJoin candidate prune — Bayardo et al. WWW'07,
+    Chaudhuri et al. ICDE'06): order every shingle set rarest-first;
+    two sets with jaccard ≥ t MUST share a shingle among each set's
+    first ``n − ceil(t·n) + 1`` entries (pigeonhole: a pair meeting t
+    shares ≥ ceil(t·n) shingles, so it cannot avoid every prefix
+    slot). Only prefixes enter the inverted-index self-join — on a
+    template-heavy corpus the naive all-shingle join's aggregate is
+    quadratic in per-shingle document frequency (the 100× OOM), while
+    prefixes collide mostly on genuinely rare, doc-specific shingles.
+    Candidates then verify with the EXACT jaccard over the full sets,
+    so the output is identical to the unfiltered join at any t (at
+    t=0 the prefix is the whole set and the prune gracefully
+    degenerates to the classic inverted index).
 
-    Plan shape: ONE shingle computation feeding one doc-keyed groupBy
-    into compact ``(doc_id, set, n)`` rows; the inverted index is then
-    re-exploded from those arrays (no regexp re-run) and set sizes ride
-    through the join, so no separate sizes table and no extra joins.
-    ``max_df`` (optional) restricts the whole computation to the
-    shingle universe with document frequency ≤ cap — the stop-shingle
-    guard at scale, where a 250-doc duplicate cluster's shared shingles
-    each contribute O(df²) join pairs. Set sizes and intersections are
-    both computed over the SAME capped universe, so the score is a
-    well-defined jaccard (of stop-filtered shingle sets), not a
-    distorted one; pairs whose every shared shingle is ultra-common are
-    the (intended) recall loss. The capped universe
-    (``DEFAULT_MAX_DF``) is the production default; ``max_df=None``
-    opts out into the fully-exact all-shingle score (the d05 oracle
-    does).
+    Plan shape: one shingle computation → document frequency in one
+    shingle-keyed window → rarest-first rank in one doc-keyed window →
+    prefix self-join → candidate-constrained verify join (groups
+    bounded by |candidates|, never by co-shingle pairs). ``max_df``
+    (optional) additionally restricts the shingle UNIVERSE to document
+    frequency ≤ cap — the stop-shingle guard at scale; set sizes and
+    intersections are both computed over the SAME capped universe, so
+    the score is a well-defined jaccard (of stop-filtered shingle
+    sets). The capped universe (``DEFAULT_MAX_DF``) is the production
+    default; ``max_df=None`` opts out into the fully-exact all-shingle
+    score (the d05 oracle does — prefix filtering keeps even that
+    exact form feasible at 100×).
     """
     sh = shingles(docs, text_col, n)
     doc_sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
@@ -340,15 +348,40 @@ def ngram_jaccard_pairs(
             )
             .drop("_df")
         )
-    a = posting.select(
+    # rarest-first canonical order; ties broken by shingle text so the
+    # rank — and with it the prefix — is deterministic and reproducible
+    # by the SQL oracle (row_number over the identical ORDER BY)
+    ranked = posting.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    ).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "shingle")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("_rn")
+        <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).select("doc_id", "n", "shingle")
+    a = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
     )
-    b = posting.select(
+    b = prefix.select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
     )
-    return (
+    cand = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "n_a", "doc_b", "n_b")
+        .distinct()
+    )
+    # exact verify over the FULL sets, bounded by |cand|: join each
+    # candidate to doc_a's postings, match doc_b's postings per shingle
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
         .select(

@@ -62,24 +62,17 @@ _BAND_SELECTS = "\n      UNION ALL ".join(
     for b in range(DEFAULT_NUM_HASHES // DEFAULT_BAND_SIZE)
 )
 
-_JACCARD_TAIL = """
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-inter AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS n_inter
-          FROM sh sa JOIN sh sb ON sa.shingle = sb.shingle
-                                AND sa.doc_id < sb.doc_id
-          GROUP BY 1, 2)
-"""
-
 #: candidate-constrained refine tail for the LSH queries (d02/d12 and
-#: their d08/d14 embeddings): value-identical to _JACCARD_TAIL's
-#: ``inter`` inner-joined to ``cand`` (rows outside cand are discarded
-#: downstream anyway, and a cand pair with zero shared shingles
-#: produces no group either way), but the aggregate's group
+#: their d08/d14 embeddings): value-identical to an unconstrained
+#: co-shingle ``inter`` inner-joined to ``cand`` (rows outside cand
+#: are discarded downstream anyway, and a cand pair with zero shared
+#: shingles produces no group either way), but the aggregate's group
 #: cardinality is bounded by |cand| instead of by every co-shingle
 #: document pair — the unconstrained form's hash table is quadratic in
 #: per-shingle document frequency and exceeded DuckDB's 48GB+disk at
-#: 100x on the templated corpus. d05 (exact all-pairs jaccard, no
-#: candidate set) keeps the unconstrained tail: that IS its semantics.
+#: 100x on the templated corpus. d05 (exact all-pairs jaccard, no LSH
+#: candidate set) bounds its verify the same way via the AllPairs
+#: prefix-filter candidates — see its registration below.
 _JACCARD_TAIL_CAND = """
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
@@ -168,7 +161,24 @@ QUERIES["d03_simhash"].oracle = f"""
     "d05_ngram_jaccard",
     f"""
     WITH {_SH_CTE},
-    {_JACCARD_TAIL.lstrip()}
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    ord AS (SELECT s.doc_id, s.shingle, z.n,
+                   row_number() OVER (PARTITION BY s.doc_id
+                                      ORDER BY d.df, s.shingle) AS rn
+            FROM sh s JOIN dfreq d USING (shingle)
+                      JOIN sizes z USING (doc_id)),
+    pref AS (SELECT doc_id, shingle FROM ord
+             WHERE rn <= n - ceil(0.8 * n) + 1),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM pref a JOIN pref b ON a.shingle = b.shingle
+                                     AND a.doc_id < b.doc_id),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+                         AND sb.shingle = sa.shingle
+              GROUP BY 1, 2)
     SELECT i.doc_a, i.doc_b,
            i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
     FROM inter i
@@ -176,7 +186,12 @@ QUERIES["d03_simhash"].oracle = f"""
     JOIN sizes nb ON nb.doc_id = i.doc_b
     WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.8
     """,
-    survey="north-star dedup: exact n-gram jaccard via inverted-index join",
+    survey="north-star dedup: exact n-gram jaccard via prefix-filtered "
+    "inverted-index join (AllPairs/PPJoin prune: jaccard ≥ t pairs must "
+    "collide within each set's rarest-first n−ceil(t·n)+1 prefix, so the "
+    "self-join touches prefixes only and the verify join is bounded by "
+    "candidates — output identical to the all-shingle join, which is "
+    "quadratic in per-shingle document frequency and OOMs at 100×)",
 )
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _ctx(spark, sf_dir, "documents")

@@ -177,8 +177,12 @@ def embedding_near_dup_pairs_blas(
     instead of per-pair lambda folds — measured ~5× faster at sf0.1
     and the gap widens with block size. Cosine differs from the SQL
     fold only at ulp level (summation order), far inside the oracle
-    tolerance. Block size bounds worker memory: n·d doubles per block
-    plus the n×n score triangle emitted incrementally.
+    tolerance. The gemm runs in STRIPS (~128 MB of scores at a time):
+    a full n×n score matrix plus triu index arrays is O(n²) worker
+    memory — at the 100× block size (21.8k vectors) that was ~8 GB per
+    group and 32 concurrent groups OOM-killed the workers. Strips
+    bound the peak at strip×n doubles plus the surviving pairs, at
+    identical values (each score is the same single dot product).
     """
     import sys as _sys
 
@@ -197,17 +201,27 @@ def embedding_near_dup_pairs_blas(
         nrm = _np.sqrt((x * x).sum(axis=1))
         nrm[nrm == 0.0] = _np.inf  # zero vectors match nothing
         xn = x / nrm[:, None]
-        s = xn @ xn.T
-        ia, ib = _np.triu_indices(len(ids), k=1)
-        # pre-filter with a margin below threshold: the exact inclusion
-        # decision happens JVM-side on the rounded score, so a gemm-vs-
-        # fold ulp wobble at the threshold cannot flip membership
-        keep = s[ia, ib] >= threshold - 1e-6
+        n = len(ids)
+        # ~16M scores (128 MB) per strip bounds peak worker memory
+        strip = max(1, 16_000_000 // max(n, 1))
+        out_a, out_b, out_s = [], [], []
+        for i0 in range(0, n, strip):
+            s = xn[i0 : i0 + strip] @ xn.T  # (k, n) score strip
+            # pre-filter with a margin below threshold: the exact
+            # inclusion decision happens JVM-side on the rounded score,
+            # so a gemm-vs-fold ulp wobble at the threshold cannot flip
+            # membership
+            rows, cols = _np.nonzero(s >= threshold - 1e-6)
+            keep = cols > rows + i0  # strict upper triangle (a < b)
+            rows, cols = rows[keep], cols[keep]
+            out_a.append(ids[rows + i0])
+            out_b.append(ids[cols])
+            out_s.append(s[rows, cols])
         return _pd.DataFrame(
             {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cosine": s[ia, ib][keep],
+                "vec_a": _np.concatenate(out_a) if out_a else _np.array([], dtype=ids.dtype),
+                "vec_b": _np.concatenate(out_b) if out_b else _np.array([], dtype=ids.dtype),
+                "cosine": _np.concatenate(out_s) if out_s else _np.array([], dtype=_np.float64),
             }
         )
 

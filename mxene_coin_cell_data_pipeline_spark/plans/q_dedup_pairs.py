@@ -133,7 +133,7 @@ _D12_CAP = 2  # exercises the star path on sf0.01's m=3 buckets
     "d12_lsh_star_cap",
     f"""
     WITH {_SH_CTE},
-    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    sig AS MATERIALIZED (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
     ann AS (SELECT doc_id, band, bucket,
                    count(*) OVER (PARTITION BY band, bucket) AS m,

@@ -42,10 +42,16 @@ from ..functions.text import (  # noqa: E402
 
 # shared SQL fragments, generated from the SAME constants as the Spark
 # implementations so the two sides cannot drift
+#: ``sh`` is MATERIALIZED: the queries below reference it many times
+#: (bands inline sig 4x, pair sides double everything), and DuckDB's
+#: default CTE inlining re-evaluates the 4096-wide LATERAL unnest +
+#: 100M-row DISTINCT per reference — ~10 concurrent distinct hash
+#: tables was the 100x disk-spill, not the query semantics.
 _SH_CTE = """
 toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
          FROM documents),
-sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+sh AS MATERIALIZED (
+       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
        FROM toks, range(1, 4096) t(i) WHERE i + 2 <= len(w))
 """
 
@@ -101,7 +107,7 @@ def d01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d02_minhash_lsh",
     f"""
     WITH {_SH_CTE},
-    sig AS (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    sig AS MATERIALIZED (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
     bands AS ({_BAND_SELECTS}),
     cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
              FROM bands a JOIN bands b ON a.band = b.band

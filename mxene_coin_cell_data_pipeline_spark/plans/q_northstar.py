@@ -266,19 +266,46 @@ def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
                AS cosine
       FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id)
-    SELECT vec_a, vec_b, round(cosine, 9) AS cosine
-    FROM scored WHERE round(cosine, 9) >= 0.2
+        ON a.label = b.label AND a.vec_id < b.vec_id),
+    pairs AS (
+      SELECT vec_a, vec_b, round(cosine, 9) AS cosine
+      FROM scored WHERE round(cosine, 9) >= 0.2)
+    SELECT vec_a,
+           count(*) AS n_pairs,
+           CAST(sum(CAST(round(cosine * 1e9) AS BIGINT)) AS BIGINT)
+             AS sum_cos_nanos,
+           max(CAST(round(cosine * 1e9) AS BIGINT)) AS max_cos_nanos,
+           CAST(sum((vec_b * 2654435761) % 2147483647) AS BIGINT)
+             AS partner_sig
+    FROM pairs GROUP BY vec_a
     """,
     survey="north-star dedup: embedding-cosine near-dup (label-blocked pairwise, "
-    "per-block BLAS gemm kernel)",
-    note="threshold 0.2 so the oracle checks ~10k real pairs (0.95 matches "
-    "nothing in the synthetic embeddings — a vacuous pass); the Spark side is "
-    "the applyInPandas matrix-multiply kernel, ulp-equal to the SQL fold.",
+    "per-block BLAS gemm kernel; bounded per-vector audit output)",
+    note="threshold 0.2 so the oracle checks ~10k real pairs at sf0.1 "
+    "(0.95 matches nothing in the synthetic embeddings — a vacuous pass); "
+    "the Spark side is the applyInPandas matrix-multiply kernel, ulp-equal "
+    "to the SQL fold. Audit output is one row per vec_a — pair count, an "
+    "exact int64 checksum of each partner's round(cosine,9) in nanos "
+    "(integer sum, order-independent), the max, and a Knuth-hash partner-id "
+    "signature — so a wrong, missing, or extra pair anywhere flips a row "
+    "while output stays O(n) at any scale (the d10/t17 bounded-oracle "
+    "discipline: the raw pair relation is ~120M rows at 100×, quadratic "
+    "in block size, and collecting it is a harness cost, not a query cost).",
 )
 def d04_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _ctx(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs_blas(emb, threshold=0.2)
+    pairs = embedding_near_dup_pairs_blas(emb, threshold=0.2)
+    # cosine is already round(,9) — ×1e9 is within 1e-7 of an integer,
+    # so round→long is exact and the sums are order-independent int64
+    cos_nanos = F.round(F.col("cosine") * 1e9, 0).cast("long")
+    return pairs.groupBy("vec_a").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(cos_nanos).alias("sum_cos_nanos"),
+        F.max(cos_nanos).alias("max_cos_nanos"),
+        F.sum(
+            (F.col("vec_b") * F.lit(2654435761)) % F.lit(2147483647)
+        ).alias("partner_sig"),
+    )
 
 
 @_register(

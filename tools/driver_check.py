@@ -50,6 +50,11 @@ def driver_like_session(
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", driver_mem)
+        # the default 1g cap kills full-result collects the host can
+        # easily hold (observed: one 100× task's Arrow batch at 1042
+        # MiB) — a verification harness that collects both engines'
+        # full output should be bounded by driver memory, not this
+        .config("spark.driver.maxResultSize", "16g")
         .config("spark.ui.enabled", "false")
     )
     if tz:

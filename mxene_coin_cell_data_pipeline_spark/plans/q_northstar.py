@@ -259,13 +259,18 @@ def s02_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "d04_embedding_neardup",
     f"""
-    WITH scored AS (
+    -- MATERIALIZED pre-cast + per-row norm: the inlined form re-casts
+    -- embedding::DOUBLE[] and folds THREE dot products per pair (2e9
+    -- pairs at 100x); sqrt(list_dot_product(v,v)) per ROW is the same
+    -- double (identical op order), so cosine is bit-identical
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings),
+    scored AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-               / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                  * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-               AS cosine
-      FROM embeddings a JOIN embeddings b
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      FROM e a JOIN e b
         ON a.label = b.label AND a.vec_id < b.vec_id),
     pairs AS (
       SELECT vec_a, vec_b, round(cosine, 9) AS cosine

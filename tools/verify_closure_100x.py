@@ -87,6 +87,18 @@ def main() -> int:
     ap.add_argument("--driver-mem", default="48g")
     ap.add_argument("--duckdb-mem", default="48GB")
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--pairs-engine",
+        action="store_true",
+        help="take the pair relation from the registered pair QUERY's "
+        "Spark side instead of re-running its DuckDB oracle. Valid only "
+        "when that pair query already holds a tolerance-free 100x pass "
+        "(engine == DuckDB on the pair relation, committed in "
+        "SCALING_100x.json): the union-find then verifies the CLOSURE "
+        "step against the same DuckDB-anchored relation without paying "
+        "the pair oracle's O(candidate x shingle) DuckDB aggregate "
+        "again (observed: 77+ GB spill exceeding host disk)",
+    )
     args = ap.parse_args()
 
     from mxene_coin_cell_data_pipeline_spark.plans import queries as Q
@@ -94,24 +106,31 @@ def main() -> int:
     pair_sql = Q.QUERIES[PAIR_SOURCE[args.query]].oracle
     t0 = time.time()
 
-    con = duckdb.connect()
-    con.execute(f"SET memory_limit='{args.duckdb_mem}'")
-    spill = f"/tmp/duckdb_spill_{os.getpid()}"
-    os.makedirs(spill, exist_ok=True)
-    con.execute(f"SET temp_directory='{spill}'")
-    for t in TABLE_NAMES:
-        path = f"{args.sf}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+    spark = driver_like_session(cpus=args.cpus, driver_mem=args.driver_mem)
+    if args.pairs_engine:
+        pairs = (
+            Q.QUERIES[PAIR_SOURCE[args.query]]
+            .spark(spark, args.sf)
+            .toPandas()
         )
-    pairs = con.execute(pair_sql).fetchdf()
+    else:
+        con = duckdb.connect()
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
+        spill = f"/tmp/duckdb_spill_{os.getpid()}"
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
+        for t in TABLE_NAMES:
+            path = f"{args.sf}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+        pairs = con.execute(pair_sql).fetchdf()
     t_pairs = time.time() - t0
     oracle = union_find_groups(pairs)
     t_uf = time.time() - t0 - t_pairs
 
-    spark = driver_like_session(cpus=args.cpus, driver_mem=args.driver_mem)
     sp = Q.QUERIES[args.query].spark(spark, args.sf).toPandas()
     t_engine = time.time() - t0 - t_pairs - t_uf
 
@@ -129,10 +148,17 @@ def main() -> int:
         "sec_union_find": round(t_uf, 2),
         "sec_engine": round(t_engine, 2),
         "note": (
-            "exact union-find closure over the registered pair oracle "
-            f"({PAIR_SOURCE[args.query]} SQL in DuckDB); the registered "
-            "recursive-CTE closure is algorithmically quadratic in "
-            "component size and exceeds DuckDB capacity at 100x"
+            "exact union-find closure over the "
+            + (
+                f"{PAIR_SOURCE[args.query]} ENGINE pair relation (itself "
+                "holding a tolerance-free 100x engine==DuckDB pass in the "
+                "committed record)"
+                if args.pairs_engine
+                else f"registered pair oracle ({PAIR_SOURCE[args.query]} "
+                "SQL in DuckDB)"
+            )
+            + "; the registered recursive-CTE closure is algorithmically "
+            "quadratic in component size and exceeds DuckDB capacity at 100x"
         ),
     }
     print(json.dumps(rec))

@@ -301,7 +301,17 @@ def d04_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (emb,) = _ctx(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs_blas(emb, threshold=0.2)
     # cosine is already round(,9) — ×1e9 is within 1e-7 of an integer,
-    # so round→long is exact and the sums are order-independent int64
+    # so round→long is exact and the sums are order-independent int64.
+    #
+    # partner_sig overflow bound (round-7 ADVICE): vec_b * 2654435761
+    # is evaluated in int64, so it overflows once vec_b exceeds
+    # ~3.46e9 (2^63 / 2654435761) — ANSI sessions would throw there,
+    # non-ANSI ones silently wrap. Max vec_id is ~1e9 even at 100x
+    # (stride 1e7 x sf 100), a 3.4x margin; additive checksums can in
+    # principle cancel compensating errors, which n_pairs /
+    # sum_cos_nanos / max_cos_nanos jointly mitigate. If scale factors
+    # ever grow past ~346x, switch to XOR-folding xxhash64((vec_b,
+    # cos_nanos)) on BOTH sides instead of raising the multiplier.
     cos_nanos = F.round(F.col("cosine") * 1e9, 0).cast("long")
     return pairs.groupBy("vec_a").agg(
         F.count(F.lit(1)).alias("n_pairs"),

@@ -35,6 +35,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mxene_coin_cell_data_pipeline_spark.sources.tables import TABLE_NAMES  # noqa: E402
 
 
+def _max_result_size(driver_mem: str) -> str:
+    """Collect cap derived from the heap: half the driver memory,
+    floored at 1g and capped at 16g. Keeps the cap UNDER the heap so an
+    oversized collect dies with the actionable maxResultSize error, not
+    an opaque JVM OOM (round-7 ADVICE: the old hardcoded 16g exceeded
+    the default 8g heap)."""
+    m = driver_mem.strip().lower()
+    try:
+        if m.endswith("g"):
+            mib = int(float(m[:-1]) * 1024)
+        elif m.endswith("m"):
+            mib = int(float(m[:-1]))
+        else:
+            mib = int(float(m)) // (1024 * 1024)  # raw bytes
+    except ValueError:
+        return "4g"
+    return f"{min(mib, 16 * 1024, max(1024, mib // 2))}m"
+
+
 def driver_like_session(
     cpus: int = 8, tz: str | None = None, driver_mem: str = "8g"
 ):
@@ -53,8 +72,11 @@ def driver_like_session(
         # the default 1g cap kills full-result collects the host can
         # easily hold (observed: one 100× task's Arrow batch at 1042
         # MiB) — a verification harness that collects both engines'
-        # full output should be bounded by driver memory, not this
-        .config("spark.driver.maxResultSize", "16g")
+        # full output should be bounded by driver memory, not this.
+        # Derived from driver_mem (not a fixed 16g): a fixed cap above
+        # driver_mem turns an 8g-heap overflow into an opaque JVM OOM
+        # instead of the clean maxResultSize error the cap exists for.
+        .config("spark.driver.maxResultSize", _max_result_size(driver_mem))
         .config("spark.ui.enabled", "false")
     )
     if tz:

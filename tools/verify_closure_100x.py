@@ -106,13 +106,63 @@ def main() -> int:
     pair_sql = Q.QUERIES[PAIR_SOURCE[args.query]].oracle
     t0 = time.time()
 
-    spark = driver_like_session(cpus=args.cpus, driver_mem=args.driver_mem)
+    # --pairs-engine precondition (round-7 ADVICE): the engine pair
+    # relation is an acceptable union-find input ONLY because the pair
+    # query holds a committed tolerance-free 100x engine==DuckDB pass.
+    # Enforce it: the committed row must say "pass", and the relation
+    # we recompute here must have exactly its committed row count —
+    # otherwise a pair-generation regression would corrupt both the
+    # union-find input and the tested output the same way and still
+    # print "pass".
+    committed = None
     if args.pairs_engine:
+        scaling_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALING_100x.json",
+        )
+        with open(scaling_path) as f:
+            committed = json.load(f).get(PAIR_SOURCE[args.query], {})
+        if committed.get("status") != "pass" or "rows_spark" not in committed:
+            print(
+                json.dumps(
+                    {
+                        "name": args.query,
+                        "status": "precondition_fail",
+                        "note": f"--pairs-engine requires a committed "
+                        f"tolerance-free 100x pass for "
+                        f"{PAIR_SOURCE[args.query]} in SCALING_100x.json; "
+                        f"found status={committed.get('status')!r}",
+                    }
+                )
+            )
+            return 1
+
+    # The Spark session is created lazily, INSIDE each branch — in the
+    # oracle branch only after DuckDB finishes the pair aggregate, so
+    # the JVM heap is not live during the exact path that already runs
+    # at the host's memory/disk-spill limit (round-7 ADVICE).
+    if args.pairs_engine:
+        spark = driver_like_session(cpus=args.cpus, driver_mem=args.driver_mem)
         pairs = (
             Q.QUERIES[PAIR_SOURCE[args.query]]
             .spark(spark, args.sf)
             .toPandas()
         )
+        if len(pairs) != committed["rows_spark"]:
+            print(
+                json.dumps(
+                    {
+                        "name": args.query,
+                        "status": "precondition_fail",
+                        "n_pairs": len(pairs),
+                        "n_pairs_committed": committed["rows_spark"],
+                        "note": "engine pair relation row count diverged "
+                        "from its committed 100x record — pair generation "
+                        "regressed; the union-find input is not anchored",
+                    }
+                )
+            )
+            return 1
     else:
         con = duckdb.connect()
         con.execute(f"SET memory_limit='{args.duckdb_mem}'")
@@ -127,6 +177,8 @@ def main() -> int:
                 f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
         pairs = con.execute(pair_sql).fetchdf()
+        con.close()
+        spark = driver_like_session(cpus=args.cpus, driver_mem=args.driver_mem)
     t_pairs = time.time() - t0
     oracle = union_find_groups(pairs)
     t_uf = time.time() - t0 - t_pairs
@@ -144,6 +196,12 @@ def main() -> int:
         "rows_oracle": len(oracle),
         "schema_match": schema_match,
         "n_pairs": len(pairs),
+        "n_pairs_committed": (
+            committed["rows_spark"] if committed is not None else None
+        ),
+        "pair_source_committed_status": (
+            committed["status"] if committed is not None else None
+        ),
         "sec_pairs_oracle": round(t_pairs, 2),
         "sec_union_find": round(t_uf, 2),
         "sec_engine": round(t_engine, 2),

@@ -132,6 +132,7 @@ def _bench_only() -> dict:
     from pyspark.sql import functions as F
 
     from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        closure_audit,
         minhash_near_dup_pairs,
         near_dup_groups,
     )
@@ -146,7 +147,10 @@ def _bench_only() -> dict:
 
     def d06_xxh(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
-        return near_dup_groups(minhash_near_dup_pairs(docs, threshold=0.8))
+        # same registered audit shape as d06, library-default hashing
+        return closure_audit(
+            near_dup_groups(minhash_near_dup_pairs(docs, threshold=0.8))
+        )
 
     def a28_xxh(spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")

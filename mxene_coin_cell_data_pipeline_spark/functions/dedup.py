@@ -494,6 +494,42 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
+#: Knuth multiplicative hash constant / Mersenne-31 modulus for the
+#: order-independent membership checksums used by the audit shapes.
+_KNUTH = 2654435761
+_MOD31 = 2147483647
+
+
+def closure_audit(groups: DataFrame) -> DataFrame:
+    """Bounded per-group audit of a ``(doc_id, group_id)`` closure
+    relation: one row per group — size, member-id range, and an exact
+    order-independent int64 membership checksum.
+
+    AUDIT-OUTPUT CONTRACT (the d04/d10/t17 bounded-oracle discipline):
+    the RAW per-doc relation from :func:`near_dup_groups` is the API
+    shape users consume; the REGISTERED d06/d14 queries return this
+    aggregate of it, so the verified output stays O(#groups) at any
+    scale while a wrong, missing, or extra member anywhere flips its
+    group's row. ``tests/test_audit_contract.py`` pins that this
+    aggregate reconciles with the raw relation. The three fields
+    mitigate each other: the additive checksum alone could cancel a
+    compensating swap of hash-colliding members across two groups,
+    which n_docs/min/max then catch unless sizes also compensate.
+
+    member_sig mixer: ``((doc_id % 2147483647) * 2654435761) %
+    2147483647`` — bounded below 2^62 for ANY doc_id, so it never
+    overflows int64 under ANSI sessions (unlike raw Knuth
+    multiplication, which overflows past doc_id ~3.4e9).
+    """
+    sig = ((F.col("doc_id") % F.lit(_MOD31)) * F.lit(_KNUTH)) % F.lit(_MOD31)
+    return groups.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.sum(sig).alias("member_sig"),
+    )
+
+
 def edit_distance_refine(
     docs: DataFrame,
     pairs: DataFrame,

@@ -93,6 +93,23 @@ def test_plots_gated_without_matplotlib(spark, tmp_path):
             quick_plots(feat, tmp_path)
 
 
+def test_quick_plots_writes_two_pngs(spark, tmp_path):
+    """S8 CI cover (round-7 VERDICT #8): exercises the REAL plot path
+    wherever matplotlib exists (pipeline.py:245-257 parity — two named
+    PNGs, non-empty); skipped-not-failed in matplotlib-less sandboxes,
+    where test_plots_gated_without_matplotlib pins the gate instead."""
+    pytest.importorskip("matplotlib")
+    feat = spark.createDataFrame(
+        [(1, 2.9, 0.99), (2, 2.8, 0.98)],
+        "cycle_index long, Q_dis_Ah double, CE double",
+    )
+    written = quick_plots(feat, tmp_path)
+    assert [p.name for p in written] == ["plot_capacity.png", "plot_ce.png"]
+    for p in written:
+        data = p.read_bytes()
+        assert data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) > 1000
+
+
 def test_multimodal_decode_plumbing(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "x" * 300)], "doc_id long, text string"

@@ -1,25 +1,28 @@
-"""Exact closure verification for the group queries (d14, d06) at a
-scale where DuckDB's recursive-CTE oracle cannot run.
+"""Independent closure verification for the group queries (d14, d06)
+via an exact Python union-find — now a CROSS-CHECK, not the 100x
+adjudication path.
 
-The registered oracles compute connected components with a recursive
-all-pairs reachability CTE — correct, but its intermediate is
-quadratic in component size. At 100x the synthetic corpus collapses
-into giant near-dup clusters (the d14 engine output covers ~499k of
-500k docs), so the reach relation is ~10^11 rows and DuckDB fills the
-disk with spill. The ENGINE side is bounded (hash-min iteration,
-output = one row per doc); only the oracle ALGORITHM explodes.
-
-This tool verifies the identical semantics with an exact union-find:
+History: through round 7 the registered d06/d14 oracles computed
+connected components with a recursive all-pairs reachability CTE —
+correct, but quadratic in component size (at 100x the corpus
+collapses into ~499k-doc clusters → ~1e11 reach rows, beyond DuckDB
+capacity), so the 100x verdict depended on this tool. Round 8
+restated the registered oracles as unrolled pointer-jumping label
+propagation with LINEAR per-round state plus a convergence
+certificate, and the registered output as bounded per-group audit
+aggregates (see plans/q_dedup_pairs.py:_closure_audit_oracle), so the
+sweep verifies d06/d14 directly. This tool remains as a third,
+algorithm-independent opinion:
 
   1. DuckDB evaluates the registered PAIR oracle (d12's SQL for d14,
      d02's for d06) — same inputs, same SQL the sf0.01 gate trusts.
   2. A Python union-find over those pairs yields, for every doc that
-     appears in a pair, group_id = min(component) — exactly the
-     closure the recursive CTE defines (`least(src, min(dst))` over
-     the symmetric reachability).
-  3. The engine query runs under the driver-faithful session and the
-     two relations compare with driver_check's canon_hash — dtype-
-     faithful, order-insensitive, tolerance-free.
+     appears in a pair, group_id = min(component) — the exact closure.
+  3. That relation is aggregated to the registered audit shape
+     (group size, id range, membership checksum) and compared to the
+     engine query's output under the driver-faithful session with
+     driver_check's canon_hash — dtype-faithful, order-insensitive,
+     tolerance-free.
 
 Usage:
   python tools/verify_closure_100x.py --sf /tmp/sf100x \
@@ -77,6 +80,31 @@ def union_find_groups(pairs: pd.DataFrame) -> pd.DataFrame:
         {"doc_id": list(parent), "group_id": [find(x) for x in parent]}
     )
     return out.astype({"doc_id": "int64", "group_id": "int64"})
+
+
+def closure_audit_pd(groups: pd.DataFrame) -> pd.DataFrame:
+    """Pandas twin of functions/dedup.py:closure_audit — aggregates the
+    raw (doc_id, group_id) relation to the registered audit shape."""
+    g = groups.copy()
+    g["member_sig"] = ((g["doc_id"] % 2147483647) * 2654435761) % 2147483647
+    out = (
+        g.groupby("group_id", as_index=False)
+        .agg(
+            n_docs=("doc_id", "size"),
+            min_doc_id=("doc_id", "min"),
+            max_doc_id=("doc_id", "max"),
+            member_sig=("member_sig", "sum"),
+        )
+    )
+    return out.astype(
+        {
+            "group_id": "int64",
+            "n_docs": "int64",
+            "min_doc_id": "int64",
+            "max_doc_id": "int64",
+            "member_sig": "int64",
+        }
+    )
 
 
 def main() -> int:
@@ -180,7 +208,7 @@ def main() -> int:
         con.close()
         spark = driver_like_session(cpus=args.cpus, driver_mem=args.driver_mem)
     t_pairs = time.time() - t0
-    oracle = union_find_groups(pairs)
+    oracle = closure_audit_pd(union_find_groups(pairs))
     t_uf = time.time() - t0 - t_pairs
 
     sp = Q.QUERIES[args.query].spark(spark, args.sf).toPandas()
@@ -215,8 +243,10 @@ def main() -> int:
                 else f"registered pair oracle ({PAIR_SOURCE[args.query]} "
                 "SQL in DuckDB)"
             )
-            + "; the registered recursive-CTE closure is algorithmically "
-            "quadratic in component size and exceeds DuckDB capacity at 100x"
+            + ", aggregated to the registered per-group audit shape; "
+            "algorithm-independent cross-check of the registered "
+            "label-propagation oracle (which is in-sweep capable since "
+            "round 8)"
         ),
     }
     print(json.dumps(rec))

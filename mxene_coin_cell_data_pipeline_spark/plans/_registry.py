@@ -133,65 +133,67 @@ def _fsum6_micro(col) -> F.Column:
 #: definition order, so the full registry is always exported.
 #: Round-7 rotation (VERDICT r06 task 6): every query's latest driver
 #: verdict is green (union of r01-r06 windows = 176/176), so this
-#: window is pure staleness rotation — leads with the three queries
-#: whose plans/oracles CHANGED this round (s03/d07: band-OR multiprobe
-#: sign-LSH; d10: bounded-oracle restatement of the chunk audit), then
-#: all 28 queries whose last driver verdict is r03, topped up with the
-#: stalest r04-last entries to fill 50.
+#: window is pure staleness rotation — leads with the two queries
+#: whose registered output AND oracle changed this round (d06/d14:
+#: bounded closure-audit restatement with the linear-state label-
+#: propagation oracle), then all 27 queries whose last driver verdict
+#: is r04 (including d05, whose prefix-filter oracle the r07 judge
+#: re-verified but whose last DRIVER verdict is r04), topped up with
+#: the stalest r05-last entries to fill 50.
 _DRIVER_PREFIX = [
-    # — changed this round (multiprobe LSH oracle; d10 bounded oracle) —
-    "s03_signlsh_pairs",
-    "d07_signlsh_neardup",
-    "d10_chunk_dedup",
-    # — all 28 queries whose last driver verdict is r03 —
-    "j01_semi_join",
-    "j02_anti_join",
-    "j03_min_per_group",
-    "q18_having",
-    "w04_rollup",
-    "a14_distinct_agg",
-    "s04_knn_join",
-    "a16_stats_agg",
-    "w08_grouping_sets",
-    "j05_correlated_avg",
-    "j06_disjunctive_join",
-    "j07_waiting_supplier",
-    "st04_stream_sessionize",
-    "a17_quantile_2pass",
-    "w09_cube",
-    "j09_group_vs_global",
-    "j10_max_over_agg",
-    "j11_nested_semi",
-    "q10_returned_revenue",
-    "t08_repetition_metrics",
-    "q08_market_share",
-    "q09_product_profit",
-    "q16_supplier_cnt",
-    "st07_stream_stateful_energy",
-    "a21_sliding_median",
-    "j12_nullsafe_join",
-    "st08_stream_incremental_agg",
-    # — stalest r04-last fills to hold the window at 50 —
-    "e03_range_join",
-    "st03_stream_dedup",
-    "t07_winnow_fingerprint",
-    "o06_stratified_sample",
-    "m04_byte_features",
-    "j08_salted_skew_agg",
-    "s05_kmeans_iteration",
-    "st05_stream_stream_join",
-    "c13_variant_shred",
-    "u03_udtf_sentences",
-    "a18_promo_ratio",
-    "a19_priority_counts",
-    "t09_pii_redact",
-    "e05_ewma",
-    "e06_interval_coverage",
-    "o08_weighted_sample",
-    "o09_zorder_layout",
-    "st06_stream_upsert_snapshot",
-    "g01_pagerank",
-    "a20_approx_distinct_bound",
+    # — oracles restated this round (closure audit aggregates) —
+    "d06_near_dup_groups",
+    "d14_star_cap_groups",
+    # — all 27 queries whose last driver verdict is r04 —
+    "o10_table_profile",
+    "e07_funnel",
+    "o11_compaction_bins",
+    "d11_url_dedup",
+    "t10_unigram_logprob",
+    "c14_calendar_rollup",
+    "w10_navigation_functions",
+    "src01_jsonl_roundtrip",
+    "src02_csv_fallback",
+    "c15_map_column_ops",
+    "u04_bag_set_ops",
+    "e09_running_distinct",
+    "o12_cohort_retention",
+    "s06_label_centroids",
+    "e10_twap",
+    "e11_ohlc_bars",
+    "o14_gaps_islands",
+    "e12_asof_forward",
+    "e13_interarrival_histogram",
+    "t11_feature_hashing",
+    "u05_bag_counts_derived",
+    "a23_scalar_pandas_udf",
+    "src03_python_datasource",
+    "a25_approx_percentile_bound",
+    "j13_param_grid",
+    "t12_explode_outer",
+    "t13_curation_funnel",
+    # — stalest r05-last fills to hold the window at 50 —
+    "d02_minhash_lsh",
+    "d05_ngram_jaccard",
+    "m05_ppm_decode",
+    "d09_simhash_hamming",
+    "d12_lsh_star_cap",
+    "d13_simhash_star_cap",
+    "j04_outer_custdist",
+    "u02_intersect_except",
+    "w05_ntile_cume",
+    "c12_json_extract",
+    "t06_top_bigrams",
+    "o05_hash_split",
+    "w06_range_frame",
+    "a15_listagg",
+    "a13_percentiles",
+    "o07_latest_by_key",
+    "a26_hll_sketch_merge",
+    "o13_winsorize",
+    "a22_zscore",
+    "d15_decontaminate",
+    "o15_sequence_pack",
 ]
 
 

@@ -156,11 +156,43 @@ def main() -> int:
         "session; raise for solo large-scale sweeps (100x d06's closure "
         "aggregate needs headroom a contended 8g heap doesn't have)",
     )
+    ap.add_argument(
+        "--stop-spark-before-oracle",
+        action="store_true",
+        help="single-query runs only: stop the Spark session (freeing "
+        "the full JVM RSS) after the engine result is collected, before "
+        "DuckDB evaluates the oracle. The r08 d05 100x attempt was "
+        "kernel-OOM-killed in exactly this window: an 80GB DuckDB "
+        "aggregate alongside a ~53GB idle-but-resident JVM exceeds the "
+        "host; heavy solo sweeps should never pay for both at once",
+    )
+    ap.add_argument(
+        "--save-engine",
+        default="",
+        metavar="DIR",
+        help="two-phase mode, phase 1: write each engine result to "
+        "DIR/<name>.parquet and SKIP the oracle (status engine_saved). "
+        "For queries whose engine+oracle runtimes cannot share one "
+        "window (d05 at 100x: engine alone is ~3.3h on 32 cores), run "
+        "phase 1, then phase 2 with --engine-from on an idle host",
+    )
+    ap.add_argument(
+        "--engine-from",
+        default="",
+        metavar="DIR",
+        help="two-phase mode, phase 2: load engine results from "
+        "DIR/<name>.parquet instead of running Spark (no JVM is started "
+        "at all — DuckDB gets the whole host), evaluate the oracle and "
+        "compare as usual. Parquet roundtrips pandas dtypes, so "
+        "canon_hash sees exactly what phase 1 collected",
+    )
     args = ap.parse_args()
 
-    spark = driver_like_session(
-        cpus=args.cpus, tz=args.tz, driver_mem=args.driver_mem
-    )
+    spark = None
+    if not args.engine_from:
+        spark = driver_like_session(
+            cpus=args.cpus, tz=args.tz, driver_mem=args.driver_mem
+        )
     from mxene_coin_cell_data_pipeline_spark.plans import oracle_sqls, query_fns
 
     fns, sqls = query_fns(), oracle_sqls()
@@ -198,12 +230,27 @@ def main() -> int:
         t0 = time.time()
         row: dict = {"sec": None}
         try:
-            sp = fns[name](spark, args.sf).toPandas()
+            if args.engine_from:
+                sp = pd.read_parquet(
+                    os.path.join(args.engine_from, f"{name}.parquet")
+                )
+            else:
+                sp = fns[name](spark, args.sf).toPandas()
             row["rows_spark"] = len(sp)
-            if name not in sqls:
+            if args.save_engine:
+                os.makedirs(args.save_engine, exist_ok=True)
+                sp.to_parquet(
+                    os.path.join(args.save_engine, f"{name}.parquet"),
+                    index=False,
+                )
+                row["status"] = "engine_saved"
+                n_noorc += 1
+            elif name not in sqls:
                 row["status"] = "no_oracle"
                 n_noorc += 1
             else:
+                if args.stop_spark_before_oracle and len(names) == 1 and spark:
+                    spark.stop()
                 du = con.execute(sqls[name]).fetchdf()
                 row["rows_oracle"] = len(du)
                 row["schema_match"] = sorted(sp.columns) == sorted(du.columns)
@@ -226,9 +273,14 @@ def main() -> int:
             n_crash += 1
         row["sec"] = round(time.time() - t0, 2)
         report[name] = row
-        flag = {"pass": ".", "no_oracle": "o", "hash_fail": "F", "schema_fail": "S", "crash": "X"}[
-            row["status"]
-        ]
+        flag = {
+            "pass": ".",
+            "no_oracle": "o",
+            "engine_saved": "e",
+            "hash_fail": "F",
+            "schema_fail": "S",
+            "crash": "X",
+        }[row["status"]]
         print(f"{flag} {name:34s} {row['sec']:6.2f}s {row.get('detail','')[:140]}", flush=True)
         if args.out:
             # write INCREMENTALLY: a timeout/OOM-kill mid-run must not

@@ -23,6 +23,41 @@ from .q_northstar import _BAND_SELECTS, _JACCARD_TAIL_CAND, _MH_COLS, _SH_CTE
 
 _D02_PAIRS_SQL = QUERIES["d02_minhash_lsh"].oracle
 
+#: d02's pair RELATION re-derived with a row-local list-intersection
+#: verify instead of the co-shingle join + aggregate. Same toks/sh/
+#: sig/bands/cand candidate generation (the fragments d12's oracle
+#: composes), but the verify joins each candidate to two ordered
+#: shingle LISTS and tests 5*|A∩B| >= 4*(|A|+|B|-|A∩B|) — integer
+#: arithmetic exactly equivalent to jaccard >= 0.8 (both sides
+#: integers; a ratio of exactly 4/5 rounds to the double 0.8 and
+#: passes the float form too, and any other ratio differs from 4/5 by
+#: >= 1/(5*union), far beyond double rounding). Why it exists: d02's
+#: registered inter aggregate expands candidates x shingles (~5e9 rows
+#: at 100x) through a grouped hash table — the r08 d06 oracle run
+#: filled the host's remaining ~75GB of spill disk inside that
+#: aggregate. The list form streams one row per candidate against a
+#: ~0.5GB build side with NO aggregate state, so the closure oracle
+#: is in-sweep capable at 100x. Relation-equality to the registered
+#: d02 SQL is pinned by tests/test_audit_contract.py at the test SF
+#: and was verified at sf0.01+sf0.1 when landed.
+_D02_PAIRS_LIST_SQL = f"""
+    WITH {_SH_CTE},
+    sig AS MATERIALIZED (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b ON a.band = b.band
+                                       AND a.bucket = b.bucket
+                                       AND a.doc_id < b.doc_id),
+    sets AS MATERIALIZED (
+      SELECT doc_id, list(shingle ORDER BY shingle) AS s, count(*) AS n
+      FROM sh GROUP BY doc_id)
+    SELECT c.doc_a, c.doc_b
+    FROM cand c JOIN sets a ON a.doc_id = c.doc_a
+                JOIN sets b ON b.doc_id = c.doc_b
+    WHERE 5 * len(list_intersect(a.s, b.s))
+          >= 4 * (a.n + b.n - len(list_intersect(a.s, b.s)))
+    """
+
 
 def _closure_audit_oracle(pair_sql: str, rounds: int = 24) -> str:
     """DuckDB closure-audit oracle with LINEAR state: ``rounds``
@@ -98,7 +133,7 @@ def _closure_audit_oracle(pair_sql: str, rounds: int = 24) -> str:
 
 @_register(
     "d06_near_dup_groups",
-    _closure_audit_oracle(_D02_PAIRS_SQL),
+    _closure_audit_oracle(_D02_PAIRS_LIST_SQL),
     survey="north-star dedup: transitive closure of near-dup pairs into keeper "
     "groups (distributed hash-min label propagation vs unrolled pointer-"
     "jumping label propagation in SQL), registered as bounded per-group "

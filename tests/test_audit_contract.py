@@ -80,6 +80,33 @@ def test_closure_audit_reconciles_with_raw_groups(spark, sf_dir, bucket_cap):
         assert n >= 2, "singleton docs never appear in a pair closure"
 
 
+def test_d06_list_verify_pair_sql_matches_registered_d02(sf_dir):
+    """d06's closure oracle derives its pair relation with a row-local
+    list-intersection verify (in-sweep capable at 100x); it must define
+    EXACTLY the registered d02 relation (also verified at sf0.01 and
+    sf0.1 when landed — this pins it at the test SF forever)."""
+    import duckdb
+
+    from mxene_coin_cell_data_pipeline_spark.plans import (
+        QUERIES,
+        q_dedup_pairs as qd,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    a = con.execute(
+        f"SELECT doc_a, doc_b FROM ({QUERIES['d02_minhash_lsh'].oracle}) "
+        "ORDER BY 1, 2"
+    ).fetchall()
+    b = con.execute(
+        f"SELECT doc_a, doc_b FROM ({qd._D02_PAIRS_LIST_SQL}) ORDER BY 1, 2"
+    ).fetchall()
+    assert a == b and len(a) > 0
+
+
 # --------------------------------------------------------------------- d04
 def test_d04_audit_reconciles_with_raw_pairs(spark, sf_dir):
     from mxene_coin_cell_data_pipeline_spark.functions.similarity import (

@@ -319,19 +319,45 @@ def ngram_jaccard_pairs(
     t=0 the prefix is the whole set and the prune gracefully
     degenerates to the classic inverted index).
 
+    Three further EXACT prunes keep the candidate set bounded on
+    template-heavy corpora, where even prefixes stay common (measured
+    at 100×: 5.6M prefix postings over 12,978 distinct shingles, max
+    prefix df 891 → 1.21e9 distinct unfiltered candidates):
+
+    - **length filter** (AllPairs): jaccard = |∩|/|∪| ≤ min(nₐ,n_b) /
+      max(nₐ,n_b), so J ≥ t needs min ≥ ceil(t·max) — applied inside
+      the prefix join before the distinct.
+    - **positional filter** (PPJoin): J ≥ t ⟺ |∩| ≥ ceil(t/(1+t) ·
+      (nₐ+n_b)); for the FIRST colliding prefix slot (ranks rₐ, r_b in
+      the shared rarest-first canonical order) no earlier element
+      matched, so |∩| ≤ min(nₐ−rₐ, n_b−r_b) + 1. Filtering collision
+      ROWS then taking DISTINCT pairs is sound: a qualifying pair's
+      first collision always survives the bound.
+    - **row-local verify**: candidates score via ``array_intersect``
+      over per-doc shingle arrays (broadcast: |docs| rows regardless
+      of corpus bytes) instead of the candidate×postings co-shingle
+      aggregate — that aggregate's hash state is O(|cand|) groups fed
+      by O(|cand|·set) rows (~6e10 at 100×, the 3h20m / OOM wall),
+      while the array form streams candidates through two broadcast
+      hash joins with per-row O(set) work and NO aggregate. (Beyond
+      broadcast reach — corpora ≫ 10M distinct docs — swap the hint
+      for two sort-merge joins and accept the array shuffle; at that
+      scale the LSH family (d02/d12) is the production path anyway.)
+
     Plan shape: one shingle computation → document frequency in one
     shingle-keyed window → rarest-first rank in one doc-keyed window →
-    prefix self-join → candidate-constrained verify join (groups
-    bounded by |candidates|, never by co-shingle pairs). ``max_df``
-    (optional) additionally restricts the shingle UNIVERSE to document
-    frequency ≤ cap — the stop-shingle guard at scale; set sizes and
-    intersections are both computed over the SAME capped universe, so
-    the score is a well-defined jaccard (of stop-filtered shingle
-    sets). The capped universe (``DEFAULT_MAX_DF``) is the production
-    default; ``max_df=None`` opts out into the fully-exact all-shingle
-    score (the d05 oracle does — prefix filtering keeps even that
-    exact form feasible at 100×).
+    length+position-filtered prefix self-join → distinct → broadcast
+    array-intersect verify. ``max_df`` (optional) additionally
+    restricts the shingle UNIVERSE to document frequency ≤ cap — the
+    stop-shingle guard at scale; set sizes and intersections are both
+    computed over the SAME capped universe, so the score is a
+    well-defined jaccard (of stop-filtered shingle sets). The capped
+    universe (``DEFAULT_MAX_DF``) is the production default;
+    ``max_df=None`` opts out into the fully-exact all-shingle score
+    (the d05 oracle does — the filters keep even that exact form
+    feasible at 100×).
     """
+    t = float(threshold)
     sh = shingles(docs, text_col, n)
     doc_sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
     posting = doc_sets.select(
@@ -348,6 +374,10 @@ def ngram_jaccard_pairs(
             )
             .drop("_df")
         )
+        # sets over the SAME capped universe as the postings
+        doc_sets = posting.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("_set")
+        )
     # rarest-first canonical order; ties broken by shingle text so the
     # rank — and with it the prefix — is deterministic and reproducible
     # by the SQL oracle (row_number over the identical ORDER BY)
@@ -360,30 +390,53 @@ def ngram_jaccard_pairs(
         ),
     )
     prefix = ranked.filter(
-        F.col("_rn")
-        <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
-    ).select("doc_id", "n", "shingle")
+        F.col("_rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+    ).select("doc_id", "n", "_rn", "shingle")
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "shingle"
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.col("_rn").alias("rn_a"),
+        "shingle",
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "shingle"
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.col("_rn").alias("rn_b"),
+        "shingle",
     )
     cand = (
         a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # length filter: min(n_a,n_b) >= ceil(t*max(n_a,n_b))
+            & (F.col("n_b") >= F.ceil(F.lit(t) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(t) * F.col("n_b")))
+            # positional filter: suffix past the first collision must
+            # still be able to reach the required overlap
+            & (
+                F.least(
+                    F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b")
+                )
+                + 1
+                >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")))
+            )
+        )
         .select("doc_a", "n_a", "doc_b", "n_b")
         .distinct()
     )
-    # exact verify over the FULL sets, bounded by |cand|: join each
-    # candidate to doc_a's postings, match doc_b's postings per shingle
-    pa = posting.select(F.col("doc_id").alias("doc_a"), "shingle")
-    pb = posting.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # exact row-local verify over the FULL sets: two broadcast joins to
+    # the per-doc arrays, |A∩B| computed per candidate row — no
+    # aggregate, state bounded by |docs| not |cand|
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb")
+    )
     return (
-        cand.join(pa, "doc_a")
-        .join(pb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
         .select(
             "doc_a",
             "doc_b",

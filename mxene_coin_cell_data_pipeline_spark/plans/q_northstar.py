@@ -168,36 +168,41 @@ QUERIES["d03_simhash"].oracle = f"""
     f"""
     WITH {_SH_CTE},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    dsets AS MATERIALIZED (SELECT doc_id, list(shingle ORDER BY shingle) AS ss
+                           FROM sh GROUP BY doc_id),
     dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
     ord AS (SELECT s.doc_id, s.shingle, z.n,
                    row_number() OVER (PARTITION BY s.doc_id
                                       ORDER BY d.df, s.shingle) AS rn
             FROM sh s JOIN dfreq d USING (shingle)
                       JOIN sizes z USING (doc_id)),
-    pref AS (SELECT doc_id, shingle FROM ord
+    pref AS (SELECT doc_id, n, rn, shingle FROM ord
              WHERE rn <= n - ceil(0.8 * n) + 1),
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.n AS n_a,
+                             b.doc_id AS doc_b, b.n AS n_b
              FROM pref a JOIN pref b ON a.shingle = b.shingle
-                                     AND a.doc_id < b.doc_id),
-    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.doc_a
-              JOIN sh sb ON sb.doc_id = c.doc_b
-                         AND sb.shingle = sa.shingle
-              GROUP BY 1, 2)
-    SELECT i.doc_a, i.doc_b,
-           i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) AS jaccard
-    FROM inter i
-    JOIN sizes na ON na.doc_id = i.doc_a
-    JOIN sizes nb ON nb.doc_id = i.doc_b
-    WHERE i.n_inter * 1.0 / (na.n + nb.n - i.n_inter) >= 0.8
+                                     AND a.doc_id < b.doc_id
+             WHERE b.n >= ceil(0.8 * a.n)
+               AND a.n >= ceil(0.8 * b.n)
+               AND least(a.n - a.rn, b.n - b.rn) + 1
+                   >= ceil((0.8 / 1.8) * (a.n + b.n))),
+    scored AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
+                      len(list_intersect(sa.ss, sb.ss)) AS n_inter
+               FROM cand c
+               JOIN dsets sa ON sa.doc_id = c.doc_a
+               JOIN dsets sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b,
+           n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
+    FROM scored
+    WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= 0.8
     """,
     survey="north-star dedup: exact n-gram jaccard via prefix-filtered "
     "inverted-index join (AllPairs/PPJoin prune: jaccard ≥ t pairs must "
-    "collide within each set's rarest-first n−ceil(t·n)+1 prefix, so the "
-    "self-join touches prefixes only and the verify join is bounded by "
-    "candidates — output identical to the all-shingle join, which is "
-    "quadratic in per-shingle document frequency and OOMs at 100×)",
+    "collide within each set's rarest-first n−ceil(t·n)+1 prefix, plus the "
+    "exact length and positional filters; candidates verify with a "
+    "row-local list-intersection over per-doc shingle arrays — output "
+    "identical to the all-shingle join, which is quadratic in per-shingle "
+    "document frequency and OOMs at 100×)",
 )
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _ctx(spark, sf_dir, "documents")

@@ -168,8 +168,6 @@ QUERIES["d03_simhash"].oracle = f"""
     f"""
     WITH {_SH_CTE},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    dsets AS MATERIALIZED (SELECT doc_id, list(shingle ORDER BY shingle) AS ss
-                           FROM sh GROUP BY doc_id),
     dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
     ord AS (SELECT s.doc_id, s.shingle, z.n,
                    row_number() OVER (PARTITION BY s.doc_id
@@ -186,23 +184,27 @@ QUERIES["d03_simhash"].oracle = f"""
                AND a.n >= ceil(0.8 * b.n)
                AND least(a.n - a.rn, b.n - b.rn) + 1
                    >= ceil((0.8 / 1.8) * (a.n + b.n))),
-    scored AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b,
-                      len(list_intersect(sa.ss, sb.ss)) AS n_inter
-               FROM cand c
-               JOIN dsets sa ON sa.doc_id = c.doc_a
-               JOIN dsets sb ON sb.doc_id = c.doc_b)
+    inter AS (SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, count(*) AS n_inter
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+                         AND sb.shingle = sa.shingle
+              GROUP BY 1, 2, 3, 4)
     SELECT doc_a, doc_b,
            n_inter * 1.0 / (n_a + n_b - n_inter) AS jaccard
-    FROM scored
+    FROM inter
     WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= 0.8
     """,
     survey="north-star dedup: exact n-gram jaccard via prefix-filtered "
     "inverted-index join (AllPairs/PPJoin prune: jaccard ≥ t pairs must "
     "collide within each set's rarest-first n−ceil(t·n)+1 prefix, plus the "
-    "exact length and positional filters; candidates verify with a "
-    "row-local list-intersection over per-doc shingle arrays — output "
-    "identical to the all-shingle join, which is quadratic in per-shingle "
-    "document frequency and OOMs at 100×)",
+    "exact length and positional filters — output identical to the "
+    "all-shingle join, which is quadratic in per-shingle document "
+    "frequency and OOMs at 100×; the filters cut 100× candidates 1.21e9 → "
+    "1.29e8, so the candidate-bounded verify aggregate's state is ~129M "
+    "groups — in-memory on both engines, where a per-candidate "
+    "list-intersection join was measured to materialize list columns past "
+    "host RAM in the oracle)",
 )
 def d05_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _ctx(spark, sf_dir, "documents")

@@ -186,6 +186,19 @@ def main() -> int:
         "compare as usual. Parquet roundtrips pandas dtypes, so "
         "canon_hash sees exactly what phase 1 collected",
     )
+    ap.add_argument(
+        "--duckdb-disable-optimizers",
+        default="",
+        metavar="LIST",
+        help="comma list for DuckDB's SET disabled_optimizers — an "
+        "execution-strategy knob, not a semantics change. Pass "
+        "'join_order' for heavy 100x oracles: DuckDB estimates EC=0 "
+        "after expression filters/DISTINCT, then builds hash joins on "
+        "the multi-billion-row intermediate instead of the small "
+        "dimension side (measured on d05: 280GB projected build -> "
+        "55GB+ spill -> disk exhaustion; with syntactic join order the "
+        "same oracle finishes in 174s with <15GB state)",
+    )
     args = ap.parse_args()
 
     spark = None
@@ -213,6 +226,10 @@ def main() -> int:
         import shutil
 
         atexit.register(shutil.rmtree, spill, ignore_errors=True)
+    if args.duckdb_disable_optimizers:
+        con.execute(
+            f"SET disabled_optimizers='{args.duckdb_disable_optimizers}'"
+        )
     for t in TABLE_NAMES:
         # driver data is a single file <t>.parquet; Spark-written tables
         # (tools/gen_10x.py, sources/layout.py) are DIRECTORIES of

@@ -131,17 +131,18 @@ def _fsum6_micro(col) -> F.Column:
 #: text/multimodal heads — every one oracle-backed and green in the
 #: full driver_check sweep. Everything not listed follows in
 #: definition order, so the full registry is always exported.
-#: Round-7 rotation (VERDICT r06 task 6): every query's latest driver
-#: verdict is green (union of r01-r06 windows = 176/176), so this
-#: window is pure staleness rotation — leads with the two queries
-#: whose registered output AND oracle changed this round (d06/d14:
-#: bounded closure-audit restatement with the linear-state label-
-#: propagation oracle), then all 27 queries whose last driver verdict
-#: is r04 (including d05, whose prefix-filter oracle the r07 judge
-#: re-verified but whose last DRIVER verdict is r04), topped up with
-#: the stalest r05-last entries to fill 50.
+#: Round-8 rotation (VERDICT r07 task 6): every query's latest driver
+#: verdict is green (union of r01-r07 windows = 176/176), so this
+#: window is pure staleness rotation — leads with the three queries
+#: whose oracles changed this round (d05: the AllPairs length+
+#: positional filter set with the candidate-bounded verify aggregate;
+#: d06/d14: bounded closure-audit restatement with the linear-state
+#: label-propagation oracle), then all 27 queries whose last driver
+#: verdict is r04, topped up with the stalest r05-last entries to
+#: fill 50.
 _DRIVER_PREFIX = [
-    # — oracles restated this round (closure audit aggregates) —
+    # — oracles changed this round —
+    "d05_ngram_jaccard",
     "d06_near_dup_groups",
     "d14_star_cap_groups",
     # — all 27 queries whose last driver verdict is r04 —
@@ -174,7 +175,6 @@ _DRIVER_PREFIX = [
     "t13_curation_funnel",
     # — stalest r05-last fills to hold the window at 50 —
     "d02_minhash_lsh",
-    "d05_ngram_jaccard",
     "m05_ppm_decode",
     "d09_simhash_hamming",
     "d12_lsh_star_cap",

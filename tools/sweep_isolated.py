@@ -37,8 +37,26 @@ def load_done(out: str) -> dict[str, dict]:
     return done
 
 
+#: Per-query extra driver_check args for large scale factors. Queries
+#: listed here are pulled out of their batch and run in their OWN
+#: subprocess with these flags appended — a query missing its flags is
+#: not merely slow, it takes the whole host down (d05 at 100x: DuckDB's
+#: EC=0 estimate after the filter/DISTINCT builds a hash join on the
+#: 5.8e9-row intermediate -> 55GB+ spill -> disk exhaustion; with
+#: syntactic join order the same oracle runs in ~174s under 15GB).
+HEAVY_EXTRA_ARGS: dict[str, list[str]] = {
+    "d05_ngram_jaccard": [
+        "--duckdb-disable-optimizers", "join_order",
+        "--stop-spark-before-oracle",
+    ],
+}
+
+
 def run_batch(names: list[str], args) -> dict[str, dict]:
     """One driver_check subprocess over ``names``; parse its --out."""
+    extra: list[str] = []
+    if len(names) == 1:
+        extra = HEAVY_EXTRA_ARGS.get(names[0], [])
     tmp_out = args.out + ".batch.json"
     if os.path.exists(tmp_out):
         os.remove(tmp_out)
@@ -49,6 +67,7 @@ def run_batch(names: list[str], args) -> dict[str, dict]:
         "--only", ",".join(names),
         "--out", tmp_out,
         "--cpus", str(args.cpus),
+        *extra,
     ]
     if args.duckdb_mem:
         cmd += ["--duckdb-mem", args.duckdb_mem]
@@ -113,7 +132,13 @@ def main() -> int:
                 print(f"{row.get('status','?'):10s} {n}", flush=True)
 
     # first pass: batches; anything killed/timeout retries ALONE so a
-    # poison query costs only itself
+    # poison query costs only itself. Queries with HEAVY_EXTRA_ARGS run
+    # solo up front (their flags only attach to single-query batches).
+    heavy = [n for n in todo if n in HEAVY_EXTRA_ARGS]
+    todo = [n for n in todo if n not in HEAVY_EXTRA_ARGS]
+    for n in heavy:
+        print(f"heavy, running alone: {n}", flush=True)
+        record(run_batch([n], args))
     for i in range(0, len(todo), args.batch):
         record(run_batch(todo[i : i + args.batch], args))
     done = load_done(args.out)

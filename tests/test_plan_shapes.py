@@ -214,3 +214,24 @@ def test_multiprobe_lsh_builds_all_tables_in_one_pass(spark, sf_dir):
     # each), not once per OR-table
     n_agg = len(re.findall(r"HashAggregate \(?keys=\[vec_id", plan))
     assert n_agg <= 4, n_agg
+
+
+def test_d05_verify_broadcasts_doc_sets(spark, sf_dir):
+    """The d05 verify tail must be two BroadcastHashJoins against the
+    per-doc shingle arrays — a sort-merge join there shuffles the
+    array column once per candidate row (~1KB × |cand|: the shape that
+    is dead at 100×), and the verify must carry no aggregate (its
+    state would be O(candidates); the 128,912,575-group form was the
+    measured 3h20m/OOM wall before the r08 rewrite)."""
+    plan = _plan("d05_ngram_jaccard", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan.count(
+        "BroadcastHashJoin"
+    )
+    assert "array_intersect" in plan
+    # executedPlan().toString() prints root-first: everything printed
+    # BEFORE the first array_intersect line sits above the verify in
+    # the tree, and no aggregate (or sort-merge join) may live there —
+    # the set/posting builds and the candidate distinct are all below
+    above_verify = plan.split("array_intersect")[0]
+    assert "HashAggregate" not in above_verify
+    assert "SortMergeJoin" not in above_verify

@@ -49,6 +49,14 @@ HEAVY_EXTRA_ARGS: dict[str, list[str]] = {
         "--duckdb-disable-optimizers", "join_order",
         "--stop-spark-before-oracle",
     ],
+    # the unrolled label-propagation closure oracle needs 80GB at 100x:
+    # its 48GB run hit DuckDB's own limiter ("failed to pin block",
+    # graceful) after 70 min in the final audit phase; at 80GB it
+    # completes with zero spill (peak 77GB, JVM stopped first)
+    "d06_near_dup_groups": [
+        "--stop-spark-before-oracle",
+        "--duckdb-mem", "80GB",
+    ],
 }
 
 
@@ -67,12 +75,14 @@ def run_batch(names: list[str], args) -> dict[str, dict]:
         "--only", ",".join(names),
         "--out", tmp_out,
         "--cpus", str(args.cpus),
-        *extra,
     ]
     if args.duckdb_mem:
         cmd += ["--duckdb-mem", args.duckdb_mem]
     if args.driver_mem:
         cmd += ["--driver-mem", args.driver_mem]
+    # heavy flags go LAST so a per-query --duckdb-mem can override the
+    # sweep-level default (argparse keeps the final occurrence)
+    cmd += extra
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=args.timeout

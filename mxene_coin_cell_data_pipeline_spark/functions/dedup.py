@@ -138,6 +138,53 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def band_buckets(
+    sig: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, band, bucket) rows — one per LSH band per doc, the
+    probe/build key space every LSH consumer joins on.
+
+    Extracted from ``lsh_candidate_pairs`` unchanged (same explode of a
+    per-row literal-struct array, so the plan is one Generate node with
+    no shuffle) so the INCREMENTAL path (``incremental_minhash_dedup``)
+    can build corpus-side buckets and probe them with batch-side
+    buckets instead of self-joining one table.
+
+    ``hash_fn`` picks the band-bucket hash: ``xxhash64`` (default)
+    folds the band's signature columns directly into one int64 —
+    no string concat, no hex; ``md5`` concatenates and hex-hashes,
+    the engine-portable oracle form. Use the same ``hash_fn`` as the
+    signatures were built with.
+    """
+    n_bands = num_hashes // band_size
+
+    def band_bucket(b: int) -> Column:
+        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*cols).cast("string")
+        if hash_fn == "md5":
+            return F.md5(F.concat_ws("|", *cols))
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_bucket(b).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -171,30 +218,7 @@ def lsh_candidate_pairs(
     default; ``bucket_cap=None`` opts out into the fully-exact
     all-pairs shape.
     """
-    n_bands = num_hashes // band_size
-
-    def band_bucket(b: int) -> Column:
-        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
-        if hash_fn == "xxhash64":
-            return F.xxhash64(*cols).cast("string")
-        if hash_fn == "md5":
-            return F.md5(F.concat_ws("|", *cols))
-        raise ValueError(f"unknown hash_fn: {hash_fn}")
-
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        band_bucket(b).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = band_buckets(sig, num_hashes, band_size, hash_fn)
     if bucket_cap is None:
         a = bands.alias("a")
         b = bands.alias("b")
@@ -810,3 +834,170 @@ def canonicalize_url(url: Column) -> Column:
     pre = F.regexp_replace(F.lower(pre), r":443$", "")
     c = F.concat(pre, rest)
     return F.regexp_replace(c, r"/$", "")
+
+
+def window_dup_rate(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    gram_key: str = "raw",
+) -> DataFrame:
+    """Cross-document duplicated-window rate — the exact-substring dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499), restated over k-TOKEN windows:
+    every k-token window of every document is counted, and a window
+    position is "duplicated" when its gram text also occurs in at least
+    one OTHER document (within-doc repetition is deliberately excluded —
+    that is t08's repetition screen / t17's span self-dedup; this
+    operator isolates the cross-document boilerplate signal that drives
+    train-set memorization). Returns one row per doc with ≥1 window:
+    ``n_windows`` (all k-token positions), ``n_dup_windows`` (positions
+    whose gram appears in another doc) and ``dup_frac`` — the fraction
+    curation pipelines threshold on (e.g. drop docs >50% duplicated).
+
+    Spark-first shape, three skinny shuffles and nothing quadratic:
+    (1) the window grams are assembled ROW-LOCALLY (same Generate-node
+    trick as ``shingles`` — the token array materializes once per doc,
+    no per-token explode) and reduced to (doc_id, gram, n_pos) with a
+    map-side-combining groupBy, collapsing within-doc repeats BEFORE
+    anything hits the wire; (2) the cross-doc document frequency is a
+    ``count() over (partition by gram)`` window on that already-reduced
+    relation — one exchange on gram, no self-join, and since each
+    (doc, gram) appears once the count IS the distinct-doc count;
+    (3) the per-doc rollup. Work is O(total windows); a boilerplate
+    gram shared by m docs costs m rows in one window partition — linear,
+    never m² (contrast the naive gram self-join).
+
+    ``gram_key``: ``"raw"`` (default, and the oracle configuration)
+    shuffles the gram STRING — exact, engine-portable; ``"xxhash64"``
+    replaces it with the 64-bit gram hash before the exchanges — ~k·8
+    bytes less per row on the wire at 100 TB, with a ~n²/2⁶⁴ collision
+    probability that only ever OVERCOUNTS duplication (two distinct
+    grams colliding merge their doc sets), the same trade the MinHash
+    family documents.
+    """
+    from ..sources.tables import scale_out
+
+    toks = scale_out(docs.select("doc_id", text_col), "doc_id").select(
+        "doc_id", F.explode(F.array(tokenize(F.col(text_col)))).alias("toks")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("toks", i + j) for j in range(k)]
+        ),
+    )
+    grams = F.when(F.size("toks") >= k, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = toks.select("doc_id", F.explode(grams).alias("gram"))
+    if gram_key == "xxhash64":
+        g = g.select("doc_id", F.xxhash64("gram").alias("gram"))
+    elif gram_key != "raw":
+        raise ValueError(f"unknown gram_key: {gram_key}")
+    per_doc_gram = g.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    gw = Window.partitionBy("gram")
+    ann = per_doc_gram.withColumn("n_docs", F.count(F.lit(1)).over(gw))
+    dup_pos = F.sum(
+        F.when(F.col("n_docs") >= 2, F.col("n_pos")).otherwise(F.lit(0))
+    )
+    return (
+        ann.groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").cast("long").alias("n_windows"),
+            dup_pos.cast("long").alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+        )
+    )
+
+
+def incremental_minhash_dedup(
+    docs: DataFrame,
+    batch_mod: int = 5,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    threshold: float = 0.8,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) MinHash dedup — THE production
+    ingestion shape: a new batch arrives, and each batch document is
+    screened against the existing corpus for near-duplicates; batch
+    docs with no corpus match are the novel survivors that get
+    appended. Here the split is carved deterministically out of one
+    table (``doc_id % batch_mod == 0`` → batch, else corpus) so the
+    operator is closed over the driver's test data; in production the
+    corpus side is the persisted signature/bucket store and the batch
+    side is the day's crawl.
+
+    Returns one row per MATCHED batch doc: ``batch_doc``,
+    ``n_matches`` (corpus docs with jaccard ≥ threshold),
+    ``first_match`` (smallest matching corpus doc_id) and
+    ``max_jaccard_nanos`` (exact int64 of round(j·1e9)). The novel
+    survivors are the batch anti-join against this relation — kept out
+    of the output so the interesting structure (who matched what, how
+    strongly) is what gets checked.
+
+    Scale design: signatures and band buckets are built once over both
+    sides (same per-doc groupBy as ``minhash_near_dup_pairs``); the
+    candidate join is corpus-bands ⋈ batch-bands on (band, bucket) —
+    batch is typically ≪ corpus, so this is a build-small/probe-large
+    hash join, never a corpus self-join — and the jaccard verify is the
+    candidate-bounded array-intersect of ``pair_jaccard`` (O(|cand| ·
+    set size), independent of shingle document frequency). CRITICALLY,
+    at steady state the corpus side's shingling + signatures need not
+    be recomputed per batch: they are append-only state keyed by
+    doc_id, written once when a doc is admitted (this function
+    recomputes them only because its input is one ephemeral table).
+
+    ``bucket_cap`` guards the skew case of a batch doc's bucket landing
+    in viral corpus boilerplate: corpus buckets larger than the cap are
+    thinned to their ``cap`` smallest doc_ids (deterministic), so one
+    bucket contributes ≤ cap candidates per probe instead of m. The
+    documented recall trade: a batch doc whose ONLY match sits in the
+    dropped tail of a >cap bucket can slip through — acceptable because
+    any of the cap retained members of the same full-band collision is
+    overwhelmingly likely to match too (the star-cap argument).
+    ``bucket_cap=None`` opts out into the exact all-members probe (the
+    registered oracle does).
+    """
+    sh = shingles(docs, text_col, n)
+    sig = minhash_signatures(sh, num_hashes, hash_fn)
+    bands = band_buckets(sig, num_hashes, band_size, hash_fn)
+    is_batch = F.col("doc_id") % batch_mod == 0
+    corpus_bands = bands.filter(~is_batch)
+    if bucket_cap is not None:
+        bw = Window.partitionBy("band", "bucket").orderBy("doc_id")
+        corpus_bands = (
+            corpus_bands.withColumn("_rn", F.row_number().over(bw))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    batch_bands = bands.filter(is_batch)
+    cand = (
+        corpus_bands.alias("c")
+        .join(
+            batch_bands.alias("b"),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("c.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    scored = pair_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
+    return scored.groupBy(F.col("doc_b").alias("batch_doc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("doc_a").alias("first_match"),
+        F.max(F.round(F.col("jaccard") * 1e9).cast("long")).alias(
+            "max_jaccard_nanos"
+        ),
+    )

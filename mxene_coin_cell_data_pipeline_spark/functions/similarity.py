@@ -746,3 +746,76 @@ def kmeans_lloyd_iteration(
         .groupBy("cluster", (F.col("dim0") + 1).alias("dim"))
         .agg(F.avg("v").alias("c_val"), F.count(F.lit(1)).alias("n"))
     )
+
+
+def pq_assign(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization code assignment (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
+    is split into ``m`` contiguous subspaces, each subspace has its own
+    ``k``-entry codebook, and every vector is encoded as the tuple of
+    nearest-centroid ids — dim·4 bytes compress to m·log2(k) bits, the
+    memory trick that lets billion-vector ANN indexes fit in RAM.
+    Codebooks here are seeded deterministically from the embeddings of
+    vec_id 0..k-1 (the s05 k-means discipline — a production trainer
+    would run Lloyd per subspace first; assignment, the corpus-sized
+    step, is identical either way). Returns one row per vector:
+    ``code_0..code_{m-1}`` plus ``err_nanos``, the exact int64 sum of
+    each subspace's round(squared-residual·1e9) — the quantization
+    error audit.
+
+    Scale design: the k seed vectors collect once (k·dim doubles) and
+    inline as LITERALS, so assignment is a pure scan — no join, no
+    shuffle, nothing but per-row array HOFs in whole-stage codegen; the
+    operator output is one narrow row per vector. Distances expand as
+    dot(x,x) − 2·dot(x,c) + dot(c,c) with every term a sequential fold
+    (bit-reproducible cross-engine — the s05/d04 discipline), ties
+    break to the smaller code via struct array_min. At 100 TB this is
+    the map stage that writes the compressed index; the only data
+    movement is the written codes.
+    """
+    e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
+    dim = len(e.select("e").first()["e"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    seeds = {
+        int(r["vec_id"]): list(r["e"])
+        for r in e.filter(F.col("vec_id") < k).collect()
+    }
+    if len(seeds) < k:
+        raise ValueError(f"need vec_id 0..{k-1} present as codebook seeds")
+
+    cols = [F.col("vec_id")]
+    err_terms = []
+    for s in range(m):
+        xs = F.slice(F.col("e"), s * sub + 1, sub)
+        dxx = F.aggregate(
+            xs, F.lit(0.0), lambda acc, v: acc + v * v
+        )
+        cand = []
+        for c in range(k):
+            cvec = seeds[c][s * sub : (s + 1) * sub]
+            clit = F.array(*[F.lit(float(x)) for x in cvec])
+            dcc = 0.0
+            for x in cvec:  # same left-to-right fold as list_dot_product
+                dcc = dcc + float(x) * float(x)
+            dxc = F.aggregate(
+                F.zip_with(xs, clit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dist = dxx - 2 * dxc + F.lit(dcc)
+            cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("code")))
+        mn = F.array_min(F.array(*cand))
+        cols.append(mn["code"].cast("int").alias(f"code_{s}"))
+        err_terms.append(F.round(mn["dist"] * 1e9).cast("long"))
+    total = err_terms[0]
+    for t in err_terms[1:]:
+        total = total + t
+    cols.append(total.alias("err_nanos"))
+    return e.select(*cols)

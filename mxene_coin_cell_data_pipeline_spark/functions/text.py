@@ -537,3 +537,105 @@ def hashed_features(
         .agg(F.sum("sign").alias("weight"), F.count(F.lit(1)).alias("n_tokens"))
         .filter(F.col("weight") != 0)
     )
+
+
+def bpe_top_merges(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """One BPE merge-selection iteration at corpus scale: the
+    frequency-weighted counts of adjacent SYMBOL pairs over the word
+    vocabulary — exactly the statistic byte-pair-encoding tokenizer
+    training maximizes each round (Sennrich et al., arXiv:1508.07909).
+    Words start as character sequences closed by the ``</w>``
+    end-of-word marker, so the pair universe on round one is the 2-char
+    substrings of each word plus the (last char, ``</w>``) pair; the
+    top pair is the merge a trainer would apply. Returns the top-``k``
+    merges: (rank, pair, n_total), ordered by weighted count desc then
+    pair asc — a deterministic set under ties.
+
+    Scale design — the reason BPE training is feasible on 100 TB at
+    all: the ONLY corpus-sized pass is the word-frequency aggregate
+    (one map-side-combining shuffle of raw tokens). Everything after
+    operates on the DISTINCT VOCABULARY, which grows ~O(corpusᵝ),
+    β≈0.5 (Heaps' law) — pair extraction is a row-local array HOF over
+    vocab rows, the pair aggregate shuffles vocab-bounded rows, and the
+    top-k is a TakeOrderedAndProject (per-partition partial top-k, no
+    global sort). Iterating = re-deriving each word's symbol sequence
+    against the merge list accepted so far — every round stays
+    vocab-sized; the corpus is never rescanned.
+    """
+    vocab = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w)), i -> "
+                "case when i < length(w) then substring(w, i, 2) "
+                "else substring(w, i, 1) || '</w>' end)"
+            )
+        ).alias("pair"),
+        "n_w",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("n_w").cast("long").alias("n_total"))
+    topk = agg.orderBy(F.col("n_total").desc(), "pair").limit(k)
+    rw = Window.orderBy(F.col("n_total").desc(), "pair")
+    return topk.select(
+        F.row_number().over(rw).cast("long").alias("rank"), "pair", "n_total"
+    )
+
+
+def inverted_index(
+    docs: DataFrame, text_col: str = "text", top_postings: int = 3
+) -> DataFrame:
+    """Capped inverted-index build — the write-a-search-index-from-the-
+    corpus shape: one row per term with its document frequency ``df``,
+    collection frequency ``cf``, and the top-``top_postings`` postings
+    by term frequency (ties → smaller doc_id) serialized as a
+    ``doc:tf,doc:tf`` string. df/cf are computed over the FULL posting
+    list before the cap, so the index header is exact while the stored
+    list is bounded — the impact-ordered / static-pruning layout
+    search engines actually ship (highest-tf postings first, tail
+    truncated).
+
+    Scale design: (token, doc) term frequencies come from one
+    map-side-combining aggregate of exploded tokens (the corpus
+    shuffle); df/cf/rank are ONE window over the token partitioning —
+    a second, vocab×docs-bounded exchange that AQE coalesces — and the
+    final per-token rollup reuses that same partitioning (no third
+    exchange). Per-token state is the posting list of that token only;
+    a stopword appearing in every doc costs m rows in one sort
+    partition, linear, and its STORED posting list is still ≤
+    ``top_postings``. The serialized string keeps the registered
+    output flat and order-canonical; the library consumer would keep
+    the struct array.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tw = Window.partitionBy("token")
+    rw = Window.partitionBy("token").orderBy(F.col("tf").desc(), "doc_id")
+    ann = tf.select(
+        "token",
+        "doc_id",
+        "tf",
+        F.count(F.lit(1)).over(tw).alias("df"),
+        F.sum("tf").over(tw).alias("cf"),
+        F.row_number().over(rw).alias("rn"),
+    ).filter(F.col("rn") <= top_postings)
+    posting = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "doc_id", "tf"))),
+            lambda s: F.concat_ws(
+                ":", s["doc_id"].cast("string"), s["tf"].cast("string")
+            ),
+        ),
+        ",",
+    )
+    return ann.groupBy("token").agg(
+        F.max("df").cast("long").alias("df"),
+        F.max("cf").cast("long").alias("cf"),
+        posting.alias("postings"),
+    )

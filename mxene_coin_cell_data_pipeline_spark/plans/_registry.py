@@ -139,8 +139,16 @@ def _fsum6_micro(col) -> F.Column:
 #: d06/d14: bounded closure-audit restatement with the linear-state
 #: label-propagation oracle), then all 27 queries whose last driver
 #: verdict is r04, topped up with the stalest r05-last entries to
-#: fill 50.
+#: fill 50. The round-8 wave-6 additions (d17/d18/t19/t20/s11) have
+#: never held a driver verdict, so they take the head ahead of the
+#: rotation (the tail spills past 50 and re-enters next rotation).
 _DRIVER_PREFIX = [
+    # — NEW this round (wave 6): never driver-verified, so they lead —
+    "d17_window_duprate",
+    "d18_incremental_dedup",
+    "t19_bpe_top_merges",
+    "t20_inverted_index",
+    "s11_pq_assign",
     # — oracles changed this round —
     "d05_ngram_jaccard",
     "d06_near_dup_groups",

@@ -117,6 +117,14 @@ EXTENDED = [
     "m08_avi_frames",
     "st09_stream_decode",
     "st10_stream_histogram",
+    # round-8 wave 6: perf history from birth for the new operators
+    "d17_window_duprate",
+    "d18_incremental_dedup",
+    "t19_bpe_top_merges",
+    "t20_inverted_index",
+    "s11_pq_assign",
+    "st11_stream_incremental_dedup",
+    "s12_random_projection",
 ]
 
 

@@ -1001,3 +1001,104 @@ def incremental_minhash_dedup(
             "max_jaccard_nanos"
         ),
     )
+
+
+def dedup_corpus_state(
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted corpus side of incremental dedup: ``(buckets,
+    sets)`` — the (doc_id, band, bucket) LSH probe keys and the per-doc
+    shingle arrays the jaccard verify intersects against.
+
+    This pair IS the append-only state a production ingest maintains:
+    both relations are keyed by doc_id, written once when a document is
+    admitted and never updated, so "dedup today's crawl against the
+    corpus" costs O(batch), not O(corpus). ``bucket_cap`` thins
+    oversized buckets to their cap smallest doc_ids at state-build time
+    (the ``incremental_minhash_dedup`` recall trade, applied once
+    instead of per probe).
+    """
+    sh = shingles(corpus_docs, text_col, n)
+    sig = minhash_signatures(sh, num_hashes, hash_fn)
+    buckets = band_buckets(sig, num_hashes, band_size, hash_fn)
+    if bucket_cap is not None:
+        bw = Window.partitionBy("band", "bucket").orderBy("doc_id")
+        buckets = (
+            buckets.withColumn("_rn", F.row_number().over(bw))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
+    return buckets, sets
+
+
+def probe_dedup_state(
+    batch_docs: DataFrame,
+    corpus_buckets: DataFrame,
+    corpus_sets: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    threshold: float = 0.8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Probe a batch of new documents against prebuilt corpus dedup
+    state (``dedup_corpus_state``): per MATCHED batch doc, the same
+    audit row as ``incremental_minhash_dedup`` — ``batch_doc``,
+    ``n_matches``, ``first_match``, ``max_jaccard_nanos``.
+
+    Built for the micro-batch path (``streaming.features.
+    stream_incremental_dedup`` calls it inside ``foreachBatch``): every
+    step is batch-sized except the two joins against the persisted
+    corpus relations, and since each document's verdict depends only on
+    itself and the STATIC corpus, per-micro-batch evaluation is exact —
+    no cross-batch streaming state at all. Signatures/buckets must use
+    the same ``num_hashes``/``band_size``/``hash_fn`` the state was
+    built with (as with ``lsh_candidate_pairs``).
+    """
+    sh_b = shingles(batch_docs, text_col, n)
+    sig_b = minhash_signatures(sh_b, num_hashes, hash_fn)
+    bands_b = band_buckets(sig_b, num_hashes, band_size, hash_fn)
+    cand = (
+        corpus_buckets.alias("c")
+        .join(
+            bands_b.alias("b"),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("c.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets_b = sh_b.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
+    a = corpus_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa")
+    )
+    b = sets_b.select(F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb"))
+    n_inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    n_a, n_b = F.size(F.col("_sa")), F.size(F.col("_sb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (n_inter.cast("double") / (n_a + n_b - n_inter)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.groupBy(F.col("doc_b").alias("batch_doc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("doc_a").alias("first_match"),
+        F.max(F.round(F.col("jaccard") * 1e9).cast("long")).alias(
+            "max_jaccard_nanos"
+        ),
+    )

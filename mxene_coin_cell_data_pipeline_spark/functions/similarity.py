@@ -819,3 +819,51 @@ def pq_assign(
         total = total + t
     cols.append(total.alias("err_nanos"))
     return e.select(*cols)
+
+
+def random_projection(
+    emb: DataFrame, out_dim: int = 16, vec_col: str = "embedding"
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a ±1 sign matrix
+    (Achlioptas, "Database-friendly random projections", JACM 2003):
+    y_j = (1/√out_dim) · Σ_i x_i·s_{i,j}, with the sign matrix derived
+    deterministically from md5 — s_{i,j} = +1 iff the low bit of the
+    first hex char of md5("j|i") is set — so the projection is
+    reproducible on any engine with md5 and needs NO stored model.
+    Pairwise distances are preserved within (1±ε) w.h.p. — the cheap
+    dimensionality-reduction front end for clustering/ANN when even PQ
+    (s11) is too lossy. Returns ``vec_id`` plus ``y{j}_nanos``, the
+    exact int64 of round(y_j·1e9) per output dimension.
+
+    Scale design: the sign matrix is dim·out_dim literals inlined into
+    the plan (here 64×16 — a few KB), so the operator is a PURE SCAN:
+    no join, no shuffle, one narrow output row per vector; every fold
+    is sequential in index order (the s05/d04 bit-reproducibility
+    discipline) and the 1/√out_dim scale is applied as one multiply
+    AFTER the fold (out_dim a power of four → the factor is exact).
+    At 100 TB this is a map stage fused into the embedding scan.
+    """
+    import hashlib
+
+    e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
+    dim = len(e.select("e").first()["e"])
+    scale = 1.0 / math.sqrt(out_dim)
+
+    def sign(i: int, j: int) -> float:
+        # low bit of the first hex char of md5("j|i") — mirrored by the
+        # oracle's strpos-over-hex form, same scheme as simhash bits
+        ch = hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0]
+        return 1.0 if int(ch, 16) & 1 else -1.0
+
+    cols = [F.col("vec_id")]
+    for j in range(out_dim):
+        slit = F.array(*[F.lit(sign(i, j)) for i in range(1, dim + 1)])
+        fold = F.aggregate(
+            F.zip_with(F.col("e"), slit, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cols.append(
+            F.round(fold * F.lit(scale) * 1e9).cast("long").alias(f"y{j}_nanos")
+        )
+    return e.select(*cols)

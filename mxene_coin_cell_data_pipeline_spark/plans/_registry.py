@@ -149,6 +149,8 @@ _DRIVER_PREFIX = [
     "t19_bpe_top_merges",
     "t20_inverted_index",
     "s11_pq_assign",
+    "st11_stream_incremental_dedup",
+    "s12_random_projection",
     # — oracles changed this round —
     "d05_ngram_jaccard",
     "d06_near_dup_groups",

@@ -275,3 +275,101 @@ def s11_pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (emb,) = _ctx(spark, sf_dir, "embeddings")
     return pq_assign(emb, m=4, k=4)
+
+
+# ---------------------------------------------------------------------------
+# st11: streaming incremental dedup (d18's production twin on a stream)
+# ---------------------------------------------------------------------------
+
+from ._registry import QUERIES  # noqa: E402
+
+
+@_register(
+    "st11_stream_incremental_dedup",
+    None,  # = d18's oracle verbatim, assigned below after registration
+    survey="streaming completion: INCREMENTAL dedup as a genuine "
+    "structured-streaming execution — the new-docs side (doc_id%5==0) "
+    "replayed through the file-stream source, every micro-batch probed "
+    "via foreachBatch against PERSISTED corpus dedup state "
+    "(dedup_corpus_state's buckets+sets, built once before the stream "
+    "starts). Because the corpus side is static and each doc's verdict "
+    "depends only on itself, per-micro-batch evaluation is EXACT with "
+    "zero cross-batch streaming state — the steady-state production "
+    "ingest where a day's crawl costs O(batch) against an append-only "
+    "state store. Oracle: IDENTICAL to d18's (same output relation) — "
+    "the stream and batch forms must agree row-for-row.",
+    note="foreachBatch rather than a chained streaming plan: the probe "
+    "needs candidate DISTINCT + a per-doc aggregate, two stateful ops "
+    "Spark won't stack without watermarks; the static-corpus argument "
+    "makes per-batch evaluation exact instead.",
+)
+def st11_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d18 executed as a stream: batch docs arrive on a file stream and
+    probe persisted corpus LSH state micro-batch by micro-batch."""
+    from pyspark.sql import functions as F
+
+    from ..streaming import read_table_stream
+    from ..streaming.features import stream_incremental_dedup
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    stream = read_table_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return stream_incremental_dedup(
+        stream, corpus, threshold=0.8, bucket_cap=None, hash_fn="md5"
+    )
+
+
+QUERIES["st11_stream_incremental_dedup"].oracle = QUERIES[
+    "d18_incremental_dedup"
+].oracle
+
+
+# ---------------------------------------------------------------------------
+# s12: Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+_S12_OUT_DIM = 16
+_S12_PIVOT = ",\n           ".join(
+    f"max(CASE WHEN j = {j} THEN yn END) AS y{j}_nanos"
+    for j in range(_S12_OUT_DIM)
+)
+
+
+@_register(
+    "s12_random_projection",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sgn AS (SELECT j, list(CASE WHEN ((strpos('0123456789abcdef',
+                 substr(md5(CAST(j AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+                        1, 1)) - 1) & 1) = 1
+                 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END
+                 ORDER BY i) AS s
+            FROM range(0, {_S12_OUT_DIM}) tj(j), range(1, 65) ti(i)
+            GROUP BY j),
+    y AS (SELECT e.vec_id, sgn.j,
+                 CAST(round(list_dot_product(e.e, sgn.s) * 0.25 * 1e9)
+                      AS BIGINT) AS yn
+          FROM e, sgn)
+    SELECT vec_id,
+           {_S12_PIVOT}
+    FROM y GROUP BY vec_id
+    """,
+    survey="north-star similarity completion: Johnson-Lindenstrauss "
+    "±1 random projection (Achlioptas 2003) 64→16 dims — the sign "
+    "matrix derives deterministically from md5 (low bit of the first "
+    "hex char of md5('j|i'), the simhash nibble discipline) so the "
+    "projection is engine-reproducible with NO stored model; the "
+    "1/√16 scale is exact (power of four). A pure scan: dim·out_dim "
+    "literal signs inline into the plan, no join, no shuffle, "
+    "sequential folds (s05/d04 discipline), exact int64 nanos audit "
+    "per output dim — the dimensionality-reduction front end ahead of "
+    "clustering/ANN, fused into the embedding scan at 100 TB.",
+)
+def s12_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64→16-dim JL sign projection with exact nanos audit columns."""
+    from ..functions.similarity import random_projection
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dim=_S12_OUT_DIM)

@@ -263,3 +263,82 @@ def stream_click_attribution(events: DataFrame) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+def stream_incremental_dedup(
+    doc_stream: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int | None = None,
+    band_size: int | None = None,
+    bucket_cap: int | None = None,
+    hash_fn: str = "xxhash64",
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Streaming incremental MinHash dedup — d18's production twin as a
+    genuine structured-streaming execution: new documents arrive on a
+    stream and every micro-batch is probed against PREBUILT, persisted
+    corpus dedup state (``functions.dedup.dedup_corpus_state``). Runs
+    the stream to completion (availableNow) and returns the matched-doc
+    audit relation (batch_doc, n_matches, first_match,
+    max_jaccard_nanos) read back from the sink.
+
+    Why ``foreachBatch`` and not a chained streaming plan: the probe
+    needs candidate-pair DISTINCT *and* a per-doc aggregate — two
+    stateful operators Spark won't stack without watermark gymnastics —
+    but because the corpus side is STATIC and each incoming doc's
+    verdict depends only on itself, per-micro-batch batch evaluation is
+    EXACT with zero cross-batch state: the streaming-state problem
+    disappears by construction (the d18 docstring's steady-state
+    argument, executed). The corpus relations are persisted once before
+    the stream starts and every micro-batch reuses them; per-batch work
+    is O(batch docs), so an always-on ingest holds steady cost no
+    matter how large the corpus grows.
+    """
+    import tempfile
+
+    from ..functions.dedup import (
+        DEFAULT_BAND_SIZE,
+        DEFAULT_NUM_HASHES,
+        dedup_corpus_state,
+        probe_dedup_state,
+    )
+
+    nh = DEFAULT_NUM_HASHES if num_hashes is None else num_hashes
+    bs = DEFAULT_BAND_SIZE if band_size is None else band_size
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="stream_incdedup_")
+    buckets, sets = dedup_corpus_state(
+        corpus_docs,
+        num_hashes=nh,
+        band_size=bs,
+        bucket_cap=bucket_cap,
+        hash_fn=hash_fn,
+    )
+    buckets.persist()
+    sets.persist()
+    try:
+        buckets.count(), sets.count()  # materialize state before the stream
+
+        def _probe(batch_df: DataFrame, batch_id: int) -> None:
+            probe_dedup_state(
+                batch_df,
+                buckets,
+                sets,
+                num_hashes=nh,
+                band_size=bs,
+                threshold=threshold,
+                hash_fn=hash_fn,
+            ).write.mode("append").parquet(out_dir)
+
+        q = (
+            doc_stream.writeStream.foreachBatch(_probe)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        buckets.unpersist()
+        sets.unpersist()
+    return doc_stream.sparkSession.read.parquet(out_dir)

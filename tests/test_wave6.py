@@ -269,3 +269,114 @@ def test_pq_assign_rejects_bad_shapes(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         pq_assign(emb, m=7, k=4)
+
+
+# ---------------------------------------------------------------------------
+# st11: streaming incremental dedup == batch d18
+# ---------------------------------------------------------------------------
+
+
+def test_stream_incremental_dedup_equals_batch(spark):
+    """The streaming execution (foreachBatch probe of persisted corpus
+    state) must agree row-for-row with the batch incremental dedup —
+    the registered st11 oracle IS d18's, so this pins the same contract
+    library-side, including under the production xxhash64 knob the
+    oracle can't check."""
+    from pyspark.sql import functions as F
+
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        incremental_minhash_dedup,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+    from mxene_coin_cell_data_pipeline_spark.streaming import read_table_stream
+    from mxene_coin_cell_data_pipeline_spark.streaming.features import (
+        stream_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    batch_out = sorted(
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            docs, batch_mod=5, bucket_cap=None, hash_fn="xxhash64"
+        ).collect()
+    )
+    stream = read_table_stream(spark, sf, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    stream_out = sorted(
+        tuple(r)
+        for r in stream_incremental_dedup(
+            stream,
+            docs.filter(F.col("doc_id") % 5 != 0),
+            bucket_cap=None,
+            hash_fn="xxhash64",
+        ).collect()
+    )
+    assert batch_out == stream_out and batch_out
+
+
+# ---------------------------------------------------------------------------
+# s12: JL random projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_preserves_distances_roughly(spark):
+    """JL contract: pairwise squared distances in the 16-dim projection
+    approximate the 64-dim originals (loose ε — the sign matrix is
+    fixed, this guards against sign/scale bugs, not concentration)."""
+    import math
+
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        random_projection,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    orig = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.limit(20).collect()
+    }
+    proj = {
+        r["vec_id"]: [r[f"y{j}_nanos"] / 1e9 for j in range(16)]
+        for r in random_projection(emb).collect()
+    }
+    ids = sorted(orig)[:10]
+    ratios = []
+    for a in ids:
+        for b in ids:
+            if a >= b:
+                continue
+            d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+            d_p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+            if d_o > 1e-9:
+                ratios.append(d_p / d_o)
+    # mean ratio near 1 (unbiased estimator); individual ratios bounded
+    mean = sum(ratios) / len(ratios)
+    assert 0.5 < mean < 1.5
+    assert all(0.05 < r < 5.0 for r in ratios)
+
+
+def test_random_projection_matches_manual_md5_signs(spark):
+    """One projected coordinate recomputed by hand from the md5 sign
+    rule must match exactly (pins the sign convention both engines
+    share)."""
+    import hashlib
+
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        random_projection,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    row = emb.filter("vec_id = 7").collect()[0]
+    x = [float(v) for v in row["embedding"]]
+    got = random_projection(emb).filter("vec_id = 7").collect()[0]
+    for j in (0, 5, 15):
+        acc = 0.0
+        for i, xi in enumerate(x, start=1):
+            ch = hashlib.md5(f"{j}|{i}".encode()).hexdigest()[0]
+            s = 1.0 if int(ch, 16) & 1 else -1.0
+            acc = acc + xi * s
+        expect = round(acc * 0.25 * 1e9)
+        assert got[f"y{j}_nanos"] == expect

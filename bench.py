@@ -125,6 +125,9 @@ EXTENDED = [
     "s11_pq_assign",
     "st11_stream_incremental_dedup",
     "s12_random_projection",
+    "m09_avi_keyframes",
+    "d19_containment_pairs",
+    "src06_schema_evolution",
 ]
 
 

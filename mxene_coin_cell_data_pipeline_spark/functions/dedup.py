@@ -1102,3 +1102,105 @@ def probe_dedup_state(
             "max_jaccard_nanos"
         ),
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: c(A,B) = |A∩B| / min(|A|,|B|) ≥ t over
+    n-gram shingle sets — the doc-inside-doc signal (quotes, aggregator
+    pages, chunk-of-a-larger-doc) that symmetric jaccard structurally
+    misses: a 50-shingle doc fully embedded in a 5000-shingle doc has
+    jaccard ≈ 0.01 but containment 1.0, and MinHash-LSH (a jaccard
+    estimator) won't surface it either — containment needs its own
+    candidate generation.
+
+    Candidate prune — the AllPairs prefix theorem specialized to the
+    asymmetric score: c ≥ t means the SMALLER set shares ≥ ceil(t·n_s)
+    of its elements, so it cannot avoid its own rarest-first prefix of
+    n_s − ceil(t·n_s) + 1 entries; the larger set has NO length or
+    prefix constraint (any size ratio qualifies — that is the point).
+    So the inverted-index join is smaller-side PREFIXES against
+    larger-side FULL postings, with the positional bound
+    (n_s − r_s) + 1 ≥ ceil(t·n_s) on the first collision. Verify is the
+    row-local broadcast ``array_intersect`` (d05's discipline — no
+    candidate-keyed aggregate).
+
+    ``max_df`` restricts the shingle universe to document frequency ≤
+    cap, and HERE the cap is part of the REGISTERED semantics, not just
+    a production knob: the larger side keeps full (unprefixed) posting
+    lists, so an uncapped universe pays O(df) join rows per posting and
+    a boilerplate shingle re-creates the quadratic wall the jaccard
+    prefix filter escapes via its length bound — which containment, by
+    definition, does not have. Sizes and intersections both compute
+    over the SAME capped universe, so the score is a well-defined
+    containment of stop-filtered shingle sets (also statistically the
+    right universe for the signal: ultra-common shingles carry no
+    containment evidence). ``max_df=None`` exists for small-corpus
+    exactness checks only.
+    """
+    t = float(threshold)
+    sh = shingles(docs, text_col, n)
+    posting = sh.withColumn(
+        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    if max_df is not None:
+        posting = posting.filter(F.col("_df") <= max_df)
+    posting = posting.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    doc_sets = posting.groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("_set")
+    )
+    ranked = posting.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("_df", "shingle")
+        ),
+    )
+    prefix = ranked.filter(
+        (F.col("_rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        # positional bound on the smaller side's first collision slot
+        & (F.col("n") - F.col("_rn") + 1 >= F.ceil(F.lit(t) * F.col("n")))
+    ).select(
+        F.col("doc_id").alias("doc_s"),
+        F.col("n").alias("n_s"),
+        "shingle",
+    )
+    full = posting.select(
+        F.col("doc_id").alias("doc_l"), F.col("n").alias("n_l"), "shingle"
+    )
+    cand = (
+        prefix.join(full, "shingle")
+        .filter((F.col("doc_s") != F.col("doc_l")) & (F.col("n_s") <= F.col("n_l")))
+        .select(
+            F.least("doc_s", "doc_l").alias("doc_a"),
+            F.greatest("doc_s", "doc_l").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("_set").alias("_sa")
+    )
+    sb = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("_set").alias("_sb")
+    )
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.cast("long").alias("n_inter"),
+            (
+                n_inter.cast("double")
+                / F.least(F.size("_sa"), F.size("_sb"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -151,6 +151,9 @@ _DRIVER_PREFIX = [
     "s11_pq_assign",
     "st11_stream_incremental_dedup",
     "s12_random_projection",
+    "m09_avi_keyframes",
+    "d19_containment_pairs",
+    "src06_schema_evolution",
     # — oracles changed this round —
     "d05_ngram_jaccard",
     "d06_near_dup_groups",

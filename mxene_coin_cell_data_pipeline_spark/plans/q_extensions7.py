@@ -1,0 +1,212 @@
+"""Extension wave 8 — round 8c:
+
+- m09: AVI keyframe / scene-cut detection (frame-pair byte diffs from
+  the genuinely parsed RIFF container)
+- d19: near-containment pairs (doc-inside-doc detection — the
+  asymmetric score jaccard/LSH structurally miss)
+- src06: parquet schema-evolution read (mergeSchema over two written
+  generations)
+
+Importing this module REGISTERS its queries (oracle SQL inline);
+plans/queries.py imports it after q_extensions6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ._registry import _ctx, _register
+
+# ---------------------------------------------------------------------------
+# m09: AVI keyframe detection
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "m09_avi_keyframes",
+    """
+    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents),
+    fr AS (SELECT d.doc_id, u.k, 4 + (d.doc_id + u.k) % 5 AS m
+           FROM d, LATERAL (SELECT unnest(generate_series(0, d.nf - 1))
+                            AS k) u),
+    pr AS (SELECT c.doc_id, c.k, p.m AS m_prev, c.m AS m_cur
+           FROM fr c JOIN fr p ON p.doc_id = c.doc_id AND p.k = c.k - 1),
+    diffs AS (
+      SELECT pr.doc_id, pr.k, pr.m_prev, pr.m_cur,
+             sum(abs(
+               ('0x' || substr(md5(CAST(pr.doc_id AS VARCHAR) || ':'
+                    || CAST(pr.k AS VARCHAR) || ':'
+                    || CAST(j.j AS VARCHAR)), 1, 2))::BIGINT
+               - ('0x' || substr(md5(CAST(pr.doc_id AS VARCHAR) || ':'
+                    || CAST(pr.k - 1 AS VARCHAR) || ':'
+                    || CAST(j.j AS VARCHAR)), 1, 2))::BIGINT)) AS diff_sum
+      FROM pr, LATERAL (SELECT unnest(generate_series(0,
+               least(pr.m_prev, pr.m_cur) - 1)) AS j) j
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(m_prev AS INT) AS prev_bytes,
+           CAST(m_cur AS INT) AS frame_bytes,
+           CAST(diff_sum AS BIGINT) AS diff_sum,
+           CASE WHEN 2 * diff_sum >= 255 * least(m_prev, m_cur)
+                THEN 1 ELSE 0 END AS is_key
+    FROM diffs
+    """,
+    survey="north-star multimodal completion: keyframe / scene-cut "
+    "detection over the REAL RIFF/AVI chunk walk — per consecutive "
+    "movi frame pair, the integer sum of absolute byte differences "
+    "over the overlapping prefix and the exact integer keyframe "
+    "predicate 2·diff ≥ 255·min(len) (mean diff ≥ half the byte "
+    "range; no float thresholds). The frame-sampling policy video "
+    "curation ships (keep cuts, drop near-static frames), computed "
+    "inside the same Arrow mapInPandas kernel as the parse so no "
+    "exploded frame table and no window shuffle ever exist; the "
+    "oracle re-derives every byte of both frames from the md5 movi "
+    "stream. m03/m08's sampling legs pick frames by position — this "
+    "one picks them by CONTENT.",
+)
+def m09_avi_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-pair byte diffs + integer keyframe flags from genuinely
+    parsed per-doc AVI containers."""
+    from ..functions.multimodal import avi_keyframes, with_avi_payload
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return avi_keyframes(with_avi_payload(docs.select("doc_id")))
+
+
+# ---------------------------------------------------------------------------
+# d19: near-containment pairs
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "d19_containment_pairs",
+    """
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                         AS w
+                  FROM documents),
+    sh AS MATERIALIZED (
+       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM toks, range(1, 4096) t(i) WHERE i + 2 <= len(w)),
+    cap AS MATERIALIZED (
+       SELECT doc_id, shingle FROM (
+         SELECT doc_id, shingle,
+                count(*) OVER (PARTITION BY shingle) AS df
+         FROM sh) WHERE df <= 64),
+    sizes AS (SELECT doc_id, count(*) AS n FROM cap GROUP BY doc_id),
+    d1 AS (SELECT doc_id, shingle,
+                  count(*) OVER (PARTITION BY shingle) AS df
+           FROM cap),
+    d2 AS (SELECT d1.doc_id, d1.shingle, z.n,
+                  row_number() OVER (PARTITION BY d1.doc_id
+                                     ORDER BY d1.df, d1.shingle) AS rn
+           FROM d1 JOIN sizes z USING (doc_id)),
+    pref AS (SELECT doc_id, n, rn, shingle FROM d2
+             WHERE rn <= n - ceil(0.9 * n) + 1
+               AND n - rn + 1 >= ceil(0.9 * n)),
+    cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                             greatest(a.doc_id, b.doc_id) AS doc_b
+             FROM pref a JOIN d2 b ON a.shingle = b.shingle
+                                   AND a.doc_id <> b.doc_id
+             WHERE a.n <= b.n),
+    inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+              FROM cand c
+              JOIN cap sa ON sa.doc_id = c.doc_a
+              JOIN cap sb ON sb.doc_id = c.doc_b
+                          AND sb.shingle = sa.shingle
+              GROUP BY 1, 2)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           i.n_inter * 1.0 / least(na.n, nb.n) AS containment
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.doc_a
+    JOIN sizes nb ON nb.doc_id = i.doc_b
+    WHERE i.n_inter * 1.0 / least(na.n, nb.n) >= 0.9
+    """,
+    survey="north-star dedup completion: near-CONTAINMENT pairs "
+    "|A∩B|/min(|A|,|B|) ≥ 0.9 over the df≤64 stop-filtered shingle "
+    "universe — the doc-inside-doc signal (quotes, aggregators, "
+    "chunk-of-a-doc) that jaccard structurally misses (a small doc "
+    "embedded in a huge one has jaccard ≈ |A|/|B| → 0) and that "
+    "MinHash-LSH, a jaccard estimator, cannot surface. Candidate "
+    "prune: the AllPairs prefix theorem specialized to the asymmetric "
+    "score — only the SMALLER side's rarest-first prefix joins, "
+    "against the larger side's full capped postings (containment has "
+    "no length filter by definition, which is why the df cap is part "
+    "of the REGISTERED semantics here: it is what keeps the "
+    "unprefixed larger side linear). Verify is the row-local "
+    "broadcast array_intersect (d05's discipline).",
+)
+def d19_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-filtered shingle containment ≥ 0.9, prefix-pruned on the
+    smaller side only."""
+    from ..functions.dedup import containment_pairs
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.9, max_df=64)
+
+
+# ---------------------------------------------------------------------------
+# src06: parquet schema-evolution read (mergeSchema)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "src06_schema_evolution",
+    """
+    SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS schema_gen,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_micro,
+           CAST(count(CASE WHEN event_id % 2 <> 0 THEN event_type END)
+                AS BIGINT) AS n_typed
+    FROM events
+    GROUP BY 1
+    """,
+    survey="S-family completion: parquet SCHEMA EVOLUTION — the table "
+    "is written as two generations (gen 1 without the event_type "
+    "column, gen 2 with it — the add-a-column migration every "
+    "long-lived 100 TB dataset accumulates) and read back through ONE "
+    "mergeSchema scan that reconciles the footers: gen-1 rows surface "
+    "the missing column as NULL, pinned by n_typed = count(event_type) "
+    "being exactly the gen-2 row count. Aggregate equality against the "
+    "unsplit oracle proves rows, values (micro-unit exact), and "
+    "NULL-fill semantics all survive the evolution. At scale the "
+    "mergeSchema footer reconciliation is a one-time planning cost; "
+    "the scan itself stays pruned and parallel.",
+    note="schema_gen derives from event_id parity — the same "
+    "deterministic split the writer used, so the oracle needs no "
+    "knowledge of the temp directories.",
+)
+def src06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write two schema generations, read back via mergeSchema, prove
+    NULL-fill and value preservation by aggregate equality."""
+    import os
+    import tempfile
+
+    (events,) = _ctx(spark, sf_dir, "events")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="src06_"), "events_evo")
+    gen1 = events.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    gen2 = events.filter(F.col("event_id") % 2 != 0).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(tmp, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(tmp, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(tmp, "gen=1"), os.path.join(tmp, "gen=2")
+    )
+    return back.groupBy(
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(2).alias("schema_gen")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("sum_value_micro"),
+        F.count("event_type").cast("long").alias("n_typed"),
+    )

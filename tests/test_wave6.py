@@ -380,3 +380,131 @@ def test_random_projection_matches_manual_md5_signs(spark):
             acc = acc + xi * s
         expect = round(acc * 0.25 * 1e9)
         assert got[f"y{j}_nanos"] == expect
+
+
+# ---------------------------------------------------------------------------
+# m09: AVI keyframe detection
+# ---------------------------------------------------------------------------
+
+
+def test_avi_keyframes_match_md5_stream(spark):
+    """Every diff row recomputed by hand from the md5 movi byte rule;
+    row count per doc is n_frames - 1."""
+    import hashlib
+
+    from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+        avi_keyframes,
+        with_avi_payload,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    out = avi_keyframes(with_avi_payload(docs)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    def frame(did, k):
+        m = 4 + (did + k) % 5
+        return [
+            int(hashlib.md5(f"{did}:{k}:{j}".encode()).hexdigest()[:2], 16)
+            for j in range(m)
+        ]
+
+    for did in range(8):
+        nf = 2 + did % 4
+        rows = sorted(by_doc[did], key=lambda r: r["frame_idx"])
+        assert len(rows) == nf - 1
+        for r in rows:
+            k = r["frame_idx"]
+            prev, cur = frame(did, k - 1), frame(did, k)
+            m = min(len(prev), len(cur))
+            diff = sum(abs(cur[j] - prev[j]) for j in range(m))
+            assert r["diff_sum"] == diff
+            assert r["prev_bytes"] == len(prev)
+            assert r["frame_bytes"] == len(cur)
+            assert r["is_key"] == (1 if 2 * diff >= 255 * m else 0)
+
+
+# ---------------------------------------------------------------------------
+# d19: containment pairs
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A small doc embedded verbatim in a much larger one: containment
+    1.0, jaccard far below any dedup threshold — d19's reason to
+    exist."""
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"unique{i} filler{i} token{i}" for i in range(30))
+    docs = _docs(spark, [small, f"{filler} {small} {filler}"])
+    got = containment_pairs(docs, threshold=0.9, max_df=None).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["containment"] == 1.0
+    # the same pair is invisible to symmetric jaccard at 0.8
+    jac = ngram_jaccard_pairs(docs, threshold=0.8, max_df=None).collect()
+    assert jac == []
+
+
+def test_containment_pairs_sound_and_complete_vs_bruteforce(spark):
+    """Prefix-pruned output == brute-force all-pairs containment over
+    the SAME capped universe (the filter must be lossless)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        containment_pairs,
+        shingles,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    t, cap = 0.9, 64
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["containment"])
+        for r in containment_pairs(docs, threshold=t, max_df=cap).collect()
+    }
+    # brute force in python over the capped universe
+    sets: dict[int, set] = {}
+    df: dict[str, int] = {}
+    for r in shingles(docs).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+        df[r["shingle"]] = df.get(r["shingle"], 0) + 1
+    capped = {
+        d: {s for s in ss if df[s] <= cap} for d, ss in sets.items()
+    }
+    expect = {}
+    ids = sorted(capped)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = capped[a], capped[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            c = inter / min(len(sa), len(sb))
+            if c >= t:
+                expect[(a, b)] = (inter, c)
+    assert set(got) == set(expect)
+    for k, (ni, c) in expect.items():
+        assert got[k][0] == ni
+        assert abs(got[k][1] - c) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# src06: schema evolution
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_null_fill(spark, sf_dir):
+    """The registered src06 relation itself: gen-1 rows carry zero
+    non-null event_type after the mergeSchema read, gen-2 all."""
+    from mxene_coin_cell_data_pipeline_spark.plans.q_extensions7 import (
+        src06_schema_evolution,
+    )
+
+    out = {r["schema_gen"]: r for r in src06_schema_evolution(spark, sf_dir).collect()}
+    assert out[1]["n_typed"] == 0
+    assert out[2]["n_typed"] == out[2]["n"] > 0

@@ -24,6 +24,11 @@ WAVE6 = [
     "t19_bpe_top_merges",
     "t20_inverted_index",
     "s11_pq_assign",
+    "st11_stream_incremental_dedup",
+    "s12_random_projection",
+    "m09_avi_keyframes",
+    "d19_containment_pairs",
+    "src06_schema_evolution",
 ]
 
 

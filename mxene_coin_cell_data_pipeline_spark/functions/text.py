@@ -639,3 +639,62 @@ def inverted_index(
         F.max("cf").cast("long").alias("cf"),
         posting.alias("postings"),
     )
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram-LM document scoring with Laplace smoothing — one model
+    order up from t10's unigram gate and the cheap stand-in for the
+    KenLM/CCNet perplexity filter: the corpus trains its own bigram
+    model p(w|prev) = (c(prev,w)+1) / (c(prev)+V) over the adjacent-
+    token-pair relation (c(prev) = occurrences as a bigram head, V =
+    distinct continuation vocabulary — both derived from the SAME pairs
+    relation so the model is self-consistent), and every document
+    scores avg(−ln p) over its bigrams. Repetitive boilerplate scores
+    low, rare-token noise scores high; curation thresholds both tails.
+    Returns (doc_id, n_bigrams, score_neglogp) — docs with <2 tokens
+    carry no bigram and drop out.
+
+    Scale design (t10's discipline, one order up): bigram assembly is
+    ROW-LOCAL (the explode-barrier token array, adjacent structs — no
+    position window); the model tables are Zipf-bounded aggregates of
+    the pair stream (bigram types grow ~O(corpus^β), β<1) broadcast
+    back onto it, so the only corpus-sized shuffles are the model
+    aggregate and the per-doc rollup. Past broadcast reach the model
+    join degrades to a hash join on the pair key — same plan shape,
+    one more exchange. Score rounds to 1e-9 (values O(1-10)) to absorb
+    summation-order and libm ln noise, the t10 contract.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokenize(F.col(text_col)))).alias("toks")
+    )
+    pair = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("prev"),
+            F.element_at("toks", i + 1).alias("cur"),
+        ),
+    )
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("toks") >= 2, pair).otherwise(
+                F.array().cast("array<struct<prev:string,cur:string>>")
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.cur")
+    bg = pairs.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    heads = bg.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    v = pairs.agg(F.countDistinct("cur").cast("double").alias("v"))
+    p = (F.col("c2") + 1).cast("double") / (
+        F.col("c1").cast("double") + F.col("v")
+    )
+    return (
+        pairs.join(F.broadcast(bg), ["prev", "cur"])
+        .join(F.broadcast(heads), "prev")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 9).alias("score_neglogp"),
+        )
+    )

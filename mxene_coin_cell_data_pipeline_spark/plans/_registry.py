@@ -154,6 +154,7 @@ _DRIVER_PREFIX = [
     "m09_avi_keyframes",
     "d19_containment_pairs",
     "src06_schema_evolution",
+    "t21_bigram_lm_score",
     # — oracles changed this round —
     "d05_ngram_jaccard",
     "d06_near_dup_groups",

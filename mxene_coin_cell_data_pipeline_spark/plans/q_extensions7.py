@@ -210,3 +210,48 @@ def src06_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value_micro"),
         F.count("event_type").cast("long").alias("n_typed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t21: bigram-LM document scoring (Laplace-smoothed)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "t21_bigram_lm_score",
+    """
+    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+                         AS w
+                  FROM documents),
+    pairs AS (SELECT doc_id, w[i] AS prev, w[i+1] AS cur
+              FROM toks, range(1, 4096) t(i) WHERE i + 1 <= len(w)),
+    bg AS (SELECT prev, cur, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+    heads AS (SELECT prev, sum(c2) AS c1 FROM bg GROUP BY prev),
+    vv AS (SELECT count(DISTINCT cur)::DOUBLE AS v FROM pairs)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-ln((b.c2 + 1)::DOUBLE / (h.c1::DOUBLE + vv.v))), 9)
+             AS score_neglogp
+    FROM pairs p
+    JOIN bg b ON b.prev = p.prev AND b.cur = p.cur
+    JOIN heads h ON h.prev = p.prev
+    CROSS JOIN vv
+    GROUP BY p.doc_id
+    """,
+    survey="north-star text completion: bigram-LM document scoring "
+    "with Laplace smoothing — the corpus trains its own bigram model "
+    "p(w|prev)=(c(prev,w)+1)/(c(prev)+V) over the adjacent-pair "
+    "relation (heads and continuation vocabulary derived from the SAME "
+    "relation, so the model is self-consistent) and each doc scores "
+    "avg(−ln p): the KenLM/CCNet perplexity quality gate one model "
+    "order above t10. Row-local bigram assembly (no position window), "
+    "Zipf-bounded model aggregates broadcast back onto the pair "
+    "stream; round(,9) absorbs libm/summation noise (t10's contract).",
+)
+def t21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg(-ln p(w|prev)) per doc under the corpus's own smoothed
+    bigram model."""
+    from ..functions.text import bigram_lm_score
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return bigram_lm_score(docs)

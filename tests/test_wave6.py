@@ -508,3 +508,37 @@ def test_schema_evolution_null_fill(spark, sf_dir):
     out = {r["schema_gen"]: r for r in src06_schema_evolution(spark, sf_dir).collect()}
     assert out[1]["n_typed"] == 0
     assert out[2]["n_typed"] == out[2]["n"] > 0
+
+
+# ---------------------------------------------------------------------------
+# t21: bigram-LM scoring
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_hand_case(spark):
+    """Two-doc corpus small enough to fold the Laplace model by hand."""
+    import math
+
+    from mxene_coin_cell_data_pipeline_spark.functions.text import bigram_lm_score
+
+    docs = _docs(spark, ["a b a b", "a b c"])
+    # pairs: d0 -> (a,b),(b,a),(a,b); d1 -> (a,b),(b,c)
+    # c2: (a,b)=3 (b,a)=1 (b,c)=1; heads: a=3, b=2; V = |{b,a,c}| = 3
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    p_ab = (3 + 1) / (3 + 3.0)
+    p_ba = (1 + 1) / (2 + 3.0)
+    p_bc = (1 + 1) / (2 + 3.0)
+    exp0 = round(-(math.log(p_ab) * 2 + math.log(p_ba)) / 3, 9)
+    exp1 = round(-(math.log(p_ab) + math.log(p_bc)) / 2, 9)
+    assert out[0]["n_bigrams"] == 3 and out[1]["n_bigrams"] == 2
+    assert abs(out[0]["score_neglogp"] - exp0) < 1e-9
+    assert abs(out[1]["score_neglogp"] - exp1) < 1e-9
+
+
+def test_bigram_lm_short_docs_drop(spark):
+    from mxene_coin_cell_data_pipeline_spark.functions.text import bigram_lm_score
+
+    docs = _docs(spark, ["solo", "", "two tokens"])
+    out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    assert set(out) == {2}
+    assert out[2]["n_bigrams"] == 1

@@ -29,6 +29,7 @@ WAVE6 = [
     "m09_avi_keyframes",
     "d19_containment_pairs",
     "src06_schema_evolution",
+    "t21_bigram_lm_score",
 ]
 
 

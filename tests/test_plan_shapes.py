@@ -235,3 +235,64 @@ def test_d05_verify_broadcasts_doc_sets(spark, sf_dir):
     above_verify = plan.split("array_intersect")[0]
     assert "HashAggregate" not in above_verify
     assert "SortMergeJoin" not in above_verify
+
+
+def test_t19_topk_uses_take_ordered(spark, sf_dir):
+    """BPE top-merges must plan its k-selection as
+    TakeOrderedAndProject, not a global sort of the pair aggregate."""
+    plan = _plan("t19_bpe_top_merges", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_t20_window_group_limit_and_two_exchanges(spark, sf_dir):
+    """The posting-list cap must push into WindowGroupLimit (per-group
+    top-k before the full sort materializes), and the whole plan needs
+    exactly two hash exchanges: the (token,doc) tf aggregate and the
+    token window — the final rollup reuses the window's partitioning."""
+    plan = _plan("t20_inverted_index", spark, sf_dir)
+    assert "WindowGroupLimit" in plan
+    hashex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hashex) == 2, hashex
+
+
+def test_s11_s12_pure_scan_no_exchange_no_join(spark, sf_dir):
+    """PQ assignment and the JL projection are pure scans: literal
+    codebooks/sign matrices, so no join and no hash exchange may
+    appear."""
+    for name in ("s11_pq_assign", "s12_random_projection"):
+        plan = _plan(name, spark, sf_dir)
+        assert "Join" not in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_d17_no_gram_self_join(spark, sf_dir):
+    """The duplicated-window rate must compute document frequency with
+    a window over the gram partitioning — never a gram-keyed
+    self-join (the quadratic-in-df trap)."""
+    plan = _plan("d17_window_duprate", spark, sf_dir)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_d19_broadcast_verify_no_candidate_aggregate(spark, sf_dir):
+    """Containment's verify must be the row-local broadcast
+    array_intersect: broadcast joins present, and no aggregate above
+    the candidate distinct (state stays O(docs), not O(cand))."""
+    plan = _plan("d19_containment_pairs", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # array_intersect must be computed in a Project, not fed from an
+    # aggregate keyed by the candidate pair
+    assert "array_intersect" in plan
+    assert not re.search(r"HashAggregate.*array_intersect", plan)
+
+
+def test_d18_probe_joins_on_band_bucket(spark, sf_dir):
+    """Incremental dedup's candidate stage must join corpus and batch
+    bands on (band, bucket) — a hash exchange keyed by band/bucket or
+    a broadcast, never a cartesian."""
+    plan = _plan("d18_incremental_dedup", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

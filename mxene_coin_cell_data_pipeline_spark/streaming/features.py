@@ -274,6 +274,7 @@ def stream_incremental_dedup(
     bucket_cap: int | None = None,
     hash_fn: str = "xxhash64",
     out_dir: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Streaming incremental MinHash dedup — d18's production twin as a
     genuine structured-streaming execution: new documents arrive on a
@@ -294,6 +295,14 @@ def stream_incremental_dedup(
     the stream starts and every micro-batch reuses them; per-batch work
     is O(batch docs), so an always-on ingest holds steady cost no
     matter how large the corpus grows.
+
+    ``checkpoint_dir`` makes the run RESTARTABLE: committed source
+    offsets ensure a stopped-and-restarted query resumes at the first
+    unprocessed file instead of re-probing (and re-appending) batches
+    already in the sink — the parquet append is NOT idempotent, so
+    exactly-once across restarts depends entirely on the checkpoint
+    (pinned by the recovery test in tests/test_wave6.py). Without it
+    the run is the single-shot harness path.
     """
     import tempfile
 
@@ -331,12 +340,14 @@ def stream_incremental_dedup(
                 hash_fn=hash_fn,
             ).write.mode("append").parquet(out_dir)
 
-        q = (
+        writer = (
             doc_stream.writeStream.foreachBatch(_probe)
             .outputMode("update")
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        q = writer.start()
         q.awaitTermination()
     finally:
         buckets.unpersist()

@@ -542,3 +542,64 @@ def test_bigram_lm_short_docs_drop(spark):
     out = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
     assert set(out) == {2}
     assert out[2]["n_bigrams"] == 1
+
+
+def test_stream_incremental_dedup_checkpoint_recovery(spark, tmp_path):
+    """st11's restart contract: a checkpointed run stopped mid-feed and
+    restarted must equal the uninterrupted batch answer exactly-once —
+    the parquet-append sink is NOT idempotent, so a duplicate-free
+    result proves committed offsets were honored."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        incremental_minhash_dedup,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+    from mxene_coin_cell_data_pipeline_spark.streaming.features import (
+        stream_incremental_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    feed = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def read_feed():
+        return (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    # phase 1: half the batch arrives; run to completion and "crash"
+    batch.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    time.sleep(1.05)  # distinct mtimes -> deterministic file order
+    stream_incremental_dedup(
+        read_feed(), corpus, bucket_cap=None, hash_fn="md5",
+        out_dir=out, checkpoint_dir=ckpt,
+    )
+    # phase 2: the rest arrives; restart against the SAME checkpoint
+    batch.filter(F.col("doc_id") % 10 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    got = sorted(
+        tuple(r)
+        for r in stream_incremental_dedup(
+            read_feed(), corpus, bucket_cap=None, hash_fn="md5",
+            out_dir=out, checkpoint_dir=ckpt,
+        ).collect()
+    )
+    expect = sorted(
+        tuple(r)
+        for r in incremental_minhash_dedup(
+            docs, batch_mod=5, bucket_cap=None, hash_fn="md5"
+        ).collect()
+    )
+    assert got == expect and got

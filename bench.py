@@ -129,6 +129,7 @@ EXTENDED = [
     "d19_containment_pairs",
     "src06_schema_evolution",
     "t21_bigram_lm_score",
+    "o17_merge_upsert",
 ]
 
 

@@ -155,6 +155,7 @@ _DRIVER_PREFIX = [
     "d19_containment_pairs",
     "src06_schema_evolution",
     "t21_bigram_lm_score",
+    "o17_merge_upsert",
     # — oracles changed this round —
     "d05_ngram_jaccard",
     "d06_near_dup_groups",

@@ -255,3 +255,105 @@ def t21_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return bigram_lm_score(docs)
+
+
+# ---------------------------------------------------------------------------
+# o17: MERGE upsert/delete (the lakehouse MERGE INTO shape)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "o17_merge_upsert",
+    """
+    WITH base AS (
+      SELECT user_id, value AS b_value, epoch_us(ts) AS b_ts_us
+      FROM (SELECT user_id, value, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-06-01')
+      WHERE rn = 1),
+    chg AS (
+      SELECT user_id, value AS c_value, epoch_us(ts) AS c_ts_us,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM (SELECT user_id, value, ts, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts >= TIMESTAMP '2024-06-01')
+      WHERE rn = 1)
+    SELECT coalesce(b.user_id, c.user_id) AS user_id,
+           CASE WHEN c.user_id IS NULL THEN b.b_value ELSE c.c_value END
+             AS value,
+           CASE WHEN c.user_id IS NULL THEN b.b_ts_us ELSE c.c_ts_us END
+             AS ts_us,
+           CASE WHEN c.user_id IS NULL THEN 'base'
+                WHEN b.user_id IS NULL THEN 'insert'
+                ELSE 'update' END AS src
+    FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+    survey="O-family completion: MERGE upsert/delete — the lakehouse "
+    "MERGE INTO shape (Delta/Iceberg's daily pattern): a per-key base "
+    "snapshot (last pre-cutoff state, deterministic ties by "
+    "(ts,event_id)) full-outer-merged with a change feed reduced to "
+    "last-writer-wins ops (last post-cutoff event per key; "
+    "event_type='error' plays the DELETE). Matched+op=U rewrites, "
+    "matched+op=D drops, unmatched change inserts, untouched base "
+    "survives — the full WHEN MATCHED/NOT MATCHED matrix in one "
+    "declarative plan. Both sides reduce per-key BEFORE the join "
+    "(max-by struct per key — map-side combining; the join carries one "
+    "row per key per side, never raw events), and the merge key "
+    "partitioning is exactly what a bucketed 100 TB base table "
+    "pre-provides, so at scale the join is co-located and only the "
+    "(small) change feed shuffles; AQE's skew split covers hot keys.",
+)
+def o17_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base snapshot + change feed -> merged state (upsert/delete,
+    last-writer-wins)."""
+    (ev,) = _ctx(spark, sf_dir, "events")
+    cutoff = F.lit("2024-06-01").cast("timestamp")
+    pick = F.max(
+        F.struct("ts", "event_id", "value", "event_type")
+    ).alias("_last")
+    base = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(pick)
+        .select(
+            "user_id",
+            F.col("_last.value").alias("b_value"),
+            F.unix_micros("_last.ts").alias("b_ts_us"),
+            # explicit presence marker: NULL-valued base columns must
+            # not read as "no base row" after the outer join
+            F.lit(1).alias("b_present"),
+        )
+    )
+    chg = (
+        ev.filter(F.col("ts") >= cutoff)
+        .groupBy("user_id")
+        .agg(pick)
+        .select(
+            "user_id",
+            F.col("_last.value").alias("c_value"),
+            F.unix_micros("_last.ts").alias("c_ts_us"),
+            F.when(F.col("_last.event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    b, c = base.alias("b"), chg.alias("c")
+    merged = b.join(c, "user_id", "full_outer")
+    return merged.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "user_id",
+        F.when(F.col("op").isNull(), F.col("b_value"))
+        .otherwise(F.col("c_value"))
+        .alias("value"),
+        F.when(F.col("op").isNull(), F.col("b_ts_us"))
+        .otherwise(F.col("c_ts_us"))
+        .alias("ts_us"),
+        F.when(F.col("op").isNull(), "base")
+        .when(F.col("b_present").isNull(), "insert")
+        .otherwise("update")
+        .alias("src"),
+    )

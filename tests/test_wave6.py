@@ -603,3 +603,43 @@ def test_stream_incremental_dedup_checkpoint_recovery(spark, tmp_path):
         ).collect()
     )
     assert got == expect and got
+
+
+# ---------------------------------------------------------------------------
+# o17: MERGE upsert/delete
+# ---------------------------------------------------------------------------
+
+
+def test_merge_upsert_hand_case(spark):
+    """Full WHEN MATCHED/NOT MATCHED matrix on four hand-built users:
+    untouched base, matched update, matched delete, unmatched insert."""
+    import datetime
+
+    from mxene_coin_cell_data_pipeline_spark.plans.q_extensions7 import (
+        o17_merge_upsert,
+    )
+    from mxene_coin_cell_data_pipeline_spark.plans._registry import QUERIES
+
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, datetime.datetime(2024, 1, 1), 10, "click", 1.0),   # base only
+        (2, datetime.datetime(2024, 1, 2), 20, "click", 2.0),   # base...
+        (3, datetime.datetime(2024, 7, 1), 20, "view", 2.5),    # ...updated
+        (4, datetime.datetime(2024, 1, 3), 30, "click", 3.0),   # base...
+        (5, datetime.datetime(2024, 7, 2), 30, "error", 0.0),   # ...deleted
+        (6, datetime.datetime(2024, 7, 3), 40, "signup", 4.0),  # insert
+        # last-writer-wins inside the change feed: the late error wins
+        (7, datetime.datetime(2024, 7, 4), 50, "view", 5.0),
+        (8, datetime.datetime(2024, 7, 5), 50, "error", 0.0),   # -> deleted
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    import tempfile, os
+    sf = tempfile.mkdtemp(prefix="o17_")
+    ev.write.parquet(os.path.join(sf, "events.parquet"))
+    out = {r["user_id"]: r for r in QUERIES["o17_merge_upsert"].spark(spark, sf).collect()}
+    assert set(out) == {10, 20, 40}
+    assert out[10]["src"] == "base" and out[10]["value"] == 1.0
+    assert out[20]["src"] == "update" and out[20]["value"] == 2.5
+    assert out[40]["src"] == "insert" and out[40]["value"] == 4.0

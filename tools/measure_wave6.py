@@ -30,6 +30,7 @@ WAVE6 = [
     "d19_containment_pairs",
     "src06_schema_evolution",
     "t21_bigram_lm_score",
+    "o17_merge_upsert",
 ]
 
 

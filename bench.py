@@ -191,11 +191,31 @@ def _bench_only() -> dict:
         docs = load_table(spark, sf_dir, "documents")
         return hashed_features(docs, n_dims=256)
 
+    def d17_xxh(spark, sf_dir):
+        from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+            window_dup_rate,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        # production knob: 8-byte gram hash on the wire, not the string
+        return window_dup_rate(docs, k=8, gram_key="xxhash64")
+
+    def d18_xxh(spark, sf_dir):
+        from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+            incremental_minhash_dedup,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        # library defaults: hash_fn="xxhash64", corpus bucket_cap=64
+        return incremental_minhash_dedup(docs, batch_mod=5, threshold=0.8)
+
     return {
         "d02_minhash_lsh_xxh": d02_xxh,
         "d06_near_dup_groups_xxh": d06_xxh,
         "a28_countmin_freq_xxh": a28_xxh,
         "t11_feature_hashing_xxh": t11_xxh,
+        "d17_window_duprate_xxh": d17_xxh,
+        "d18_incremental_dedup_xxh": d18_xxh,
     }
 
 

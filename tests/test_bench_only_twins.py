@@ -30,6 +30,8 @@ def test_bench_only_twins_run_and_match_sibling_schemas(spark, sf_dir):
         "d06_near_dup_groups_xxh",
         "a28_countmin_freq_xxh",
         "t11_feature_hashing_xxh",
+        "d17_window_duprate_xxh",
+        "d18_incremental_dedup_xxh",
     }
     # exact expected column sets per twin — a twin drifting to another
     # query's shape must FAIL here, so no disjunctions
@@ -42,6 +44,12 @@ def test_bench_only_twins_run_and_match_sibling_schemas(spark, sf_dir):
         "t11_feature_hashing_xxh": set(
             QUERIES["t11_feature_hashing"].spark(spark, sf_dir).columns
         ),
+        "d17_window_duprate_xxh": {
+            "doc_id", "n_windows", "n_dup_windows", "dup_frac"
+        },
+        "d18_incremental_dedup_xxh": {
+            "batch_doc", "n_matches", "first_match", "max_jaccard_nanos"
+        },
     }
     for name, fn in twins.items():
         df = fn(spark, sf_dir)

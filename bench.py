@@ -130,6 +130,7 @@ EXTENDED = [
     "src06_schema_evolution",
     "t21_bigram_lm_score",
     "o17_merge_upsert",
+    "j14_dynamic_partition_pruning",
 ]
 
 

@@ -156,6 +156,7 @@ _DRIVER_PREFIX = [
     "src06_schema_evolution",
     "t21_bigram_lm_score",
     "o17_merge_upsert",
+    "j14_dynamic_partition_pruning",
     # — oracles changed this round —
     "d05_ngram_jaccard",
     "d06_near_dup_groups",

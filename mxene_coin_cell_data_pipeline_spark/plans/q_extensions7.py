@@ -357,3 +357,71 @@ def o17_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("src"),
     )
+
+
+# ---------------------------------------------------------------------------
+# j14: dynamic partition pruning (runtime dim-filter -> fact scan prune)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "j14_dynamic_partition_pruning",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE event_type IN ('click', 'purchase')),
+    fact AS (SELECT event_type, user_id, value FROM events)
+    SELECT f.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(f.value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_value_micro
+    FROM fact f JOIN dim d ON d.event_type = f.event_type
+    GROUP BY f.event_type
+    """,
+    survey="J-family completion: DYNAMIC partition pruning — the fact "
+    "side is written hive-partitioned by event_type and joined to a "
+    "FILTERED dim whose qualifying keys are only known at runtime, so "
+    "Catalyst injects a dynamicpruning subquery into the fact scan's "
+    "partition filters: the broadcast of the dim side doubles as the "
+    "list of partitions the fact scan is allowed to LIST. src05 pins "
+    "the static cousin (a literal predicate in PartitionFilters); this "
+    "is the shape that matters on a 100 TB star schema, where the "
+    "pruning predicate comes from a dimension filter, not a literal — "
+    "without DPP the fact scan reads every partition and the join "
+    "discards 3/5 of the I/O after the fact. The plan-shape test pins "
+    "the dynamicpruning expression in the scan.",
+    note="The dim is derived from the same events table (DISTINCT "
+    "event_type under an IN filter) so the oracle needs no second "
+    "table; Spark sees it as a genuine runtime-valued relation.",
+)
+def j14_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned fact ⋈ filtered dim with runtime partition
+    pruning, proven by aggregate equality vs the unpartitioned oracle."""
+    import os
+    import tempfile
+
+    (events,) = _ctx(spark, sf_dir, "events")
+    tmp = os.path.join(tempfile.mkdtemp(prefix="j14_"), "events_part")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    fact = spark.read.parquet(tmp)
+    dim = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type")
+        .distinct()
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sum_value_micro"),
+        )
+    )

@@ -296,3 +296,11 @@ def test_d18_probe_joins_on_band_bucket(spark, sf_dir):
     plan = _plan("d18_incremental_dedup", spark, sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_j14_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
+    """The hive-partitioned fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters — the runtime dim-filter prune
+    (src05 pins the static cousin)."""
+    plan = _plan("j14_dynamic_partition_pruning", spark, sf_dir)
+    assert "dynamicpruning" in plan

@@ -31,6 +31,7 @@ WAVE6 = [
     "src06_schema_evolution",
     "t21_bigram_lm_score",
     "o17_merge_upsert",
+    "j14_dynamic_partition_pruning",
 ]
 
 

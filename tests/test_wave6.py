@@ -643,3 +643,45 @@ def test_merge_upsert_hand_case(spark):
     assert out[10]["src"] == "base" and out[10]["value"] == 1.0
     assert out[20]["src"] == "update" and out[20]["value"] == 2.5
     assert out[40]["src"] == "insert" and out[40]["value"] == 4.0
+
+
+def test_window_dup_rate_differential_random_corpora(spark):
+    """Seeded random corpora (tiny alphabet to force collisions) vs a
+    pure-python reference of the d17 semantics — one Spark job per
+    corpus keeps the suite fast (the test_properties.py discipline)."""
+    import random
+
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import window_dup_rate
+
+    k = 3
+    for seed in (7, 13, 99):
+        rng = random.Random(seed)
+        corpus = [
+            " ".join(
+                rng.choice("ab cd ef gh ij".split())
+                for _ in range(rng.randint(0, 12))
+            )
+            for _ in range(25)
+        ]
+        # pure-python reference
+        grams: dict[int, list[tuple]] = {}
+        for i, text in enumerate(corpus):
+            toks = text.split()
+            grams[i] = [
+                tuple(toks[p : p + k]) for p in range(len(toks) - k + 1)
+            ]
+        docs_of = {}
+        for i, gs in grams.items():
+            for g in set(gs):
+                docs_of.setdefault(g, set()).add(i)
+        expect = {}
+        for i, gs in grams.items():
+            if not gs:
+                continue
+            dup = sum(1 for g in gs if len(docs_of[g]) >= 2)
+            expect[i] = (len(gs), dup)
+        got = {
+            r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+            for r in window_dup_rate(_docs(spark, corpus), k=k).collect()
+        }
+        assert got == expect, f"seed {seed}"

@@ -131,6 +131,7 @@ EXTENDED = [
     "t21_bigram_lm_score",
     "o17_merge_upsert",
     "j14_dynamic_partition_pruning",
+    "m10_image_ahash_neardup",
 ]
 
 

@@ -681,6 +681,32 @@ def simhash_hamming_pairs(
     ``bucket_cap=None`` opts out into the exact all-pairs shape (the
     d09 oracle does).
     """
+    return hamming_pairs_from_bits(
+        simhash(docs, text_col, bits=bits),
+        bits_col="simhash_bits",
+        bits=bits,
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        bucket_cap=bucket_cap,
+    )
+
+
+def hamming_pairs_from_bits(
+    fps: DataFrame,
+    bits_col: str = "simhash_bits",
+    bits: int = SIMHASH_BITS,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """The pigeonhole band join + bit_count(xor) refine over ANY
+    (doc_id, bit-string) fingerprint relation — extracted verbatim
+    from ``simhash_hamming_pairs`` (which now delegates here) so other
+    fingerprint families reuse the exact verified machinery: m10 feeds
+    it image aHash bits, d09/d13 the text SimHash. Semantics, bounds
+    and the ``bucket_cap`` star-edge guard are documented on
+    ``simhash_hamming_pairs``.
+    """
     if max_hamming >= n_bands:
         raise ValueError("guaranteed recall needs max_hamming < n_bands")
     if bits % n_bands:
@@ -689,19 +715,19 @@ def simhash_hamming_pairs(
     n_words = (bits + 31) // 32
     word_cols = [f"_w{i}" for i in range(n_words)]
     words = [
-        F.conv(F.substring("simhash_bits", i * 32 + 1, min(32, bits - i * 32)), 2, 10)
+        F.conv(F.substring(bits_col, i * 32 + 1, min(32, bits - i * 32)), 2, 10)
         .cast("long")
         .alias(word_cols[i])
         for i in range(n_words)
     ]
-    sh = simhash(docs, text_col, bits=bits).select("doc_id", "simhash_bits", *words)
+    sh = fps.select("doc_id", bits_col, *words)
     bands = sh.select(
         "doc_id",
         *word_cols,
         F.posexplode(
             F.array(
                 *[
-                    F.substring("simhash_bits", j * band_w + 1, band_w)
+                    F.substring(bits_col, j * band_w + 1, band_w)
                     for j in range(n_bands)
                 ]
             )

@@ -801,3 +801,91 @@ def avi_keyframes(docs: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
 
     return docs.select(*cols).mapInPandas(batches, schema=KEYFRAME_SCHEMA)
+
+
+def with_ppm_pair_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Sibling-pair variant of ``with_ppm_payload`` for the image
+    NEAR-DUP path: image content is keyed by ``g = doc_id // 2`` (so
+    consecutive even/odd ids carry the same picture) and the odd
+    sibling perturbs sample 0 by +1 mod 256 — a one-channel
+    single-pixel edit, the canonical near-duplicate. Every byte stays
+    SQL-derivable: sample k = first byte of ``md5("{g}:{k}")`` (+1 for
+    odd ids at k=0), dimensions ``w = 3 + g%6``, ``h = 2 + g%4``."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                g = did // 2
+                w = 3 + g % 6
+                h = 2 + g % 4
+                vals = [
+                    int(hashlib.md5(f"{g}:{k}".encode()).hexdigest()[:2], 16)
+                    for k in range(3 * w * h)
+                ]
+                if did % 2 == 1:
+                    vals[0] = (vals[0] + 1) % 256
+                txt = (
+                    f"P3\n# id {did}\n{w} {h}\n255\n"
+                    + " ".join(map(str, vals))
+                    + "\n"
+                )
+                payloads.append(txt.encode("ascii"))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+def ahash_ppm(payload: bytes) -> str:
+    """64-bit average-hash (aHash) of a PPM image: genuinely parse the
+    container, nearest-neighbor sample an 8×8 grid (source pixel of
+    cell (r,c) is ``(r*h//8, c*w//8)`` — the ``resize_ppm_nn`` index
+    rule), take each cell's integer Rec.601 luma (299R+587G+114B, no
+    floats), and set bit (r,c) when the cell exceeds the grid mean —
+    compared exactly as ``64·cell > Σcells`` so the threshold is pure
+    integer arithmetic and engine-reproducible."""
+    w, h, _maxval, vals = parse_ppm(payload)
+    lum = [
+        299 * vals[3 * p] + 587 * vals[3 * p + 1] + 114 * vals[3 * p + 2]
+        for p in range(w * h)
+    ]
+    cells = [
+        lum[(r * h // 8) * w + (c * w // 8)] for r in range(8) for c in range(8)
+    ]
+    total = sum(cells)
+    return "".join("1" if 64 * cl > total else "0" for cl in cells)
+
+
+#: output schema of ahash_bits — one fingerprint row per payload
+AHASH_SCHEMA = "doc_id long, ahash_bits string"
+
+
+def ahash_bits(docs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-image aHash fingerprints (``ahash_ppm``) under Arrow-batched
+    mapInPandas — same error contract as the other codec kernels (NULL
+    payload → no row, non-PPM magic → no row, malformed raises). The
+    (doc_id, 64-char bit string) output feeds
+    ``dedup.hamming_pairs_from_bits`` for the image near-dup band
+    join — the d09 machinery pointed at pictures instead of text."""
+    cols = ["doc_id", payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    bits = ahash_ppm(bytes(payload))
+                except NotImplementedError:
+                    continue
+                out.append((doc_id, bits))
+            yield pd.DataFrame(out, columns=["doc_id", "ahash_bits"])
+
+    return docs.select(*cols).mapInPandas(batches, schema=AHASH_SCHEMA)

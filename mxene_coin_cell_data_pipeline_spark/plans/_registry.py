@@ -157,6 +157,7 @@ _DRIVER_PREFIX = [
     "t21_bigram_lm_score",
     "o17_merge_upsert",
     "j14_dynamic_partition_pruning",
+    "m10_image_ahash_neardup",
     # — oracles changed this round —
     "d05_ngram_jaccard",
     "d06_near_dup_groups",

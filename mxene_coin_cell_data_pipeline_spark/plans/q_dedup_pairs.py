@@ -193,11 +193,19 @@ def d09_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _d09_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4) -> str:
+def _d09_oracle(
+    bits: int = SIMHASH_BITS, n_bands: int = 4, sh_sql: str | None = None
+) -> str:
     """Pigeonhole band join over the ``bits``-wide fingerprint, hamming
     refined via 32-bit fingerprint words (matches the Spark plan — no
-    signed-int64 overflow at any width)."""
-    sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
+    signed-int64 overflow at any width).
+
+    ``sh_sql``: SQL producing (doc_id, simhash_bits) — defaults to
+    d03's SimHash; m10 passes its image-aHash derivation instead (the
+    template mirrors ``dedup.hamming_pairs_from_bits``, which both
+    engines' queries share)."""
+    if sh_sql is None:
+        sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
     band_w = bits // n_bands
     n_words = (bits + 31) // 32
     word_exprs = []

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ._registry import _ctx, _register
+from ._registry import QUERIES, _ctx, _register
 
 # ---------------------------------------------------------------------------
 # m09: AVI keyframe detection
@@ -425,3 +425,92 @@ def j14_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("sum_value_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# m10: image near-dup via aHash + hamming band join
+# ---------------------------------------------------------------------------
+
+#: (doc_id, simhash_bits) derivation of the image aHash from the md5
+#: sample stream — content keyed by g = doc_id // 2, odd siblings
+#: perturb sample 0 by +1 mod 256 (with_ppm_pair_payload's rule), NN
+#: 8x8 grid via integer division (resize_ppm_nn's index rule), bit =
+#: 64*cell_luma > total. Aliased simhash_bits for the shared d09
+#: band/refine template.
+_M10_BITS_SQL = """
+    SELECT bb.doc_id, bb.b AS simhash_bits FROM (
+      WITH d AS (SELECT doc_id, doc_id // 2 AS g,
+                        3 + (doc_id // 2) % 6 AS w,
+                        2 + (doc_id // 2) % 4 AS h
+                 FROM documents),
+      s AS (SELECT d.doc_id, d.w, d.h, u.k,
+                   ((strpos('0123456789abcdef',
+                            substr(md5(CAST(d.g AS VARCHAR) || ':'
+                                       || CAST(u.k AS VARCHAR)), 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                              substr(md5(CAST(d.g AS VARCHAR) || ':'
+                                         || CAST(u.k AS VARCHAR)), 2, 1)) - 1)
+                    + CASE WHEN d.doc_id % 2 = 1 AND u.k = 0
+                           THEN 1 ELSE 0 END) % 256 AS v
+            FROM d, LATERAL (SELECT unnest(generate_series(0, 3*d.w*d.h - 1))
+                             AS k) u),
+      pix AS (SELECT doc_id, w, h, k // 3 AS p,
+                     sum(CASE WHEN k % 3 = 0 THEN 299 * v
+                              WHEN k % 3 = 1 THEN 587 * v
+                              ELSE 114 * v END) AS luma
+              FROM s GROUP BY doc_id, w, h, k // 3),
+      cells AS (SELECT p1.doc_id, rr.r, cc.c, p2.luma
+                FROM (SELECT DISTINCT doc_id, w, h FROM pix) p1,
+                     (SELECT unnest(generate_series(0, 7)) AS r) rr,
+                     (SELECT unnest(generate_series(0, 7)) AS c) cc
+                JOIN pix p2 ON p2.doc_id = p1.doc_id
+                           AND p2.p = (rr.r * p1.h // 8) * p1.w
+                                      + (cc.c * p1.w // 8)),
+      tot AS (SELECT doc_id, sum(luma) AS t FROM cells GROUP BY doc_id)
+      SELECT c.doc_id,
+             string_agg(CASE WHEN 64 * c.luma > t.t THEN '1' ELSE '0' END,
+                        '' ORDER BY c.r, c.c) AS b
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id) bb
+"""
+
+
+@_register(
+    "m10_image_ahash_neardup",
+    None,  # assigned below via the shared d09 band/refine template
+    survey="north-star multimodal completion: IMAGE near-dup — 64-bit "
+    "average-hash (aHash) fingerprints computed from genuinely parsed "
+    "PPM containers (NN 8×8 grid by resize_ppm_nn's integer index "
+    "rule, integer Rec.601 luma, bit = 64·cell > Σcells so the "
+    "threshold is exact integer arithmetic), then the d09 pigeonhole "
+    "band join + bit_count(xor) hamming refine over the SAME "
+    "hamming_pairs_from_bits machinery the text SimHash path uses — "
+    "perceptual image dedup as a composition of two already-verified "
+    "legs. Sibling payloads (content keyed by doc_id//2, odd ids "
+    "perturb one channel of one pixel) plant genuine near-duplicates "
+    "so the compare is non-vacuous at every SF; the oracle re-derives "
+    "every sample byte, the NN grid, the integer threshold, and the "
+    "band/refine from the md5 stream.",
+    note="bucket_cap=None: the shared oracle template defines all-pairs "
+    "band-join semantics (the d09 discipline); the library default is "
+    "star-capped.",
+)
+def m10_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aHash fingerprints of sibling-pair PPM images -> hamming ≤ 3
+    pairs via the pigeonhole band join."""
+    from ..functions.dedup import hamming_pairs_from_bits
+    from ..functions.multimodal import ahash_bits, with_ppm_pair_payload
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    fps = ahash_bits(with_ppm_pair_payload(docs.select("doc_id")))
+    return hamming_pairs_from_bits(
+        fps, bits_col="ahash_bits", bits=64, max_hamming=3, n_bands=4,
+        bucket_cap=None,
+    )
+
+
+from .q_dedup_pairs import _d09_oracle  # noqa: E402
+
+QUERIES["m10_image_ahash_neardup"].oracle = _d09_oracle(
+    bits=64, n_bands=4, sh_sql=_M10_BITS_SQL
+)

@@ -685,3 +685,67 @@ def test_window_dup_rate_differential_random_corpora(spark):
             for r in window_dup_rate(_docs(spark, corpus), k=k).collect()
         }
         assert got == expect, f"seed {seed}"
+
+
+# ---------------------------------------------------------------------------
+# m10: image aHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_matches_hand_computation(spark):
+    """aHash bits recomputed by hand from the md5 sample rule for a few
+    sibling pairs; every even/odd sibling pair must be within hamming 3
+    (one-channel one-pixel edit) and appear in the pair output."""
+    import hashlib
+
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        hamming_pairs_from_bits,
+    )
+    from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+        ahash_bits,
+        with_ppm_pair_payload,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    fps = {
+        r["doc_id"]: r["ahash_bits"]
+        for r in ahash_bits(with_ppm_pair_payload(docs)).collect()
+    }
+
+    def hand(did):
+        g = did // 2
+        w, h = 3 + g % 6, 2 + g % 4
+        vals = [
+            int(hashlib.md5(f"{g}:{k}".encode()).hexdigest()[:2], 16)
+            for k in range(3 * w * h)
+        ]
+        if did % 2 == 1:
+            vals[0] = (vals[0] + 1) % 256
+        lum = [
+            299 * vals[3 * p] + 587 * vals[3 * p + 1] + 114 * vals[3 * p + 2]
+            for p in range(w * h)
+        ]
+        cells = [
+            lum[(r * h // 8) * w + (c * w // 8)]
+            for r in range(8)
+            for c in range(8)
+        ]
+        t = sum(cells)
+        return "".join("1" if 64 * cl > t else "0" for cl in cells)
+
+    for did in range(12):
+        assert fps[did] == hand(did), did
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_pairs_from_bits(
+            ahash_bits(with_ppm_pair_payload(docs)),
+            bits_col="ahash_bits",
+            bucket_cap=None,
+        ).collect()
+    }
+    for g in range(6):
+        a, b = 2 * g, 2 * g + 1
+        ham = sum(x != y for x, y in zip(fps[a], fps[b]))
+        if ham <= 3:
+            assert (a, b) in pairs and pairs[(a, b)] == ham
+    assert pairs, "sibling perturbation must leave some hamming<=3 pairs"

@@ -32,6 +32,7 @@ WAVE6 = [
     "t21_bigram_lm_score",
     "o17_merge_upsert",
     "j14_dynamic_partition_pruning",
+    "m10_image_ahash_neardup",
 ]
 
 

@@ -500,9 +500,19 @@ def m10_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs via the pigeonhole band join."""
     from ..functions.dedup import hamming_pairs_from_bits
     from ..functions.multimodal import ahash_bits, with_ppm_pair_payload
+    from ..sources.tables import scale_out
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    fps = ahash_bits(with_ppm_pair_payload(docs.select("doc_id")))
+    # scale_out HERE, unlike m05/m07/m08 (their kernels are the whole
+    # query, cheap enough to amortize one task at the tested corpora):
+    # m10 pays ~60 ASCII int parses per image TWICE (generator + hash)
+    # and then feeds a join — on the driver's single-row-group 100x
+    # layout the unbalanced form ran ONE task for ~20 min before the
+    # band join even started (measured, killed); rebalanced it tracks
+    # the other codec kernels
+    fps = ahash_bits(
+        with_ppm_pair_payload(scale_out(docs.select("doc_id"), "doc_id"))
+    )
     return hamming_pairs_from_bits(
         fps, bits_col="ahash_bits", bits=64, max_hamming=3, n_bands=4,
         bucket_cap=None,

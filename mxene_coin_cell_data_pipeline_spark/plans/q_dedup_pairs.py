@@ -332,9 +332,23 @@ QUERIES["d14_star_cap_groups"].oracle = _closure_audit_oracle(
 )
 
 
-def _d13_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4, cap: int = 2) -> str:
-    """d09's pigeonhole band join with the per-bucket star cap."""
-    sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
+def _d13_oracle(
+    bits: int = SIMHASH_BITS,
+    n_bands: int = 4,
+    cap: int = 2,
+    sh_sql: str | None = None,
+    max_hamming: int = 3,
+) -> str:
+    """d09's pigeonhole band join with the per-bucket star cap.
+
+    ``sh_sql``: SQL producing (doc_id, simhash_bits) — defaults to
+    d03's SimHash; m10 passes its image-aHash derivation (whose
+    low-entropy bands are exactly why IT must register the capped
+    form: small images replicate pixels across the 8×8 grid, band
+    values concentrate, and the uncapped join shuffle measured its
+    way into disk exhaustion at 100×)."""
+    if sh_sql is None:
+        sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
     band_w = bits // n_bands
     n_words = (bits + 31) // 32
     word_exprs = []
@@ -374,7 +388,7 @@ def _d13_oracle(bits: int = SIMHASH_BITS, n_bands: int = 4, cap: int = 2) -> str
              FROM pairs p JOIN v va ON va.doc_id = p.doc_a
                           JOIN v vb ON vb.doc_id = p.doc_b)
     SELECT doc_a, doc_b, {ham} AS hamming
-    FROM cand WHERE {ham} <= 3
+    FROM cand WHERE {ham} <= {max_hamming}
     """
 
 

@@ -491,9 +491,15 @@ _M10_BITS_SQL = """
     "so the compare is non-vacuous at every SF; the oracle re-derives "
     "every sample byte, the NN grid, the integer threshold, and the "
     "band/refine from the md5 stream.",
-    note="bucket_cap=None: the shared oracle template defines all-pairs "
-    "band-join semantics (the d09 discipline); the library default is "
-    "star-capped.",
+    note="REGISTERED CAPPED (bucket_cap=64, the library default, d13's "
+    "star-cap oracle template) — unlike d09's text SimHash, aHash bands "
+    "on small images are LOW-ENTROPY (the 8×8 NN grid replicates "
+    "source pixels, so band values concentrate far below 2^16): the "
+    "uncapped band join was measured at 100× shuffling its way into "
+    "disk exhaustion (841s, killed by the sweep harness), the exact "
+    "quadratic trap the star cap exists for. Same output on every "
+    "corpus whose buckets stay under the cap (sf0.001 identity pinned "
+    "by test).",
 )
 def m10_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """aHash fingerprints of sibling-pair PPM images -> hamming ≤ 3
@@ -515,12 +521,12 @@ def m10_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hamming_pairs_from_bits(
         fps, bits_col="ahash_bits", bits=64, max_hamming=3, n_bands=4,
-        bucket_cap=None,
+        bucket_cap=64,
     )
 
 
-from .q_dedup_pairs import _d09_oracle  # noqa: E402
+from .q_dedup_pairs import _d13_oracle  # noqa: E402
 
-QUERIES["m10_image_ahash_neardup"].oracle = _d09_oracle(
-    bits=64, n_bands=4, sh_sql=_M10_BITS_SQL
+QUERIES["m10_image_ahash_neardup"].oracle = _d13_oracle(
+    bits=64, n_bands=4, cap=64, sh_sql=_M10_BITS_SQL
 )

@@ -749,3 +749,34 @@ def test_ahash_matches_hand_computation(spark):
         if ham <= 3:
             assert (a, b) in pairs and pairs[(a, b)] == ham
     assert pairs, "sibling perturbation must leave some hamming<=3 pairs"
+
+
+def test_m10_capped_equals_uncapped_on_small_buckets(spark):
+    """The registered capped form (bucket_cap=64, the 100x-survivable
+    shape — aHash bands are low-entropy on small images) must be
+    IDENTICAL to the uncapped all-pairs form wherever buckets stay
+    under the cap, which sf0.001's corpus does."""
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        hamming_pairs_from_bits,
+    )
+    from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+        ahash_bits,
+        with_ppm_pair_payload,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fps = ahash_bits(with_ppm_pair_payload(docs.select("doc_id")))
+    capped = sorted(
+        tuple(r)
+        for r in hamming_pairs_from_bits(
+            fps, bits_col="ahash_bits", bucket_cap=64
+        ).collect()
+    )
+    uncapped = sorted(
+        tuple(r)
+        for r in hamming_pairs_from_bits(
+            fps, bits_col="ahash_bits", bucket_cap=None
+        ).collect()
+    )
+    assert capped == uncapped and capped

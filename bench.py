@@ -132,6 +132,7 @@ EXTENDED = [
     "o17_merge_upsert",
     "j14_dynamic_partition_pruning",
     "m10_image_ahash_neardup",
+    "t22_token_drift",
 ]
 
 

@@ -698,3 +698,63 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.avg(-F.log(p)), 9).alias("score_neglogp"),
         )
     )
+
+
+def token_drift_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    split_col: str = "doc_id",
+    split_mod: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Token-distribution DRIFT monitor: the top-``k`` tokens by
+    smoothed KL-divergence contribution between two corpus splits
+    (reference = ``split_col % split_mod == 0``, candidate = the rest).
+    Each token scores ``p·ln(p/q)`` with Laplace-smoothed unigram
+    probabilities p (reference) and q (candidate) over the SHARED
+    vocabulary (V = distinct tokens across both splits, so both
+    distributions are defined everywhere and the contribution is
+    finite) — the statistic drift dashboards threshold to catch a
+    crawl source going off-distribution before it poisons a training
+    mix. Positive contributions = tokens over-represented in the
+    reference relative to the candidate; the sum over the vocabulary
+    would be the (smoothed) KL(p‖q).
+
+    Scale design: ONE corpus-sized pass — the (token, split) counts
+    aggregate with map-side combining — then everything operates on
+    the vocabulary (Heaps-law sublinear): the scalar totals broadcast
+    back as a single row, the per-token score is row-local arithmetic,
+    and the top-k is a TakeOrderedAndProject. Returns (rank, token,
+    n_ref, n_cand, kl_nano) with the score as exact round(·1e9) int64
+    (values O(1e-3); the ln rides the t10 rounding contract).
+    """
+    toks = docs.select(
+        (F.col(split_col) % split_mod == 0).alias("_ref"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("_ref"), 0).otherwise(1)).alias("n_cand"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("_nr"),
+        F.sum("n_cand").cast("double").alias("_nc"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("_nr") + F.col("_v"))
+    q = (F.col("n_cand") + 1).cast("double") / (F.col("_nc") + F.col("_v"))
+    scored = counts.join(F.broadcast(tot)).select(
+        "token",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.round((p * F.log(p / q)) * 1e9).cast("long").alias("kl_nano"),
+    )
+    topk = scored.orderBy(F.col("kl_nano").desc(), "token").limit(k)
+    rw = Window.orderBy(F.col("kl_nano").desc(), "token")
+    return topk.select(
+        F.row_number().over(rw).cast("long").alias("rank"),
+        "token",
+        "n_ref",
+        "n_cand",
+        "kl_nano",
+    )

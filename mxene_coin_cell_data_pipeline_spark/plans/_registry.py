@@ -158,6 +158,7 @@ _DRIVER_PREFIX = [
     "o17_merge_upsert",
     "j14_dynamic_partition_pruning",
     "m10_image_ahash_neardup",
+    "t22_token_drift",
     # — oracles changed this round —
     "d05_ngram_jaccard",
     "d06_near_dup_groups",

@@ -530,3 +530,59 @@ from .q_dedup_pairs import _d13_oracle  # noqa: E402
 QUERIES["m10_image_ahash_neardup"].oracle = _d13_oracle(
     bits=64, n_bands=4, cap=64, sh_sql=_M10_BITS_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# t22: token-distribution drift monitor (smoothed KL contributions)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "t22_token_drift",
+    """
+    WITH toks AS (
+      SELECT doc_id % 2 = 0 AS is_ref,
+             u.tok AS token
+      FROM documents,
+           LATERAL (SELECT unnest(regexp_extract_all(lower(text),
+                    '[a-z0-9]+')) AS tok) u),
+    counts AS (SELECT token,
+                      sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+                      sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_cand
+               FROM toks GROUP BY token),
+    tot AS (SELECT sum(n_ref)::DOUBLE AS nr, sum(n_cand)::DOUBLE AS nc,
+                   count(*)::DOUBLE AS v
+            FROM counts),
+    scored AS (
+      SELECT c.token,
+             CAST(c.n_ref AS BIGINT) AS n_ref,
+             CAST(c.n_cand AS BIGINT) AS n_cand,
+             CAST(round(((c.n_ref + 1)::DOUBLE / (t.nr + t.v))
+                  * ln(((c.n_ref + 1)::DOUBLE / (t.nr + t.v))
+                       / ((c.n_cand + 1)::DOUBLE / (t.nc + t.v)))
+                  * 1e9) AS BIGINT) AS kl_nano
+      FROM counts c CROSS JOIN tot t)
+    SELECT CAST(row_number() OVER (ORDER BY kl_nano DESC, token) AS BIGINT)
+             AS rank,
+           token, n_ref, n_cand, kl_nano
+    FROM scored ORDER BY kl_nano DESC, token LIMIT 20
+    """,
+    survey="north-star text completion: token-distribution DRIFT "
+    "monitor — top-20 tokens by Laplace-smoothed KL contribution "
+    "p·ln(p/q) between a reference split (doc_id%2==0) and a candidate "
+    "split, over the shared vocabulary so every contribution is "
+    "finite. The drift dashboard every continuously-fed training mix "
+    "needs: a crawl source going off-distribution surfaces as "
+    "over/under-represented tokens long before eval regressions. One "
+    "corpus pass (map-side-combining (token,split) counts), then "
+    "vocab-sized row-local math against a broadcast scalar row and a "
+    "TakeOrderedAndProject top-k; score emitted as exact "
+    "round(·1e9) int64 under the t10 ln-rounding contract.",
+)
+def t22_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 smoothed KL-contribution tokens between the two corpus
+    halves."""
+    from ..functions.text import token_drift_topk
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return token_drift_topk(docs, split_mod=2, k=20)

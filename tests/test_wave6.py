@@ -780,3 +780,36 @@ def test_m10_capped_equals_uncapped_on_small_buckets(spark):
         ).collect()
     )
     assert capped == uncapped and capped
+
+
+# ---------------------------------------------------------------------------
+# t22: token drift
+# ---------------------------------------------------------------------------
+
+
+def test_token_drift_hand_case(spark):
+    """Hand-foldable two-split corpus: the planted ref-only token must
+    rank first with exactly the smoothed p*ln(p/q) nanos."""
+    import math
+
+    from mxene_coin_cell_data_pipeline_spark.functions.text import (
+        token_drift_topk,
+    )
+
+    # doc 0 (ref): 'aaa aaa bbb'; doc 1 (cand): 'bbb bbb ccc'
+    docs = _docs(spark, ["aaa aaa bbb", "bbb bbb ccc"])
+    out = token_drift_topk(docs, split_mod=2, k=10).collect()
+    by_tok = {r["token"]: r for r in out}
+    nr, nc, v = 3.0, 3.0, 3.0  # totals and shared vocab {aaa,bbb,ccc}
+
+    def kl_nano(n_ref, n_cand):
+        p = (n_ref + 1) / (nr + v)
+        q = (n_cand + 1) / (nc + v)
+        return round(p * math.log(p / q) * 1e9)
+
+    assert by_tok["aaa"]["kl_nano"] == kl_nano(2, 0)
+    assert by_tok["bbb"]["kl_nano"] == kl_nano(1, 2)
+    assert by_tok["ccc"]["kl_nano"] == kl_nano(0, 1)
+    # ref-only token dominates the drift ranking
+    assert out[0]["token"] == "aaa" and out[0]["rank"] == 1
+    assert by_tok["aaa"]["n_ref"] == 2 and by_tok["aaa"]["n_cand"] == 0

@@ -33,6 +33,7 @@ WAVE6 = [
     "o17_merge_upsert",
     "j14_dynamic_partition_pruning",
     "m10_image_ahash_neardup",
+    "t22_token_drift",
 ]
 
 

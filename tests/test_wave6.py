@@ -813,3 +813,42 @@ def test_token_drift_hand_case(spark):
     # ref-only token dominates the drift ranking
     assert out[0]["token"] == "aaa" and out[0]["rank"] == 1
     assert by_tok["aaa"]["n_ref"] == 2 and by_tok["aaa"]["n_cand"] == 0
+
+
+def test_pq_assign_differential_python_bruteforce(spark):
+    """Third-implementation check for s11: a from-scratch python PQ
+    (same seeds, same distance expansion and fold order) must
+    reproduce every code AND the exact err_nanos — the engine and the
+    SQL oracle could in principle share a misunderstanding; this one
+    can't."""
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import pq_assign
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    seeds = [rows[c] for c in range(4)]
+    got = {r["vec_id"]: r for r in pq_assign(emb, m=4, k=4).collect()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    for vid, e in rows.items():
+        err = 0
+        for s in range(4):
+            xs = e[s * 16 : (s + 1) * 16]
+            dxx = dot(xs, xs)
+            best = None
+            for c in range(4):
+                cs = seeds[c][s * 16 : (s + 1) * 16]
+                dist = dxx - 2 * dot(xs, cs) + dot(cs, cs)
+                if best is None or (dist, c) < best:
+                    best = (dist, c)
+            assert got[vid][f"code_{s}"] == best[1], (vid, s)
+            err += int(round(best[0] * 1e9))
+        assert got[vid]["err_nanos"] == err, vid

@@ -303,8 +303,23 @@ def stream_incremental_dedup(
     exactly-once across restarts depends entirely on the checkpoint
     (pinned by the recovery test in tests/test_wave6.py). Without it
     the run is the single-shot harness path.
+
+    COUPLING: the checkpoint and the sink are one unit of state — a
+    restart skips batches the checkpoint has committed, so the sink
+    must be the SAME directory that received them. ``checkpoint_dir``
+    without an explicit ``out_dir`` would mint a fresh temp sink per
+    call and a restarted run would silently return only the new
+    batches' matches; that combination is rejected here.
     """
     import tempfile
+
+    if checkpoint_dir is not None and out_dir is None:
+        raise ValueError(
+            "checkpoint_dir requires an explicit out_dir: the checkpoint "
+            "skips already-committed batches, so a fresh temp sink would "
+            "silently drop their matches on restart (pass the out_dir "
+            "that belongs to this checkpoint)"
+        )
 
     from ..functions.dedup import (
         DEFAULT_BAND_SIZE,

@@ -544,6 +544,27 @@ def test_bigram_lm_short_docs_drop(spark):
     assert out[2]["n_bigrams"] == 1
 
 
+def test_stream_incdedup_checkpoint_requires_out_dir(spark, tmp_path):
+    """checkpoint_dir without an explicit out_dir is rejected: the
+    checkpoint skips committed batches, so a fresh temp sink would
+    silently drop their matches on restart (ADVICE r08)."""
+    import pytest
+
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+    from mxene_coin_cell_data_pipeline_spark.streaming.features import (
+        stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    stream = spark.readStream.schema(docs.schema).parquet(str(feed))
+    with pytest.raises(ValueError, match="out_dir"):
+        stream_incremental_dedup(
+            stream, docs, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+
+
 def test_stream_incremental_dedup_checkpoint_recovery(spark, tmp_path):
     """st11's restart contract: a checkpointed run stopped mid-feed and
     restarted must equal the uninterrupted batch answer exactly-once —

@@ -1230,3 +1230,134 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def crossdoc_span_removal(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    gram_key: str = "raw",
+) -> DataFrame:
+    """Cross-document exact-substring REMOVAL — the actual dedup
+    TRANSFORM of Lee et al. (arXiv:2107.06499), completing d17 (which
+    only measures the duplicated-window rate) and t17 (which removes
+    only within-doc spans): every k-token window whose gram also occurs
+    in a document with a SMALLER doc_id is a duplicated occurrence, the
+    tokens it covers are excised, and each document is reassembled from
+    its surviving tokens in order. First-occurrence-wins is defined
+    deterministically: the corpus-minimum doc_id containing a gram
+    keeps ALL its occurrences (within-doc repeats included — those are
+    t17's business); every later document loses every token covered by
+    that gram. A token survives iff NO flagged window starting in
+    ``[q-k+1, q]`` covers it.
+
+    Per-doc audit output (one row per doc with ≥1 token), every column
+    a PURE BOUNDED AGGREGATE (the t17/d10 oracle discipline — neither
+    engine materializes reassembled text):
+    ``n_tokens``, ``n_removed``, ``n_kept``,
+    ``kept_len`` = sum(len(kept token)) + n_kept − 1 (the length of
+    the space-joined reassembly, NULL when nothing survives), and
+    ``kept_sig`` = Σ new_idx · hash32(token) over survivors (new_idx =
+    1-based position in the REASSEMBLED doc), order/content-sensitive
+    w.h.p. with per-doc-bounded int64 state.
+
+    Spark-first shape, three skinny linear shuffles, nothing quadratic:
+    (1) window grams are assembled ROW-LOCALLY (the d17 Generate-node
+    trick) into (doc_id, start_pos, gram) and the corpus-minimum owner
+    per gram is a ``min(doc_id) over (partition by gram)`` window —
+    one exchange on gram, no self-join; a boilerplate gram shared by m
+    docs costs m rows in one partition, linear, never m²;
+    (2) flagged starts equi-join back to the posexploded token relation
+    on (doc_id, pos) — both sides uniform in doc position;
+    (3) one per-doc sort window computes coverage (``max(flag)`` over
+    the trailing k−1 starts) AND the running kept index in the same
+    partitioning, then a map-side-combining per-doc rollup.
+    Work is O(total tokens + total windows) at any corpus size.
+
+    ``gram_key``: ``"raw"`` (default, the oracle configuration)
+    shuffles the gram STRING — exact, engine-portable; ``"xxhash64"``
+    shuffles the 64-bit gram hash instead — ~k·8 bytes less per wire
+    row at 100 TB, with ~n²/2⁶⁴ collision odds that only ever
+    OVER-remove (two distinct grams colliding merge their doc sets),
+    the same trade d17 documents.
+    """
+    from ..sources.tables import scale_out
+
+    # explode(array(tokenize)) = the d17 Generate-node barrier: the
+    # token array materializes ONCE per doc (projection collapse would
+    # otherwise inline the regexp into every downstream reference)
+    toks = scale_out(docs.select("doc_id", text_col), "doc_id").select(
+        "doc_id", F.explode(F.array(tokenize(F.col(text_col)))).alias("w")
+    )
+    toks = toks.filter(F.size("w") > 0)
+
+    # (1) gram starts, row-locally assembled; corpus-min owner per gram
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size("w") - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", i + j) for j in range(k)]
+        ),
+    )
+    grams = F.when(F.size("w") >= k, gram).otherwise(
+        F.array().cast("array<string>")
+    )
+    occ = toks.select(
+        "doc_id", F.posexplode(grams).alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    if gram_key == "xxhash64":
+        occ = occ.select("doc_id", "p", F.xxhash64("gram").alias("gram"))
+    elif gram_key != "raw":
+        raise ValueError(f"unknown gram_key: {gram_key}")
+    gw = Window.partitionBy("gram")
+    flagged = (
+        occ.withColumn("min_doc", F.min("doc_id").over(gw))
+        .filter(F.col("min_doc") < F.col("doc_id"))
+        .select("doc_id", F.col("p").alias("q"))
+        .distinct()  # within-doc repeated grams flag one start once
+        .withColumn("start_flag", F.lit(1))
+    )
+
+    # (2) token relation joined to flagged starts on (doc_id, pos)
+    tok = toks.select(
+        "doc_id", F.posexplode("w").alias("q0", "tok")
+    ).select("doc_id", (F.col("q0") + 1).alias("q"), "tok")
+    st = tok.join(flagged, ["doc_id", "q"], "left").withColumn(
+        "start_flag", F.coalesce("start_flag", F.lit(0))
+    )
+
+    # (3) trailing-window coverage + running kept index, per-doc rollup
+    dw = Window.partitionBy("doc_id").orderBy("q")
+    covered = F.max("start_flag").over(dw.rowsBetween(-(k - 1), 0))
+    st = st.withColumn("covered", covered).withColumn(
+        "rn_kept",
+        F.sum(1 - F.col("covered")).over(
+            dw.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    hash32 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    kept = F.col("covered") == 0
+    n_kept = F.sum(F.when(kept, 1).otherwise(0))
+    return (
+        st.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("covered").cast("long").alias("n_removed"),
+            n_kept.cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.length("tok").cast("long"))).alias(
+                "_kept_chars"
+            ),
+            F.sum(F.when(kept, F.col("rn_kept") * hash32)).alias("_sig"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("_kept_chars") + F.col("n_kept") - 1)
+            .cast("long")
+            .alias("kept_len"),
+            F.when(F.col("n_kept") > 0, F.col("_sig"))
+            .cast("long")
+            .alias("kept_sig"),
+        )
+    )

@@ -889,3 +889,95 @@ def ahash_bits(docs: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "ahash_bits"])
 
     return docs.select(*cols).mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+#: Fixed-point 8-point DCT-II basis, COS14[u][x] =
+#: round(2^14 · cos(π·(2x+1)·u/16)) — hardcoded (not computed at
+#: import) so the kernel and the generated oracle SQL share the exact
+#: same integers independent of any libm; every entry sits ≥0.037 from
+#: a rounding boundary (verified when the table was generated), so the
+#: literal is unambiguous.
+COS14 = [
+    [16384, 16384, 16384, 16384, 16384, 16384, 16384, 16384],
+    [16069, 13623, 9102, 3196, -3196, -9102, -13623, -16069],
+    [15137, 6270, -6270, -15137, -15137, -6270, 6270, 15137],
+    [13623, -3196, -16069, -9102, 9102, 16069, 3196, -13623],
+    [11585, -11585, -11585, 11585, 11585, -11585, -11585, 11585],
+    [9102, -16069, 3196, 13623, -13623, -3196, 16069, -9102],
+    [6270, -15137, 15137, -6270, -6270, 15137, -15137, 6270],
+    [3196, -9102, 13623, -16069, 16069, -13623, 9102, -3196],
+]
+
+
+def phash_ppm(payload: bytes) -> str:
+    """64-bit perceptual DCT hash (pHash) of a PPM image, pure integer
+    arithmetic end to end so the oracle re-derives every bit exactly:
+    genuinely parse the container, NN-sample the same 8×8 integer-luma
+    grid as ``ahash_ppm``, apply the separable fixed-point 8×8 DCT-II
+    (``COS14``, 2^14 scale — int64-safe: |row pass| ≤ 8·255000·2^14
+    ≈ 2^45, |2D| ≤ 2^63/256), and set bit (u,v) when the coefficient
+    exceeds the MEAN of the 63 AC coefficients — compared exactly as
+    ``63·D[u][v] > Σ AC`` (DC bit (0,0) is fixed 0; it carries only
+    global brightness, which is exactly the component a perceptual
+    hash must ignore). aHash thresholds NN-sampled PIXELS, so a few
+    perturbed samples flip bits one-for-one; pHash thresholds
+    low-order BASIS RESPONSES, each a weighted sum over the whole
+    grid — localized pixel noise moves every coefficient a little
+    instead of any cell a lot (pinned by the robustness fixture in
+    tests/test_wave10.py)."""
+    w, h, _maxval, vals = parse_ppm(payload)
+    lum = [
+        299 * vals[3 * p] + 587 * vals[3 * p + 1] + 114 * vals[3 * p + 2]
+        for p in range(w * h)
+    ]
+    grid = [
+        [lum[(r * h // 8) * w + (c * w // 8)] for c in range(8)]
+        for r in range(8)
+    ]
+    # separable DCT-II: rows then columns, all int64
+    rowt = [
+        [sum(grid[r][x] * COS14[u][x] for x in range(8)) for u in range(8)]
+        for r in range(8)
+    ]
+    d = [
+        [sum(COS14[u][r] * rowt[r][v] for r in range(8)) for v in range(8)]
+        for u in range(8)
+    ]
+    s_ac = sum(d[u][v] for u in range(8) for v in range(8)) - d[0][0]
+    return "".join(
+        "0"
+        if (u, v) == (0, 0)
+        else ("1" if 63 * d[u][v] > s_ac else "0")
+        for u in range(8)
+        for v in range(8)
+    )
+
+
+#: output schema of phash_bits — one fingerprint row per payload
+PHASH_SCHEMA = "doc_id long, phash_bits string"
+
+
+def phash_bits(docs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-image DCT-pHash fingerprints (``phash_ppm``) under
+    Arrow-batched mapInPandas — same error contract as ``ahash_bits``
+    (NULL payload → no row, non-PPM magic → no row, malformed raises).
+    The (doc_id, 64-char bit string) output feeds
+    ``dedup.hamming_pairs_from_bits``, the third fingerprint family on
+    that shared band machinery (text SimHash d09/d13, image aHash m10,
+    image pHash m11)."""
+    cols = ["doc_id", payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    bits = phash_ppm(bytes(payload))
+                except NotImplementedError:
+                    continue
+                out.append((doc_id, bits))
+            yield pd.DataFrame(out, columns=["doc_id", "phash_bits"])
+
+    return docs.select(*cols).mapInPandas(batches, schema=PHASH_SCHEMA)

@@ -437,8 +437,11 @@ def j14_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
 #: 8x8 grid via integer division (resize_ppm_nn's index rule), bit =
 #: 64*cell_luma > total. Aliased simhash_bits for the shared d09
 #: band/refine template.
-_M10_BITS_SQL = """
-    SELECT bb.doc_id, bb.b AS simhash_bits FROM (
+#: Shared CTE prefix re-deriving the with_ppm_pair_payload sample
+#: stream down to the 8×8 NN luma grid — (doc_id, r, c, luma) rows.
+#: m10 thresholds these cells directly (aHash); m11 (q_extensions8)
+#: runs the fixed-point DCT over the same grid (pHash).
+_PPM_CELLS_CTES = """
       WITH d AS (SELECT doc_id, doc_id // 2 AS g,
                         3 + (doc_id // 2) % 6 AS w,
                         2 + (doc_id // 2) % 4 AS h
@@ -465,7 +468,12 @@ _M10_BITS_SQL = """
                      (SELECT unnest(generate_series(0, 7)) AS c) cc
                 JOIN pix p2 ON p2.doc_id = p1.doc_id
                            AND p2.p = (rr.r * p1.h // 8) * p1.w
-                                      + (cc.c * p1.w // 8)),
+                                      + (cc.c * p1.w // 8))
+"""
+
+_M10_BITS_SQL = f"""
+    SELECT bb.doc_id, bb.b AS simhash_bits FROM (
+      {_PPM_CELLS_CTES},
       tot AS (SELECT doc_id, sum(luma) AS t FROM cells GROUP BY doc_id)
       SELECT c.doc_id,
              string_agg(CASE WHEN 64 * c.luma > t.t THEN '1' ELSE '0' END,

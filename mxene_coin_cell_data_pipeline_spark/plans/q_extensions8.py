@@ -92,3 +92,93 @@ def d20_crossdoc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return crossdoc_span_removal(docs, k=_D20_K, gram_key="raw")
+
+
+# ---------------------------------------------------------------------------
+# m11: perceptual image near-dup via integer 8x8 DCT pHash
+# ---------------------------------------------------------------------------
+
+from ..functions.multimodal import COS14  # noqa: E402
+from .q_dedup_pairs import _d13_oracle  # noqa: E402
+from .q_extensions7 import _PPM_CELLS_CTES  # noqa: E402
+
+#: the fixed-point DCT basis as a 64-row inline relation — generated
+#: from the SAME hardcoded COS14 literal the Arrow kernel uses, so the
+#: two engines cannot disagree on a single coefficient
+_CT_VALUES = ", ".join(
+    f"({u}, {x}, {COS14[u][x]})" for u in range(8) for x in range(8)
+)
+
+#: (doc_id, simhash_bits) derivation of the image DCT pHash from the
+#: md5 sample stream: the shared m10 cell CTEs produce the 8×8 NN luma
+#: grid, then the separable fixed-point DCT-II (rows then columns,
+#: integer COS14 basis) and bit (u,v) = 63·D[u][v] > Σ AC with the DC
+#: bit fixed 0. Aliased simhash_bits for the shared d09 band/refine
+#: template.
+_M11_BITS_SQL = f"""
+    SELECT bb.doc_id, bb.b AS simhash_bits FROM (
+      {_PPM_CELLS_CTES},
+      ct AS (SELECT * FROM (VALUES {_CT_VALUES}) t(u, x, coef)),
+      rowt AS (SELECT c.doc_id, c.r, ct.u AS v, sum(c.luma * ct.coef) AS rv
+               FROM cells c JOIN ct ON ct.x = c.c
+               GROUP BY c.doc_id, c.r, ct.u),
+      colt AS (SELECT rt.doc_id, ct.u AS u, rt.v AS v,
+                      sum(ct.coef * rt.rv) AS dc
+               FROM rowt rt JOIN ct ON ct.x = rt.r
+               GROUP BY rt.doc_id, ct.u, rt.v),
+      sac AS (SELECT doc_id,
+                     sum(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE dc END) AS s
+              FROM colt GROUP BY doc_id)
+      SELECT c2.doc_id,
+             string_agg(CASE WHEN c2.u = 0 AND c2.v = 0 THEN '0'
+                             WHEN 63 * c2.dc > sac.s THEN '1'
+                             ELSE '0' END,
+                        '' ORDER BY c2.u, c2.v) AS b
+      FROM colt c2 JOIN sac USING (doc_id)
+      GROUP BY c2.doc_id) bb
+"""
+
+
+@_register(
+    "m11_image_phash_neardup",
+    None,  # assigned below via the shared d09 band/refine template
+    survey="north-star multimodal completion: perceptual image near-dup "
+    "at production quality — 64-bit DCT pHash (the fingerprint family "
+    "aHash is the weak cousin of): same genuinely parsed PPM payloads "
+    "and 8×8 NN integer-luma grid as m10, then a separable FIXED-POINT "
+    "integer 8×8 DCT-II (hardcoded 2^14-scaled basis shared verbatim "
+    "between the Arrow kernel and the generated oracle SQL) and bit "
+    "(u,v) = 63·coef > Σ AC with the DC bit pinned 0 — so global "
+    "brightness, exactly what a perceptual hash must ignore, never "
+    "touches the fingerprint, and localized pixel noise spreads across "
+    "basis responses instead of flipping cells one-for-one (robustness "
+    "fixture: a 3-sample perturbation that flips aHash past its "
+    "hamming gate leaves pHash inside it). Fingerprints feed the SAME "
+    "hamming_pairs_from_bits band join as d09/d13/m10.",
+    note="REGISTERED CAPPED from birth (bucket_cap=64) — m10's lesson: "
+    "perceptual bands on small images are low-entropy and the uncapped "
+    "band join is the quadratic trap the star cap exists for.",
+)
+def m11_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCT-pHash fingerprints of sibling-pair PPM images -> hamming ≤ 3
+    pairs via the pigeonhole band join (star-capped)."""
+    from ..functions.dedup import hamming_pairs_from_bits
+    from ..functions.multimodal import phash_bits, with_ppm_pair_payload
+    from ..sources.tables import scale_out
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    # scale_out for the same reason as m10: the kernel re-derives ~60
+    # ASCII int parses per image and feeds a join — single-row-group
+    # layouts would run it as ONE task
+    fps = phash_bits(
+        with_ppm_pair_payload(scale_out(docs.select("doc_id"), "doc_id"))
+    )
+    return hamming_pairs_from_bits(
+        fps, bits_col="phash_bits", bits=64, max_hamming=3, n_bands=4,
+        bucket_cap=64,
+    )
+
+
+QUERIES["m11_image_phash_neardup"].oracle = _d13_oracle(
+    bits=64, n_bands=4, cap=64, sh_sql=_M11_BITS_SQL
+)

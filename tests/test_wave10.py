@@ -181,3 +181,145 @@ def test_crossdoc_span_removal_consistent_with_d17_detector(spark):
             assert rem.get(doc, 0) == 0, doc
         if rem.get(doc, 0) > 0:
             assert n_dup > 0, doc
+
+
+# ---------------------------------------------------------------------------
+# m11: integer-DCT pHash image near-dup
+# ---------------------------------------------------------------------------
+
+
+def _ppm_payload(did: int, perturb: dict[int, int] | None = None):
+    """Re-derive with_ppm_pair_payload's byte stream (+ optional sample
+    overrides) for kernel-level fixtures."""
+    import hashlib
+
+    g = did // 2
+    w, h = 3 + g % 6, 2 + g % 4
+    vals = [
+        int(hashlib.md5(f"{g}:{k}".encode()).hexdigest()[:2], 16)
+        for k in range(3 * w * h)
+    ]
+    if did % 2 == 1:
+        vals[0] = (vals[0] + 1) % 256
+    for k, v in (perturb or {}).items():
+        vals[k] = v
+    return (
+        f"P3\n# id {did}\n{w} {h}\n255\n" + " ".join(map(str, vals)) + "\n"
+    ).encode("ascii"), w, h
+
+
+def _hamming(a: str, b: str) -> int:
+    return sum(x != y for x, y in zip(a, b))
+
+
+def test_phash_survives_perturbation_that_breaks_ahash():
+    """THE reason pHash exists: blasting one NN-sampled pixel of doc 8
+    to white flips 4 aHash bits (past the hamming<=3 near-dup gate)
+    but ZERO pHash bits — cell thresholds flip one-for-one under
+    localized noise, basis responses absorb it."""
+    from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+        ahash_ppm,
+        phash_ppm,
+    )
+
+    did = 8
+    base, w, h = _ppm_payload(did)
+    pix = sorted(
+        {(r * h // 8) * w + (c * w // 8) for r in range(8) for c in range(8)}
+    )
+    pert = {3 * pix[0] + ch: 255 for ch in range(3)}
+    noisy, _, _ = _ppm_payload(did, pert)
+    da = _hamming(ahash_ppm(base), ahash_ppm(noisy))
+    dp = _hamming(phash_ppm(base), phash_ppm(noisy))
+    assert da > 3, da  # aHash mis-gates the same image
+    assert dp == 0, dp  # pHash holds it
+
+
+def test_phash_uniform_brightness_invariance():
+    """A uniform brightness shift lands entirely in the DC coefficient
+    (pinned 0), so the 63 AC bits are EXACTLY unchanged — the property
+    an average-hash can only approximate, a DCT hash has by
+    construction. +[shift] to every channel of every sample (choosing
+    a doc whose max sample survives without clipping)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+        parse_ppm,
+        phash_ppm,
+    )
+
+    for did in range(0, 200, 2):
+        base, w, h = _ppm_payload(did)
+        _, _, _, vals = parse_ppm(base)
+        shift = 255 - max(vals)
+        if shift < 10:
+            continue
+        bright, _, _ = _ppm_payload(
+            did, {k: v + shift for k, v in enumerate(vals)}
+        )
+        assert phash_ppm(base) == phash_ppm(bright), did
+        return
+    raise AssertionError("no headroom doc found")
+
+
+def test_phash_bits_kernel_matches_pure_python(spark):
+    """Arrow kernel output == direct phash_ppm over the same generated
+    payload stream, and siblings hash identically (hamming 0)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+        phash_bits,
+        phash_ppm,
+        with_ppm_pair_payload,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    got = {
+        r["doc_id"]: r["phash_bits"]
+        for r in phash_bits(with_ppm_pair_payload(ids)).collect()
+    }
+    assert set(got) == set(range(40))
+    for did in range(40):
+        assert got[did] == phash_ppm(_ppm_payload(did)[0]), did
+    for g in range(20):
+        assert got[2 * g] == got[2 * g + 1], g
+
+
+def test_phash_neardup_query_keeps_siblings_connected(spark):
+    """The registered (star-capped) m11 query keeps every hamming-0
+    sibling pair CONNECTED at sf0.001 — the d13 star-cap guarantee:
+    buckets over the cap emit star edges to their min doc_id instead
+    of the direct pair, but identical fingerprints always share every
+    bucket, so the pair stays in one component."""
+    from mxene_coin_cell_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["m11_image_phash_neardup"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        parent[find(r["doc_a"])] = find(r["doc_b"])
+    from mxene_coin_cell_data_pipeline_spark.functions.multimodal import (
+        phash_ppm,
+    )
+
+    near, disconnected = 0, []
+    for g in range(250):
+        # the +1-mod-256 sibling rule has a WRAP case (sample 0 = 255
+        # -> 0): a genuinely large image edit, legitimately outside
+        # the hamming gate — the guarantee covers true near-dups only
+        d = _hamming(
+            phash_ppm(_ppm_payload(2 * g)[0]),
+            phash_ppm(_ppm_payload(2 * g + 1)[0]),
+        )
+        if d <= 3:
+            near += 1
+            if find(2 * g) != find(2 * g + 1):
+                disconnected.append(g)
+    assert near > 200  # the corpus plants real near-dups
+    assert not disconnected, disconnected[:5]

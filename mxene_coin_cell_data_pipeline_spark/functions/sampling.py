@@ -125,3 +125,114 @@ def weighted_sample_per_group(
         .withColumn("rank", F.row_number().over(w_ord))
         .filter(F.col("rank") <= n)
     )
+
+
+def source_mix_quota(
+    df: DataFrame,
+    source: Column | str,
+    key: str = "doc_id",
+    budget_den: int = 5,
+    weighting: str = "sqrt",
+    salt: str = "",
+) -> DataFrame:
+    """Quota-EXACT temperature-scaled source mixing — the training-mix
+    epoch plan: given per-source sizes n_s, allocate an integer quota
+    q_s per source with Σ q_s == B EXACTLY (B = N // budget_den) under
+    temperature re-weighting, then select exactly q_s rows per source
+    deterministically. o06 samples per-stratum fixed n and o08 samples
+    by per-row weight; neither hits an exact global budget split by a
+    source-level policy — this is the operator a "sample 20% of the
+    corpus at temperature 0.5" epoch spec needs.
+
+    EVERY quota step is INTEGER arithmetic, so both engines agree
+    bit-for-bit with no float-boundary risk (the d10/_dsum6 stability
+    discipline applied to allocation):
+    - weight w_s = floor(sqrt(n_s)) for ``weighting="sqrt"`` (the
+      multilingual temperature-1/2 rebalance of mBERT/XLM-R — small
+      sources up-weighted relative to their share; exact for
+      n < 2^52, and our counts sit far below the first float-sqrt
+      ambiguity near 2^52), w_s = n_s for ``"linear"``
+      (proportional), w_s = 1 for ``"uniform"``;
+    - base_s = (B·w_s) DIV S and rem_s = (B·w_s) MOD S with
+      S = Σ w_s — integer division, never a rounded double;
+    - largest-remainder (Hamilton) completion: the L = B − Σ base_s
+      sources with the largest rem_s (ties broken by source asc) get
+      +1. Σ quota == B is an IDENTITY of this construction.
+    Feasibility (q_s ≤ n_s) holds whenever B ≤ N·min_share under the
+    chosen weighting — with budget_den ≥ 2 and sqrt weighting it
+    requires only mild balance (a source with < ~B·w_s/S rows would
+    exhaust; the property test pins exactness at every SF).
+
+    Selection inside a source is ``stratified_sample``'s machinery:
+    rank by md5(salt || key) (uniform, engine-portable, append-stable)
+    and keep rank ≤ q_s. Output is a bounded per-source audit row:
+    (source, n_source, w, quota, n_selected, sel_sig) with
+    ``sel_sig = Σ rank·hash32(key)`` over the selected rows — exact
+    identity + order pin without materializing the sample.
+
+    Scale: one map-side-combining count, quota math on an
+    n_sources-row relation (window over a tiny frame), one broadcast
+    join of quotas onto rows, one per-source rank window — the same
+    shuffle count as o06 regardless of corpus size.
+    """
+    from pyspark.sql import Window
+
+    if weighting == "sqrt":
+        wexpr = F.floor(F.sqrt(F.col("n_source").cast("double"))).cast("long")
+    elif weighting == "linear":
+        wexpr = F.col("n_source").cast("long")
+    elif weighting == "uniform":
+        wexpr = F.lit(1).cast("long")
+    else:
+        raise ValueError(f"unknown weighting: {weighting}")
+
+    src_col = F.col(source) if isinstance(source, str) else source
+    rows = df.select(F.col(key).alias("_key"), src_col.alias("source"))
+    counts = rows.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+
+    tiny = Window.partitionBy(F.lit(1))
+    q = (
+        counts.withColumn("w", wexpr)
+        .withColumn("_N", F.sum("n_source").over(tiny))
+        .withColumn("_S", F.sum("w").over(tiny))
+        .withColumn("_B", F.expr(f"_N DIV {int(budget_den)}"))
+        .withColumn("base", F.expr("(_B * w) DIV _S"))
+        .withColumn("rem", F.expr("(_B * w) % _S"))
+        .withColumn("_L", F.col("_B") - F.sum("base").over(tiny))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                tiny.orderBy(F.desc("rem"), F.asc("source"))
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.col("base")
+            + F.when(F.col("_r") <= F.col("_L"), 1).otherwise(0),
+        )
+        .select("source", "n_source", "w", "quota")
+    )
+
+    order = F.md5(F.concat(F.lit(salt), F.col("_key").cast("string")))
+    sw = Window.partitionBy("source").orderBy(order, F.col("_key"))
+    hash32 = F.conv(
+        F.substring(F.md5(F.col("_key").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    picked = (
+        rows.join(F.broadcast(q), "source")
+        .withColumn("rank", F.row_number().over(sw))
+        .filter(F.col("rank") <= F.col("quota"))
+    )
+    return (
+        picked.groupBy("source")
+        .agg(
+            F.first("n_source").alias("n_source"),
+            F.first("w").alias("w"),
+            F.first("quota").alias("quota"),
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum(F.col("rank") * hash32).cast("long").alias("sel_sig"),
+        )
+        .select(
+            "source", "n_source", "w", "quota", "n_selected", "sel_sig"
+        )
+    )

@@ -182,3 +182,86 @@ def m11_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["m11_image_phash_neardup"].oracle = _d13_oracle(
     bits=64, n_bands=4, cap=64, sh_sql=_M11_BITS_SQL
 )
+
+
+# ---------------------------------------------------------------------------
+# o18: quota-exact temperature-scaled source mixing
+# ---------------------------------------------------------------------------
+
+#: skewed source carve (shares 8/4/2/1/1 of 16) so sqrt-temperature
+#: rebalancing is non-trivial: the big source is down-weighted
+#: relative to its share, the tail sources up-weighted
+_O18_SRC_SQL = """CASE WHEN doc_id % 16 < 8 THEN 0
+             WHEN doc_id % 16 < 12 THEN 1
+             WHEN doc_id % 16 < 14 THEN 2
+             WHEN doc_id % 16 < 15 THEN 3
+             ELSE 4 END"""
+
+
+@_register(
+    "o18_source_mix_quota",
+    f"""
+    WITH rows_ AS (SELECT doc_id AS k, {_O18_SRC_SQL} AS source
+                   FROM documents),
+    counts AS (SELECT source, count(*) AS n_source FROM rows_
+               GROUP BY source),
+    w AS (SELECT source, CAST(n_source AS BIGINT) AS n_source,
+                 CAST(floor(sqrt(CAST(n_source AS DOUBLE))) AS BIGINT) AS w
+          FROM counts),
+    tot AS (SELECT CAST(sum(n_source) AS BIGINT) AS N,
+                   CAST(sum(w) AS BIGINT) AS S FROM w),
+    q0 AS (SELECT w.source, w.n_source, w.w, (t.N // 5) AS B,
+                  ((t.N // 5) * w.w) // t.S AS base,
+                  ((t.N // 5) * w.w) % t.S AS rem
+           FROM w CROSS JOIN tot t),
+    q AS (SELECT source, n_source, w,
+                 base + CASE WHEN row_number()
+                                  OVER (ORDER BY rem DESC, source)
+                             <= B - CAST(sum(base) OVER () AS BIGINT)
+                        THEN 1 ELSE 0 END AS quota
+          FROM q0),
+    rk AS (SELECT r.source, r.k,
+                  row_number() OVER (PARTITION BY r.source
+                    ORDER BY md5(CAST(r.k AS VARCHAR)), r.k) AS rank
+           FROM rows_ r),
+    sel AS (SELECT rk.source, rk.rank, rk.k
+            FROM rk JOIN q USING (source) WHERE rk.rank <= q.quota)
+    SELECT q.source, q.n_source, q.w, q.quota,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(sel.rank
+                * ('0x' || substr(md5(CAST(sel.k AS VARCHAR)), 1, 8))::BIGINT)
+                AS BIGINT) AS sel_sig
+    FROM sel JOIN q USING (source)
+    GROUP BY q.source, q.n_source, q.w, q.quota
+    """,
+    survey="north-star sampling completion: quota-EXACT temperature-"
+    "scaled source mixing — the training-mix epoch plan (sample N/5 "
+    "rows at temperature 1/2 across skewed sources). Integer-only "
+    "allocation (w=floor(sqrt(n)), base=(B·w) DIV S, largest-remainder "
+    "completion) so Σ quota == B is an identity on both engines — no "
+    "float-boundary risk anywhere in the quota math; selection is the "
+    "o06 md5-ranked deterministic machinery with per-source quotas "
+    "broadcast onto the row relation. Output is a bounded per-source "
+    "audit (n_source, w, quota, n_selected, position-weighted "
+    "selection signature). Completes o06 (fixed n per stratum) and "
+    "o08 (per-row weights): a source-LEVEL policy hitting an exact "
+    "global budget.",
+)
+def o18_source_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-1/2 mixture over the 5 skewed sources with exact
+    integer quotas summing to N DIV 5 (see
+    functions.sampling.source_mix_quota)."""
+    from ..functions.sampling import source_mix_quota
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 16
+    src = (
+        F.when(m < 8, 0)
+        .when(m < 12, 1)
+        .when(m < 14, 2)
+        .when(m < 15, 3)
+        .otherwise(4)
+    )
+    return source_mix_quota(
+        docs, src, key="doc_id", budget_den=5, weighting="sqrt"
+    )

@@ -323,3 +323,74 @@ def test_phash_neardup_query_keeps_siblings_connected(spark):
                 disconnected.append(g)
     assert near > 200  # the corpus plants real near-dups
     assert not disconnected, disconnected[:5]
+
+
+# ---------------------------------------------------------------------------
+# o18: quota-exact source mixing
+# ---------------------------------------------------------------------------
+
+
+def test_source_mix_quota_hand_allocation(spark):
+    """Largest-remainder by hand: counts (7,5,4), budget N//2=8, sqrt
+    weights (2,2,2) -> base 2 each (16 DIV 6), L=2, equal remainders
+    tie-break by source asc -> quotas (3,3,2)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.sampling import (
+        source_mix_quota,
+    )
+
+    rows = [(i, 0) for i in range(7)] + [(100 + i, 1) for i in range(5)] + [
+        (200 + i, 2) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "src"])
+    got = {
+        r["source"]: r
+        for r in source_mix_quota(
+            df, "src", key="doc_id", budget_den=2, weighting="sqrt"
+        ).collect()
+    }
+    assert {s: got[s]["quota"] for s in got} == {0: 3, 1: 3, 2: 2}
+    assert all(got[s]["n_selected"] == got[s]["quota"] for s in got)
+
+
+def test_source_mix_quota_exact_at_every_sf(spark):
+    """THE o18 contract: sum(quota) == N DIV 5 exactly and every source
+    fills its quota exactly, at each scale factor."""
+    from mxene_coin_cell_data_pipeline_spark.plans import QUERIES
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = QUERIES["o18_source_mix_quota"].spark(spark, sf).collect()
+        n = sum(r["n_source"] for r in rows)
+        assert sum(r["quota"] for r in rows) == n // 5, sf
+        assert all(r["n_selected"] == r["quota"] for r in rows), sf
+        assert len(rows) == 5, sf
+
+
+def test_source_mix_quota_temperature_rebalances(spark):
+    """sqrt weighting up-weights tail sources relative to their share:
+    the dominant source's quota share is strictly below its row share,
+    the smallest source's strictly above (on the skewed 8/4/2/1/1
+    carve); linear weighting tracks shares instead."""
+    from mxene_coin_cell_data_pipeline_spark.functions.sampling import (
+        source_mix_quota,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    m = F.col("doc_id") % 16
+    src = (
+        F.when(m < 8, 0).when(m < 12, 1).when(m < 14, 2)
+        .when(m < 15, 3).otherwise(4)
+    )
+    sq = {
+        r["source"]: r
+        for r in source_mix_quota(docs, src, weighting="sqrt").collect()
+    }
+    n = sum(r["n_source"] for r in sq.values())
+    b = sum(r["quota"] for r in sq.values())
+    assert sq[0]["quota"] / b < sq[0]["n_source"] / n
+    assert sq[4]["quota"] / b > sq[4]["n_source"] / n
+    lin = {
+        r["source"]: r
+        for r in source_mix_quota(docs, src, weighting="linear").collect()
+    }
+    assert abs(lin[0]["quota"] / b - lin[0]["n_source"] / n) < 0.01

@@ -102,40 +102,59 @@ from ..functions.multimodal import COS14  # noqa: E402
 from .q_dedup_pairs import _d13_oracle  # noqa: E402
 from .q_extensions7 import _PPM_CELLS_CTES  # noqa: E402
 
-#: the fixed-point DCT basis as a 64-row inline relation — generated
-#: from the SAME hardcoded COS14 literal the Arrow kernel uses, so the
-#: two engines cannot disagree on a single coefficient
-_CT_VALUES = ", ".join(
-    f"({u}, {x}, {COS14[u][x]})" for u in range(8) for x in range(8)
+#: unrolled separable DCT as pure per-doc scalar expressions,
+#: generated from the SAME hardcoded COS14 literal the Arrow kernel
+#: uses so the two engines cannot disagree on a single coefficient.
+#: WHY unrolled, not a cos-table join: the first m11 100× attempt
+#: joined a 64-row basis relation against the 32M-row cell relation
+#: twice (rows then columns) — ~0.5e9 intermediate rows per pass, and
+#: DuckDB spilled its way into disk exhaustion beside the corpus
+#: (measured, sweep record kept). The separable transform over a
+#: per-doc 64-element list needs NO join at all: 64 row-pass
+#: expressions of 8 terms, 64 column-pass expressions of 8 terms,
+#: evaluated streaming over 500k pivoted rows.
+_ROWT_COLS = ",\n             ".join(
+    f"({' + '.join(f'l[{r * 8 + x + 1}] * ({COS14[v][x]})' for x in range(8))})"
+    f" AS r{r}v{v}"
+    for r in range(8)
+    for v in range(8)
+)
+_COLT_COLS = ",\n             ".join(
+    f"({' + '.join(f'({COS14[u][r]}) * r{r}v{v}' for r in range(8))})"
+    f" AS d{u}_{v}"
+    for u in range(8)
+    for v in range(8)
+)
+_SAC_EXPR = " + ".join(
+    f"d{u}_{v}" for u in range(8) for v in range(8) if (u, v) != (0, 0)
+)
+_BITS_EXPR = " || ".join(
+    "'0'"
+    if (u, v) == (0, 0)
+    else f"(CASE WHEN 63 * d{u}_{v} > s THEN '1' ELSE '0' END)"
+    for u in range(8)
+    for v in range(8)
 )
 
 #: (doc_id, simhash_bits) derivation of the image DCT pHash from the
 #: md5 sample stream: the shared m10 cell CTEs produce the 8×8 NN luma
-#: grid, then the separable fixed-point DCT-II (rows then columns,
-#: integer COS14 basis) and bit (u,v) = 63·D[u][v] > Σ AC with the DC
-#: bit fixed 0. Aliased simhash_bits for the shared d09 band/refine
+#: grid (pivoted to one 64-element list per doc), then the unrolled
+#: fixed-point DCT-II above and bit (u,v) = 63·D[u][v] > Σ AC with the
+#: DC bit fixed 0. Aliased simhash_bits for the shared d09 band/refine
 #: template.
 _M11_BITS_SQL = f"""
     SELECT bb.doc_id, bb.b AS simhash_bits FROM (
       {_PPM_CELLS_CTES},
-      ct AS (SELECT * FROM (VALUES {_CT_VALUES}) t(u, x, coef)),
-      rowt AS (SELECT c.doc_id, c.r, ct.u AS v, sum(c.luma * ct.coef) AS rv
-               FROM cells c JOIN ct ON ct.x = c.c
-               GROUP BY c.doc_id, c.r, ct.u),
-      colt AS (SELECT rt.doc_id, ct.u AS u, rt.v AS v,
-                      sum(ct.coef * rt.rv) AS dc
-               FROM rowt rt JOIN ct ON ct.x = rt.r
-               GROUP BY rt.doc_id, ct.u, rt.v),
-      sac AS (SELECT doc_id,
-                     sum(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE dc END) AS s
-              FROM colt GROUP BY doc_id)
-      SELECT c2.doc_id,
-             string_agg(CASE WHEN c2.u = 0 AND c2.v = 0 THEN '0'
-                             WHEN 63 * c2.dc > sac.s THEN '1'
-                             ELSE '0' END,
-                        '' ORDER BY c2.u, c2.v) AS b
-      FROM colt c2 JOIN sac USING (doc_id)
-      GROUP BY c2.doc_id) bb
+      grid AS (SELECT doc_id, list(luma ORDER BY r, c) AS l
+               FROM cells GROUP BY doc_id),
+      rowt AS (SELECT doc_id,
+             {_ROWT_COLS}
+               FROM grid),
+      colt AS (SELECT doc_id,
+             {_COLT_COLS}
+               FROM rowt),
+      sc AS (SELECT doc_id, ({_SAC_EXPR}) AS s, * FROM colt)
+      SELECT doc_id, ({_BITS_EXPR}) AS b FROM sc) bb
 """
 
 

@@ -9,7 +9,15 @@ fingerprints and shingles agree across the engine.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .._serde import register_self
+
+# t23's BPE kernel closes over module functions — workers must be able
+# to re-import this module off-cwd (the SKILL.md serde gotcha)
+register_self(sys.modules[__name__])
 
 TOKEN_RE = "[a-z0-9]+"
 
@@ -757,4 +765,127 @@ def token_drift_topk(
         "n_ref",
         "n_cand",
         "kl_nano",
+    )
+
+
+#: Literal BPE merge table (rank order), the t23 contract: a TRAINED
+#: tokenizer's merge list is a fixed artifact shipped with the model —
+#: the literal here plays that role (the s11 literal-codebook
+#: precedent), deliberately including chained merges (s,c → sc,a →
+#: sca,n assembles "scan" through three ranks) and rank interactions
+#: ((e,r) at rank 0 changes where (o,r) can fire) so the application
+#: ORDER is load-bearing, not decorative.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("e", "r"),
+    ("i", "n"),
+    ("s", "t"),
+    ("o", "w"),
+    ("t", "er"),
+    ("a", "t"),
+    ("o", "r"),
+    ("s", "c"),
+    ("sc", "a"),
+    ("sca", "n"),
+    ("r", "ow"),
+    ("h", "a"),
+]
+
+
+def bpe_apply_merges(
+    word: str, merges: list[tuple[str, str]] | None = None
+) -> list[str]:
+    """Greedy BPE encode of one word under a rank-ordered merge list:
+    start from characters; at each step apply the LOWEST-RANK merge
+    present anywhere in the symbol sequence, at its LEFTMOST
+    occurrence; stop when no merge applies. Single-step-leftmost-
+    minrank is the deterministic semantics all three implementations
+    share (this function, the Arrow kernel that calls it, and the
+    DuckDB recursive-CTE oracle) — it matches the classic
+    apply-merges-in-rank-order encoder wherever merges don't
+    self-overlap."""
+    if merges is None:
+        merges = BPE_MERGES
+    syms = list(word)
+    while True:
+        best: tuple[int, int] | None = None
+        for rank, (a, b) in enumerate(merges):
+            for i in range(len(syms) - 1):
+                if syms[i] == a and syms[i + 1] == b:
+                    best = (rank, i)
+                    break
+            if best:
+                break
+        if best is None:
+            return syms
+        rank, i = best
+        a, b = merges[rank]
+        syms[i : i + 2] = [a + b]
+
+
+def bpe_encode_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Corpus BPE encoding under a broadcast merge table — the encode
+    stage t15 (pre-tokenization) and t19 (merge-pair counting, i.e.
+    training) lead up to: every word of every document is encoded by
+    ``bpe_apply_merges`` and the result is audited per doc with
+    bounded aggregates (the t17/d10 oracle discipline):
+    ``n_words``, ``n_chars`` (Σ len(word)), ``n_bpe_tokens``
+    (Σ encoded length — n_chars/n_bpe_tokens IS the compression ratio
+    a tokenizer is judged on) and ``bpe_sig`` = Σ word_idx ·
+    hash32('|'-joined encoding), order/content-sensitive w.h.p.
+
+    Scale design — the fast-tokenizer word-cache, distributed: the
+    Python merge loop runs ONCE PER DISTINCT WORD (an Arrow-batched
+    kernel over the deduplicated vocabulary, Heaps-law small — 31
+    words in this corpus at ANY scale factor, ≤ O(√tokens) in real
+    text), never per occurrence; occurrences join the encoded vocab
+    back JVM-side (AQE broadcasts the build side when small) and the
+    per-doc rollup is a map-side-combining aggregate. Work:
+    O(vocab · word_len²) Python + O(tokens) JVM — the only shape that
+    survives 100 TB, where tokens/vocab ≈ 10⁶."""
+    from pyspark.sql import Window  # noqa: F401  (parity with siblings)
+
+    merges_resolved = list(BPE_MERGES if merges is None else merges)
+
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokenize(F.col(text_col)))).alias("w")
+    ).filter(F.size("w") > 0)
+    occ = toks.select(
+        "doc_id", F.posexplode("w").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).alias("widx"), "tok")
+    vocab = occ.select("tok").distinct()
+
+    def enc_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            toks_in = list(pdf["tok"])
+            encs = [
+                "|".join(bpe_apply_merges(t, merges_resolved))
+                for t in toks_in
+            ]
+            yield pd.DataFrame(
+                {
+                    "tok": toks_in,
+                    "enc": encs,
+                    "n_syms": [e.count("|") + 1 for e in encs],
+                }
+            )
+
+    enc = vocab.mapInPandas(
+        enc_batches, schema="tok string, enc string, n_syms int"
+    )
+    hash32 = F.conv(F.substring(F.md5("enc"), 1, 8), 16, 10).cast("long")
+    return (
+        occ.join(enc, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("tok")).cast("long").alias("n_chars"),
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.col("widx") * hash32).cast("long").alias("bpe_sig"),
+        )
     )

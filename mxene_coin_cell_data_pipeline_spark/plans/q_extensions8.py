@@ -284,3 +284,92 @@ def o18_source_mix_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mix_quota(
         docs, src, key="doc_id", budget_den=5, weighting="sqrt"
     )
+
+
+# ---------------------------------------------------------------------------
+# t23: corpus BPE encoding under the literal merge table
+# ---------------------------------------------------------------------------
+
+from ..functions.text import BPE_MERGES  # noqa: E402
+
+#: the oracle's merge loop, generated from the SAME literal merge
+#: table the Arrow kernel applies: a DuckDB RECURSIVE CTE advances
+#: each distinct word one merge per step (leftmost occurrence of the
+#: lowest applicable rank — p{k} probes are evaluated in rank order by
+#: the CASE), terminating on words with no applicable merge. The
+#: recursion runs over the DISTINCT vocabulary only (Heaps-law small),
+#: exactly mirroring the engine's vocab-cached kernel.
+_T23_POS = ",\n             ".join(
+    f"coalesce(list_filter(range(1, len(syms)), i -> syms[i] = '{a}' "
+    f"AND syms[i+1] = '{b}')[1], 0) AS p{k}"
+    for k, (a, b) in enumerate(BPE_MERGES)
+)
+_T23_APPLY = "\n          ".join(
+    f"WHEN p{k} > 0 THEN list_slice(syms, 1, p{k}-1) || ['{a}{b}'] "
+    f"|| list_slice(syms, p{k}+2, len(syms))"
+    for k, (a, b) in enumerate(BPE_MERGES)
+)
+_T23_ANY = " OR ".join(f"p{k} > 0" for k in range(len(BPE_MERGES)))
+_T23_NONE = " AND ".join(f"p{k} = 0" for k in range(len(BPE_MERGES)))
+
+
+@_register(
+    "t23_bpe_encode",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+      FROM documents),
+    occ AS (SELECT doc_id, i AS widx, w[i] AS tok
+            FROM toks, range(1, 4096) t(i) WHERE i <= len(w)),
+    vocab AS (SELECT DISTINCT tok FROM occ),
+    enc AS (
+      SELECT tok, list_transform(range(1, len(tok) + 1), i -> tok[i])
+               AS syms
+      FROM vocab
+      UNION ALL
+      SELECT tok, CASE
+          {_T23_APPLY}
+        END AS syms
+      FROM (SELECT tok, syms,
+             {_T23_POS}
+            FROM enc) WHERE {_T23_ANY}
+    ),
+    final AS (
+      SELECT tok, array_to_string(syms, '|') AS e, len(syms) AS n_syms
+      FROM (SELECT tok, syms,
+             {_T23_POS}
+            FROM enc)
+      WHERE {_T23_NONE})
+    SELECT occ.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(occ.tok)) AS BIGINT) AS n_chars,
+           CAST(sum(f.n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(occ.widx
+                * ('0x' || substr(md5(f.e), 1, 8))::BIGINT) AS BIGINT)
+             AS bpe_sig
+    FROM occ JOIN final f ON f.tok = occ.tok
+    GROUP BY occ.doc_id
+    """,
+    survey="north-star text completion: corpus BPE ENCODING under a "
+    "literal rank-ordered merge table (the trained-tokenizer artifact "
+    "— the stage t15 pre-tokenization and t19 merge training lead up "
+    "to). Single-step-leftmost-minrank semantics shared by three "
+    "implementations: the Arrow kernel (bpe_apply_merges, run once "
+    "per DISTINCT word — the fast-tokenizer word cache distributed: "
+    "O(vocab) Python, O(tokens) JVM join + map-side rollup), a pure-"
+    "Python differential (pytest), and a DuckDB RECURSIVE-CTE oracle "
+    "that advances each vocab word one merge per step — the merge "
+    "LOOP defeats single-pass SQL but not recursion, so the audit "
+    "stays fully oracle-backed instead of rows-only. Bounded per-doc "
+    "audit: n_words/n_chars/n_bpe_tokens (the compression ratio) + "
+    "position-weighted encoding signature. Merge table includes "
+    "chained merges (s,c→sc,a→sca,n) so application order is "
+    "load-bearing.",
+)
+def t23_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BPE-encoding audit under the literal BPE_MERGES table
+    (see functions.text.bpe_encode_corpus)."""
+    from ..functions.text import bpe_encode_corpus
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return bpe_encode_corpus(docs)

@@ -11,15 +11,20 @@ under a count — a windowed projection with no downstream filter would
 measure as a bare scan. A warmup pass on the smallest table absorbs
 JVM/codegen startup so the numbers measure the plans, not the JIT.
 
-Each query is measured as the MIN of two interleaved full passes.
-SCALING.md ("Round 4: bench-noise audit") measured four same-code
-full runs within one session spreading 93.5-141.7s with single-query
-transients up to 46x (t06: 0.67s / 31.1s / 0.9s isolated), caused by
-host-level interference, not the plans. min-of-2 over interleaved
-passes suppresses those transients (a spike would have to hit the
-same query in both passes) while remaining an honest per-plan cost:
-every reported number is a time the full query actually took,
-cold-cache effects are already absorbed by the warmup pass.
+Each query is measured as the MIN of N interleaved full passes
+(default 3, $SPARK_GRAFT_BENCH_PASSES). SCALING.md ("Round 4:
+bench-noise audit") measured four same-code full runs within one
+session spreading 93.5-141.7s with single-query transients up to 46x
+(t06: 0.67s / 31.1s / 0.9s isolated), caused by host-level
+interference, not the plans; round 8 then measured four IDLE-host
+runs of an unchanged plan set spreading 1.46x under min-of-2. Min
+over ≥3 interleaved passes converges each query to its floor (a
+transient must hit the same query in every pass to survive) while
+remaining an honest per-plan cost: every reported number is a time
+the full query actually took, cold-cache effects are already
+absorbed by the warmup pass. The per-pass headline totals and their
+spread are stamped into the artifact — read any committed headline
+against its own spread before calling a delta a regression.
 """
 
 from __future__ import annotations
@@ -133,6 +138,11 @@ EXTENDED = [
     "j14_dynamic_partition_pruning",
     "m10_image_ahash_neardup",
     "t22_token_drift",
+    # round-9 wave 10: perf history from birth for the new operators
+    "d20_crossdoc_span_removal",
+    "m11_image_phash_neardup",
+    "o18_source_mix_quota",
+    "t23_bpe_encode",
 ]
 
 
@@ -293,14 +303,28 @@ def main() -> None:
             except Exception:
                 pass  # a warmup failure must never sink the bench
 
+    # ≥3 interleaved passes, min per query (VERDICT r08 task 4): the
+    # committed series was sampling co-tenant weather — four same-day
+    # idle runs of an UNCHANGED plan set spread 43.76-63.98s (1.46×)
+    # under min-of-2, swamping any plan signal. More passes converge
+    # each query to its floor (a transient must now hit the same query
+    # in EVERY pass to survive); the per-pass headline totals are
+    # stamped into the artifact so the intra-RUN spread is part of the
+    # record — read a committed headline against that spread before
+    # calling anything a regression.
+    n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     times: dict[str, float] = {}
-    for _pass in range(2):
+    pass_totals: list[float] = []
+    for _pass in range(n_passes):
+        pass_t: dict[str, float] = {}
         for name, fn in fns.items():
             t0 = time.perf_counter()
             run(fn(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 3)
+            pass_t[name] = elapsed
             if name not in times or elapsed < times[name]:
                 times[name] = elapsed
+        pass_totals.append(round(sum(pass_t[n] for n in HEADLINE), 3))
 
     # "value" stays the ORIGINAL 58-query headline total — directly
     # comparable to the round-1 pin in BASELINE.md; the wave-3/4
@@ -325,6 +349,9 @@ def main() -> None:
         "n_headline": len(HEADLINE),
         "n_extended": len(EXTENDED),
         "n_bench_only": len(bench_only),
+        "n_passes": n_passes,
+        "pass_headline_totals": pass_totals,
+        "intra_run_spread": round(max(pass_totals) / min(pass_totals), 3),
         "queries": times,
         "sf": sf,
         **host,
@@ -345,6 +372,10 @@ def main() -> None:
                 "sf": sf,
                 "value_extended_wave34_sec": total_ext,
                 "value_bench_only_xxh_sec": total_xxh,
+                "n_passes": n_passes,
+                "intra_run_spread": round(
+                    max(pass_totals) / min(pass_totals), 3
+                ),
                 "detail": os.path.basename(detail_file),
                 **host,
             }

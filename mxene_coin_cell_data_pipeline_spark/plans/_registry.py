@@ -131,72 +131,20 @@ def _fsum6_micro(col) -> F.Column:
 #: text/multimodal heads — every one oracle-backed and green in the
 #: full driver_check sweep. Everything not listed follows in
 #: definition order, so the full registry is always exported.
-#: Round-8 rotation (VERDICT r07 task 6): every query's latest driver
-#: verdict is green (union of r01-r07 windows = 176/176), so this
-#: window is pure staleness rotation — leads with the three queries
-#: whose oracles changed this round (d05: the AllPairs length+
-#: positional filter set with the candidate-bounded verify aggregate;
-#: d06/d14: bounded closure-audit restatement with the linear-state
-#: label-propagation oracle), then all 27 queries whose last driver
-#: verdict is r04, topped up with the stalest r05-last entries to
-#: fill 50. The round-8 wave-6 additions (d17/d18/t19/t20/s11) have
-#: never held a driver verdict, so they take the head ahead of the
-#: rotation (the tail spills past 50 and re-enters next rotation).
+#: Round-9 rotation (VERDICT r08 task 3): union of r01-r08 windows =
+#: 191/191 green, so this window leads with the four round-9 additions
+#: (d20 cross-doc span removal, m11 DCT pHash, o18 quota mixing, t23
+#: BPE encode — never driver-verified), then ALL 42 queries whose last
+#: driver verdict is r05, topped up with the first four of the r06
+#: cohort to hold the window at 50 (disjoint from r08's window by
+#: construction: r08 verified the wave-6-9 heads + r04-stale set).
 _DRIVER_PREFIX = [
-    # — NEW this round (wave 6): never driver-verified, so they lead —
-    "d17_window_duprate",
-    "d18_incremental_dedup",
-    "t19_bpe_top_merges",
-    "t20_inverted_index",
-    "s11_pq_assign",
-    "st11_stream_incremental_dedup",
-    "s12_random_projection",
-    "m09_avi_keyframes",
-    "d19_containment_pairs",
-    "src06_schema_evolution",
-    "t21_bigram_lm_score",
-    "o17_merge_upsert",
-    "j14_dynamic_partition_pruning",
-    "m10_image_ahash_neardup",
-    "t22_token_drift",
-    # — oracles changed this round —
-    "d05_ngram_jaccard",
-    "d06_near_dup_groups",
-    "d14_star_cap_groups",
-    # — all 27 queries whose last driver verdict is r04 —
-    "o10_table_profile",
-    "e07_funnel",
-    "o11_compaction_bins",
-    "d11_url_dedup",
-    "t10_unigram_logprob",
-    "c14_calendar_rollup",
-    "w10_navigation_functions",
-    "src01_jsonl_roundtrip",
-    "src02_csv_fallback",
-    "c15_map_column_ops",
-    "u04_bag_set_ops",
-    "e09_running_distinct",
-    "o12_cohort_retention",
-    "s06_label_centroids",
-    "e10_twap",
-    "e11_ohlc_bars",
-    "o14_gaps_islands",
-    "e12_asof_forward",
-    "e13_interarrival_histogram",
-    "t11_feature_hashing",
-    "u05_bag_counts_derived",
-    "a23_scalar_pandas_udf",
-    "src03_python_datasource",
-    "a25_approx_percentile_bound",
-    "j13_param_grid",
-    "t12_explode_outer",
-    "t13_curation_funnel",
-    # — stalest r05-last fills to hold the window at 50 —
-    "d02_minhash_lsh",
-    "m05_ppm_decode",
-    "d09_simhash_hamming",
-    "d12_lsh_star_cap",
-    "d13_simhash_star_cap",
+    # — NEW this round (wave 10): never driver-verified, so they lead —
+    "d20_crossdoc_span_removal",
+    "m11_image_phash_neardup",
+    "o18_source_mix_quota",
+    "t23_bpe_encode",
+    # — all 42 queries whose last driver verdict is r05 —
     "j04_outer_custdist",
     "u02_intersect_except",
     "w05_ntile_cume",
@@ -212,6 +160,38 @@ _DRIVER_PREFIX = [
     "a22_zscore",
     "d15_decontaminate",
     "o15_sequence_pack",
+    "o16_domain_mixture",
+    "t14_dsir_resample",
+    "s08_semdedup",
+    "s07_int8_quantize",
+    "t15_bpe_pretokenize",
+    "g02_connected_components",
+    "e14_linear_interp",
+    "d16_bloom_decontaminate",
+    "src04_orc_roundtrip",
+    "m06_ppm_resize",
+    "t16_linear_classifier",
+    "st09_stream_decode",
+    "m07_wav_decode",
+    "m08_avi_frames",
+    "t17_span_self_dedup",
+    "t18_bm25_topk",
+    "a27_histogram_quantile",
+    "s09_matryoshka_topk",
+    "g03_triangle_count",
+    "e15_scd2_intervals",
+    "st10_stream_histogram",
+    "a28_countmin_freq",
+    "src05_hive_partitioned_roundtrip",
+    "p05_export_pipeline",
+    "s10_pca_power",
+    "e16_seasonal_backtest",
+    "a29_join_size_sketch",
+    # — r06-cohort fills to hold the window at 50 —
+    "q01_pricing_summary",
+    "q03_top_revenue_orders",
+    "q05_nation_volume",
+    "o03_topk_orders",
 ]
 
 

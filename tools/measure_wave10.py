@@ -21,6 +21,9 @@ from mxene_coin_cell_data_pipeline_spark.plans import QUERIES  # noqa: E402
 
 WAVE10 = [
     "d20_crossdoc_span_removal",
+    "m11_image_phash_neardup",
+    "o18_source_mix_quota",
+    "t23_bpe_encode",
 ]
 
 

@@ -304,3 +304,50 @@ def test_j14_dynamic_partition_pruning_in_fact_scan(spark, sf_dir):
     (src05 pins the static cousin)."""
     plan = _plan("j14_dynamic_partition_pruning", spark, sf_dir)
     assert "dynamicpruning" in plan
+
+
+def test_d20_no_gram_self_join_and_linear_windows(spark, sf_dir):
+    """The span-removal transform must derive the gram owner with a
+    window over the gram partitioning (never a gram self-join), join
+    flagged starts back to the token relation as an equi-join, and do
+    coverage with per-doc windows — no cartesian anywhere."""
+    plan = _plan("d20_crossdoc_span_removal", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+    # exactly one join: flagged starts -> token relation. A second
+    # join would mean the gram ownership regressed to a self-join.
+    n_joins = len(re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan))
+    assert n_joins == 1, plan[:2000]
+
+
+def test_m11_same_band_machinery_as_m10(spark, sf_dir):
+    """pHash near-dup must run through the shared band join: an
+    Arrow-batched kernel (mapInPandas -> ArrowEvalPython/MapInPandas
+    node), then the band bucket join with no cartesian."""
+    plan = _plan("m11_image_phash_neardup", spark, sf_dir)
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_o18_quota_broadcast_onto_rows(spark, sf_dir):
+    """Quota mixing must broadcast the n_sources-row quota relation
+    onto the corpus rows — never shuffle the corpus against it — and
+    keep the selection rank as a single per-source window."""
+    plan = _plan("o18_source_mix_quota", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t23_kernel_runs_on_distinct_vocab(spark, sf_dir):
+    """BPE encode must feed the Python kernel from the DEDUPLICATED
+    vocabulary (an aggregate below MapInPandas), not from the raw
+    occurrence stream — the word-cache property that makes the encode
+    O(vocab) in Python at any corpus size."""
+    plan = _plan("t23_bpe_encode", spark, sf_dir)
+    assert "MapInPandas" in plan
+    kernel_at = plan.index("MapInPandas")
+    below = plan[kernel_at:]
+    assert "HashAggregate" in below  # the distinct under the kernel
+    assert "CartesianProduct" not in plan

@@ -12,7 +12,14 @@ measure as a bare scan. A warmup pass on the smallest table absorbs
 JVM/codegen startup so the numbers measure the plans, not the JIT.
 
 Each query is measured as the MIN of N interleaved full passes
-(default 3, $SPARK_GRAFT_BENCH_PASSES). SCALING.md ("Round 4:
+(default 3, $SPARK_GRAFT_BENCH_PASSES; any value >= 1 is honored, so
+a deliberate single-pass smoke run costs one pass). Before the timed
+passes, ONE untimed warmup pass runs at the bench SF itself (r09's
+stamped per-pass totals 55.7/59.4/46.0 were warmup-shaped — the
+sf0.001 warmup compiles codegen but does not touch the sf0.1 parquet
+page cache or the size-tiered JIT); its wall time is stamped as
+``warmup_pass_sec``. Skip it with $SPARK_GRAFT_BENCH_NO_WARMUP=1.
+SCALING.md ("Round 4:
 bench-noise audit") measured four same-code full runs within one
 session spreading 93.5-141.7s with single-query transients up to 46x
 (t06: 0.67s / 31.1s / 0.9s isolated), caused by host-level
@@ -312,9 +319,25 @@ def main() -> None:
     # stamped into the artifact so the intra-RUN spread is part of the
     # record — read a committed headline against that spread before
     # calling anything a regression.
-    n_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     times: dict[str, float] = {}
     pass_totals: list[float] = []
+
+    # one UNTIMED warmup pass at the bench SF (VERDICT r09 task 6):
+    # the sf0.001 warmup above compiles every plan's codegen, but the
+    # first sf0.1 pass still pays parquet page-cache faults and the
+    # size-tiered JIT — r09's stamped spread 1.292 (55.7/59.4/46.0)
+    # was exactly that shape. Timed separately so the artifact shows
+    # what the warmup absorbed.
+    warmup_pass_sec = None
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP"):
+        t0 = time.perf_counter()
+        for fn in fns.values():
+            try:
+                run(fn(spark, sf_dir))
+            except Exception:
+                pass  # a warmup failure must never sink the bench
+        warmup_pass_sec = round(time.perf_counter() - t0, 3)
     for _pass in range(n_passes):
         pass_t: dict[str, float] = {}
         for name, fn in fns.items():
@@ -350,6 +373,7 @@ def main() -> None:
         "n_extended": len(EXTENDED),
         "n_bench_only": len(bench_only),
         "n_passes": n_passes,
+        "warmup_pass_sec": warmup_pass_sec,
         "pass_headline_totals": pass_totals,
         "intra_run_spread": round(max(pass_totals) / min(pass_totals), 3),
         "queries": times,
@@ -373,6 +397,7 @@ def main() -> None:
                 "value_extended_wave34_sec": total_ext,
                 "value_bench_only_xxh_sec": total_xxh,
                 "n_passes": n_passes,
+                "warmup_pass_sec": warmup_pass_sec,
                 "intra_run_spread": round(
                     max(pass_totals) / min(pass_totals), 3
                 ),

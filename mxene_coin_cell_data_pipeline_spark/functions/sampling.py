@@ -170,6 +170,16 @@ def source_mix_quota(
     ``sel_sig = Σ rank·hash32(key)`` over the selected rows — exact
     identity + order pin without materializing the sample.
 
+    INFEASIBILITY CONTRACT: if a source's quota exceeds its row count
+    (q_s > n_s — the mix is infeasible under this weighting), the
+    selection silently under-fills that source and the GLOBAL budget
+    (Σ n_selected < B). The audit row carries the signal:
+    ``n_selected < quota`` on any output row means infeasible — a
+    caller enforcing the budget must check it (or compare
+    Σ n_selected against Σ quota). It is reported, not raised,
+    because the audit row is the operator's output and a partial
+    epoch mix is a policy decision, not an engine error.
+
     Scale: one map-side-combining count, quota math on an
     n_sources-row relation (window over a tiny frame), one broadcast
     join of quotas onto rows, one per-source rank window — the same

@@ -7,7 +7,9 @@
 - m11: perceptual image near-dup via integer 8×8 DCT pHash (upgrades
   m10's aHash — same parsed-PPM payloads, same hamming band machinery)
 - o18: quota-exact temperature-scaled source mixing (largest-remainder
-  integer quotas + deterministic Efraimidis–Spirakis selection)
+  integer quotas + deterministic md5-ranked selection — the o06
+  machinery under broadcast per-source quotas; unweighted WITHIN a
+  source, the temperature policy lives entirely in the quota)
 - t23: BPE corpus encoding under a literal merge table (greedy
   leftmost-lowest-rank application; bounded per-doc audit)
 
@@ -67,6 +69,15 @@ _D20_K = 8
                     * ('0x' || substr(md5(tok), 1, 8))::BIGINT END)
                   AS BIGINT) END AS kept_sig
     FROM cov2 GROUP BY doc_id
+    UNION ALL
+    -- poison sentinel (the d06 discipline): the unnest above caps each
+    -- doc at 4095 tokens while the Spark engine is uncapped; a corpus
+    -- with a longer doc must FAIL the driver hash loudly, not diverge
+    -- silently.
+    SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(mx AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS n_removed, CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS BIGINT) AS kept_len, CAST(NULL AS BIGINT) AS kept_sig
+    FROM (SELECT max(len(w)) AS mx FROM toks) WHERE mx >= 4096
     """,
     survey="north-star dedup completion: cross-document exact-substring "
     "REMOVAL — the actual Lee-et-al transform (d17 is the detector, t17 "
@@ -349,6 +360,15 @@ _T23_NONE = " AND ".join(f"p{k} = 0" for k in range(len(BPE_MERGES)))
              AS bpe_sig
     FROM occ JOIN final f ON f.tok = occ.tok
     GROUP BY occ.doc_id
+    UNION ALL
+    -- poison sentinel: occ caps each doc at 4095 tokens (range bound
+    -- must be a constant in DuckDB); a longer doc fails loudly here
+    -- instead of silently dropping words from the oracle only.
+    SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(mx AS BIGINT) AS n_words,
+           CAST(NULL AS BIGINT) AS n_chars,
+           CAST(NULL AS BIGINT) AS n_bpe_tokens,
+           CAST(NULL AS BIGINT) AS bpe_sig
+    FROM (SELECT max(len(w)) AS mx FROM toks) WHERE mx >= 4096
     """,
     survey="north-star text completion: corpus BPE ENCODING under a "
     "literal rank-ordered merge table (the trained-tokenizer artifact "

@@ -494,3 +494,35 @@ def test_bpe_encode_corpus_audit(spark):
     assert sum(r["n_bpe_tokens"] for r in got.values()) < 0.85 * sum(
         r["n_chars"] for r in got.values()
     )
+
+
+def test_long_doc_poison_sentinel_in_wave10_oracles():
+    """ADVICE r09: the d20/t23 oracle SQL unnests token positions via a
+    constant range(1, 4096) (DuckDB's range cannot take a derived
+    bound), silently capping each doc at 4095 tokens while the Spark
+    engine is uncapped. The oracles now emit a poison sentinel row
+    (doc_id = -1, the d06 convergence-sentinel discipline) whenever the
+    corpus violates the invariant, so a long-doc corpus fails the
+    driver hash loudly instead of passing wrongly — and stays
+    sentinel-free on a conforming corpus."""
+    import duckdb
+
+    from mxene_coin_cell_data_pipeline_spark.plans import QUERIES
+
+    long_text = " ".join(f"w{i}" for i in range(5000))
+    for q in ("d20_crossdoc_span_removal", "t23_bpe_encode"):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.execute(
+            "INSERT INTO documents VALUES (1, ?), (2, 'short doc here')",
+            [long_text],
+        )
+        rows = con.execute(QUERIES[q].oracle).fetchall()
+        sentinels = [r for r in rows if r[0] == -1]
+        assert len(sentinels) == 1, q
+        assert sentinels[0][1] == 5000, q  # carries the offending max len
+        # conforming corpus: no sentinel
+        con.execute("DELETE FROM documents WHERE doc_id = 1")
+        rows = con.execute(QUERIES[q].oracle).fetchall()
+        assert all(r[0] != -1 for r in rows), q
+        con.close()

@@ -351,3 +351,18 @@ def test_t23_kernel_runs_on_distinct_vocab(spark, sf_dir):
     below = plan[kernel_at:]
     assert "HashAggregate" in below  # the distinct under the kernel
     assert "CartesianProduct" not in plan
+
+
+def test_s13_adc_is_pure_scan_plus_topk_broadcasts(spark, sf_dir):
+    """ADC retrieval must be shuffle-free: codes + ADC scoring as a
+    pure scan over literal LUTs, top-k via TakeOrderedAndProject (no
+    global sort), and the only joins the two 10-row recall-flag
+    broadcasts — no exchange keyed by vector, no cartesian."""
+    plan = _plan("s13_pq_adc_topk", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # no shuffle exchange at all — broadcasts are the only exchanges
+    assert not re.search(r"Exchange (hash|range)partitioning", plan), plan[:2000]

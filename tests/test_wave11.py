@@ -1,0 +1,159 @@
+"""Wave-11 operator tests (round 10): s13 PQ ADC retrieval, m12 video
+keyframe-pHash near-dup, t24 iterative BPE merge training, p06 capstone
+chain. Differentials are pure-Python re-implementations, the wave-10
+discipline."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# s13: PQ ADC top-k retrieval
+# ---------------------------------------------------------------------------
+
+
+def _dot_seq(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _py_adc_reference(vecs: dict[int, list[float]], m=4, k=4, topk=10):
+    """Pure-Python ADC retrieval mirroring pq_adc_topk bit-for-bit:
+    codes by expanded squared distance (ties -> smaller code), LUT from
+    query vec 0, top-k on the round(1e9) integer grid."""
+    dim = len(vecs[0])
+    sub = dim // m
+    qv = vecs[0]
+    lut = []
+    for s in range(m):
+        qs = qv[s * sub : (s + 1) * sub]
+        dqq = _dot_seq(qs, qs)
+        lut.append(
+            [
+                dqq
+                - 2 * _dot_seq(qs, vecs[c][s * sub : (s + 1) * sub])
+                + _dot_seq(
+                    vecs[c][s * sub : (s + 1) * sub],
+                    vecs[c][s * sub : (s + 1) * sub],
+                )
+                for c in range(k)
+            ]
+        )
+    scored = []
+    for vid, v in vecs.items():
+        if vid == 0:
+            continue
+        adc = 0.0
+        for s in range(m):
+            xs = v[s * sub : (s + 1) * sub]
+            dxx = _dot_seq(xs, xs)
+            best = None
+            for c in range(k):
+                cs = vecs[c][s * sub : (s + 1) * sub]
+                dist = dxx - 2 * _dot_seq(xs, cs) + _dot_seq(cs, cs)
+                if best is None or dist < best[0]:
+                    best = (dist, c)
+            adc = adc + lut[s][best[1]]
+        scored.append((round(adc * 1e9), vid))
+    scored.sort()
+    return scored[:topk]
+
+
+def _det_vec(i: int, dim: int = 64) -> list[float]:
+    # float32-quantized like the parquet embeddings, deterministic
+    import numpy as np
+
+    out = []
+    for j in range(dim):
+        b = int(hashlib.md5(f"{i}|{j}".encode()).hexdigest()[:8], 16)
+        out.append(float(np.float32(b / 2**31 - 1.0)))
+    return out
+
+
+def test_s13_adc_matches_pure_python(spark):
+    from pyspark.sql import types as T
+
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        pq_adc_topk,
+    )
+
+    vecs = {i: _det_vec(i) for i in range(24)}
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], schema=schema
+    )
+    got = {
+        r["vec_id"]: r.asDict() for r in pq_adc_topk(df, topk=10).collect()
+    }
+    want = _py_adc_reference(vecs, topk=10)
+    assert {vid for _, vid in want} == set(got)
+    for nanos, vid in want:
+        assert got[vid]["adc_nanos"] == nanos
+    # recall flags are consistent with brute-force exact rankings
+    exact_l2 = sorted(
+        (
+            round(
+                (
+                    _dot_seq(v, v)
+                    - 2 * _dot_seq(v, vecs[0])
+                    + _dot_seq(vecs[0], vecs[0])
+                )
+                * 1e9
+            ),
+            vid,
+        )
+        for vid, v in vecs.items()
+        if vid != 0
+    )[:10]
+    l2_ids = {vid for _, vid in exact_l2}
+    for vid, r in got.items():
+        assert r["in_exact_l2_topk"] == (1 if vid in l2_ids else 0)
+
+
+def test_s13_zero_quantization_error_for_centroid_vectors(spark):
+    """A database vector that IS one of the centroids scores an ADC
+    distance exactly equal to the true (lut) distance — and the query's
+    own centroid tuple scores adc == 0 at every subspace."""
+    from pyspark.sql import types as T
+
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        pq_adc_topk,
+    )
+
+    vecs = {i: _det_vec(i) for i in range(8)}
+    # vector 7 := centroid 2 duplicated, vector 6 := the query itself
+    vecs[7] = list(vecs[2])
+    vecs[6] = list(vecs[0])
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], schema=schema
+    )
+    got = {
+        r["vec_id"]: r["adc_nanos"] for r in pq_adc_topk(df, topk=7).collect()
+    }
+    assert got[6] == 0  # query twin: assigned code 0 per subspace, lut 0
+    # centroid twin: adc == exact ||q_s - c_2||^2 summed
+    qv, c2 = vecs[0], vecs[2]
+    want = 0.0
+    for s in range(4):
+        qs, cs = qv[s * 16 : (s + 1) * 16], c2[s * 16 : (s + 1) * 16]
+        want = want + (
+            _dot_seq(qs, qs) - 2 * _dot_seq(qs, cs) + _dot_seq(cs, cs)
+        )
+    assert got[7] == round(want * 1e9)

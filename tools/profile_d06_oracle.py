@@ -1,44 +1,58 @@
-import duckdb, os, sys, time
-sys.path.insert(0,'/root/repo')
-from mxene_coin_cell_data_pipeline_spark.plans import QUERIES
-from mxene_coin_cell_data_pipeline_spark.plans.q_dedup_pairs import _D02_PAIRS_LIST_SQL
+"""Phase-split profile of d06's 100x closure-audit oracle (VERDICT r09
+task 1): which phase binds at 48GB — the pairs CTE (_D02_PAIRS_LIST_SQL,
+candidate generation + list-intersect verify) or the unrolled label
+chain (_closure_audit_oracle)?
 
-sf = '/tmp/sf100x'
+Run SOLO against a regenerated /tmp/sf100x (tools/gen_10x.py). Unlike
+the r09 version this materializes the pairs ONCE (CREATE TEMP TABLE is
+the timed pairs phase — the r09 form ran the CTE twice, once for a
+bare count and again for the table, doubling a >40-min phase), then
+runs the label chain over the materialized table.
+
+Env knobs: D06_PROF_MEM (default 48GB), D06_PROF_SF (default
+/tmp/sf100x).
+"""
+import duckdb, os, sys, time
+sys.path.insert(0, '/root/repo')
+from mxene_coin_cell_data_pipeline_spark.plans.q_dedup_pairs import (
+    _D02_PAIRS_LIST_SQL,
+    _closure_audit_oracle,
+)
+
+sf = os.environ.get('D06_PROF_SF', '/tmp/sf100x')
+mem = os.environ.get('D06_PROF_MEM', '48GB')
 con = duckdb.connect()
-con.execute("SET memory_limit='48GB'")
+con.execute(f"SET memory_limit='{mem}'")
 os.makedirs('/tmp/duckdb_d06prof', exist_ok=True)
 con.execute("SET temp_directory='/tmp/duckdb_d06prof'")
-con.execute("CREATE OR REPLACE VIEW documents AS SELECT * FROM read_parquet('/tmp/sf100x/documents.parquet/*.parquet')")
+con.execute(
+    "CREATE OR REPLACE VIEW documents AS SELECT * FROM "
+    f"read_parquet('{sf}/documents.parquet/*.parquet')"
+)
+print(f"profiling {sf} at {mem}", flush=True)
 
-t0=time.time()
+# phase 1: PAIRS — materialize the candidate+verify relation once
+t0 = time.time()
 try:
-    n = con.execute(f"SELECT count(*) FROM ({_D02_PAIRS_LIST_SQL})").fetchone()[0]
-    print("PAIRS_ONLY", n, round(time.time()-t0,1), flush=True)
+    con.execute(f"CREATE TEMP TABLE pairs_t AS ({_D02_PAIRS_LIST_SQL})")
+    n = con.execute("SELECT count(*) FROM pairs_t").fetchone()[0]
+    print("PAIRS_TABLE", n, round(time.time() - t0, 1), flush=True)
 except Exception as e:
-    print("PAIRS_FAIL", repr(e)[:300], round(time.time()-t0,1), flush=True)
+    print("PAIRS_FAIL", repr(e)[:300], round(time.time() - t0, 1), flush=True)
     raise SystemExit(1)
 
-# phase 2: materialize pairs to a temp table, then run ONLY the l-chain
-t0=time.time()
-con.execute(f"CREATE TEMP TABLE pairs_t AS ({_D02_PAIRS_LIST_SQL})")
-print("PAIRS_TABLE", round(time.time()-t0,1), flush=True)
-
-from mxene_coin_cell_data_pipeline_spark.plans.q_dedup_pairs import _closure_audit_oracle
+# phase 2: CHAIN — the unrolled label propagation over the table only
 chain = _closure_audit_oracle("SELECT doc_a, doc_b FROM pairs_t")
-t0=time.time()
+t0 = time.time()
 try:
     r = con.execute(f"SELECT count(*) FROM ({chain})").fetchone()[0]
-    print("CHAIN_ONLY", r, round(time.time()-t0,1), flush=True)
+    print("CHAIN_ONLY", r, round(time.time() - t0, 1), flush=True)
 except Exception as e:
-    print("CHAIN_FAIL", repr(e)[:300], round(time.time()-t0,1), flush=True)
+    print("CHAIN_FAIL", repr(e)[:300], round(time.time() - t0, 1), flush=True)
 
 # ---------------------------------------------------------------------
-# Round-9 status: launched at 100x/48GB this session; the pairs phase
-# alone had not completed after ~40 min when the run was stopped to
-# keep the host idle for the driver's bench. At 10x the FULL oracle
-# needs only 8GB / 39s (measured), so the blow-up is 100x-specific.
-# Next round: run `python tools/profile_d06_oracle.py` solo (regenerate
-# /tmp/sf100x first), read which phase binds, and restate that phase —
-# candidates: fewer label rounds w/ certificate (if CHAIN binds) or a
-# sampled-stratum certificate audit (if PAIRS binds).
+# Round-9 status (superseded measurement attempt): pairs phase alone had
+# not completed after ~40 min at 48GB when stopped; at 10x the FULL
+# oracle needs 8GB/39s, so the blow-up is 100x-specific. Round 10 runs
+# this single-materialization form solo to get the phase split.
 # ---------------------------------------------------------------------

@@ -889,3 +889,180 @@ def bpe_encode_corpus(
             F.sum(F.col("widx") * hash32).cast("long").alias("bpe_sig"),
         )
     )
+
+
+def apply_one_merge(syms: list[str], a: str, b: str) -> tuple[list[str], int]:
+    """Apply ONE merge (a,b) to a symbol sequence at every LEFTMOST
+    NON-OVERLAPPING occurrence (one left-to-right pass — the batch
+    form a BPE TRAINING round uses, vs encode's single-step loop).
+    Returns (new symbols, replacements made). For a != b the two
+    forms coincide exactly; for a == b runs, the left-to-right pass
+    takes every other position — the same result the single-step
+    leftmost loop converges to."""
+    out: list[str] = []
+    i = 0
+    n = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+            n += 1
+        else:
+            out.append(syms[i])
+            i += 1
+    return out, n
+
+
+def bpe_train_merges_py(
+    words: dict[str, int], rounds: int = 8
+) -> list[dict]:
+    """Pure-Python reference BPE trainer (the t24 differential): at
+    each round count adjacent symbol pairs weighted by word frequency
+    (OVERLAPPING positions counted — the Sennrich zip(word, word[1:])
+    statistic), select max (ties -> lexicographically smaller (a,b)),
+    apply at leftmost non-overlapping occurrences, recount."""
+    state = {w: list(w) for w in words}
+    out = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            cnt = words[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n_pair = best
+        n_merged = 0
+        n_after = 0
+        for w in state:
+            state[w], n = apply_one_merge(state[w], a, b)
+            n_merged += n * words[w]
+            n_after += len(state[w]) * words[w]
+        out.append(
+            {
+                "rank": r,
+                "sym_a": a,
+                "sym_b": b,
+                "pair_count": n_pair,
+                "n_merged": n_merged,
+                "n_tokens_after": n_after,
+            }
+        )
+    return out
+
+
+def bpe_train_merges(
+    docs: DataFrame, text_col: str = "text", rounds: int = 8
+) -> DataFrame:
+    """Iterative BPE merge TRAINING at corpus scale — the loop t19
+    computed one round of (Sennrich et al., arXiv:1508.07909): each
+    round counts frequency-weighted adjacent-symbol pairs over the
+    vocabulary, selects the max-count pair (ties -> lexicographically
+    smaller (sym_a, sym_b) — deterministic on both engines under
+    binary collation of [a-z0-9] symbols), applies it to every word at
+    the leftmost non-overlapping occurrences, and recounts over the
+    EVOLVED symbol sequences. Emits the rank-ordered merge table — the
+    trained-tokenizer artifact t23's encoder consumes — with a
+    per-round audit: ``pair_count`` (the maximized statistic,
+    overlapping positions counted), ``n_merged`` (replacements
+    actually applied x word frequency; differs from pair_count exactly
+    on a==b overlap runs), and ``n_tokens_after`` (corpus token count
+    after the round — the live compression trajectory).
+
+    Encode/train consistency: applying the trained table through
+    ``bpe_apply_merges`` (single-step leftmost-minrank, t23's kernel)
+    reproduces the trainer's final tokenization — rank r's occurrences
+    in the encoder's rank-(r-1)-applied state are exactly the
+    trainer's round-r state, inductively (a later merge's concatenated
+    symbol cannot form an earlier pair: that symbol did not exist when
+    the earlier pair was chosen). Pinned by
+    tests/test_wave11.py::test_t24_trained_table_reproduces_encoding.
+
+    Scale design (the g01/g02 unrolled-iteration pattern): the ONLY
+    corpus-sized pass is the word-frequency aggregate (one map-side-
+    combining shuffle); every round then runs on the persisted DISTINCT
+    vocabulary (Heaps-law small): pair counts explode vocab-bounded
+    adjacent-pair structs, the max-pair is a 1-row TakeOrdered collect
+    (the quota/quantile-seed class of legitimately tiny driver
+    collects), and the apply is an Arrow-batched kernel ONCE PER
+    DISTINCT WORD (t23's word-cache discipline — O(vocab) Python per
+    round, the corpus never rescanned). Per-round state is persisted
+    so round r+1 reads round r's vocab, not a recompute chain.
+    """
+    state = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "w",
+            "cnt",
+            F.expr("filter(split(w, ''), c -> c <> '')").alias("syms"),
+        )
+        .persist()
+    )
+    rows = []
+    persisted = [state]
+    for r in range(1, rounds + 1):
+        pairs = state.select(
+            "cnt",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(syms, 1, size(syms) - 1)").alias("a"),
+                    F.expr("slice(syms, 2, size(syms) - 1)").alias("b"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n_pair = best[0]["a"], best[0]["b"], int(best[0]["n"])
+
+        def apply_batches(it, _a=a, _b=b):
+            import pandas as pd
+
+            for pdf in it:
+                new_syms, n_repl = [], []
+                for syms in pdf["syms"]:
+                    ns, n = apply_one_merge(list(syms), _a, _b)
+                    new_syms.append(ns)
+                    n_repl.append(n)
+                yield pd.DataFrame(
+                    {
+                        "w": pdf["w"],
+                        "cnt": pdf["cnt"],
+                        "syms": new_syms,
+                        "n_repl": n_repl,
+                    }
+                )
+
+        applied = state.mapInPandas(
+            apply_batches,
+            schema="w string, cnt long, syms array<string>, n_repl int",
+        ).persist()
+        persisted.append(applied)
+        audit = applied.agg(
+            F.sum(F.col("cnt") * F.col("n_repl")).cast("long").alias("nm"),
+            F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("nt"),
+        ).collect()[0]
+        rows.append(
+            (r, a, b, n_pair, int(audit["nm"]), int(audit["nt"]))
+        )
+        state = applied.select("w", "cnt", "syms")
+    spark = docs.sparkSession
+    out = spark.createDataFrame(
+        rows,
+        schema="rank long, sym_a string, sym_b string, pair_count long, "
+        "n_merged long, n_tokens_after long",
+    )
+    for df in persisted:
+        df.unpersist()
+    return out

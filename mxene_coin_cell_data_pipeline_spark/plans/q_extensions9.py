@@ -144,3 +144,120 @@ def s13_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, query_vec_id=0, m=_S13_M, k=_S13_K, topk=_S13_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# t24: iterative BPE merge TRAINING (t19 unrolled over evolving symbols)
+# ---------------------------------------------------------------------------
+
+_T24_ROUNDS = 8
+
+
+def _t24_oracle(rounds: int = _T24_ROUNDS) -> str:
+    """Per-round CTE chain (the _closure_audit_oracle generation
+    pattern): round r counts adjacent-symbol pairs over v{r-1} (one
+    row per (word, pos, sym) — the evolving vocabulary state), picks
+    the max via ORDER BY n DESC, sa, sb LIMIT 1, marks leftmost
+    non-overlapping application sites with the gaps-and-islands parity
+    rule (a matching position starts a merge iff its offset inside its
+    island of CONSECUTIVE matching positions is even — islands larger
+    than one element exist only for sa == sb runs; for sa != sb every
+    match is a singleton island, parity 0, so the rule is universal),
+    and rebuilds v{r} by dropping the swallowed successor positions.
+    Every v{r}/s{r}/b{r} is MATERIALIZED — each is referenced several
+    times downstream and DuckDB would otherwise inline the chain
+    exponentially (the d06 lesson). An empty b{r} (no pairs left)
+    yields an empty audit row and an unchanged v{r} via the LEFT JOIN
+    ON TRUE, mirroring the engine's loop break."""
+    ctes = [
+        "toksw AS MATERIALIZED (SELECT u.tok AS w, count(*) AS cnt "
+        "FROM documents, LATERAL (SELECT unnest(regexp_extract_all("
+        "lower(text), '[a-z0-9]+')) AS tok) u WHERE u.tok <> '' "
+        "GROUP BY u.tok)",
+        "v0 AS MATERIALIZED (SELECT w, cnt, u.pos, u.sym FROM toksw, "
+        "LATERAL (SELECT unnest(string_split(w, '')) AS sym, "
+        "generate_subscripts(string_split(w, ''), 1) AS pos) u)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"v{r - 1}"
+        ctes.append(
+            f"p{r} AS (SELECT x.sym AS sa, y.sym AS sb, sum(x.cnt) AS n\n"
+            f"  FROM {p} x JOIN {p} y ON y.w = x.w AND y.pos = x.pos + 1\n"
+            f"  GROUP BY x.sym, y.sym)"
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT sa, sb, n FROM p{r}\n"
+            f"  ORDER BY n DESC, sa, sb LIMIT 1)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT v.w, v.cnt, v.pos, v.sym, b.sa AS msa,\n"
+            f"    b.sb AS msb,\n"
+            f"    CASE WHEN v.sym = b.sa AND lead(v.sym) OVER\n"
+            f"      (PARTITION BY v.w ORDER BY v.pos) = b.sb\n"
+            f"    THEN 1 ELSE 0 END AS ism\n"
+            f"  FROM {p} v LEFT JOIN b{r} b ON TRUE)"
+        )
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT *,\n"
+            f"    CASE WHEN ism = 1 AND (pos - min(pos) OVER\n"
+            f"      (PARTITION BY w, grp)) % 2 = 0 THEN 1 ELSE 0 END AS strt\n"
+            f"  FROM (SELECT *, CASE WHEN ism = 1 THEN pos - row_number()\n"
+            f"      OVER (PARTITION BY w, ism ORDER BY pos) END AS grp\n"
+            f"    FROM m{r}))"
+        )
+        ctes.append(
+            f"v{r} AS MATERIALIZED (SELECT w, cnt,\n"
+            f"    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos,\n"
+            f"    CASE WHEN strt = 1 THEN msa || msb ELSE sym END AS sym\n"
+            f"  FROM (SELECT *, coalesce(lag(strt) OVER\n"
+            f"      (PARTITION BY w ORDER BY pos), 0) AS pstrt FROM s{r})\n"
+            f"  WHERE pstrt = 0)"
+        )
+        ctes.append(
+            f"a{r} AS (SELECT CAST({r} AS BIGINT) AS rank, b.sa AS sym_a,\n"
+            f"    b.sb AS sym_b, CAST(b.n AS BIGINT) AS pair_count,\n"
+            f"    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT)\n"
+            f"     FROM s{r} WHERE strt = 1) AS n_merged,\n"
+            f"    (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT)\n"
+            f"     FROM v{r}) AS n_tokens_after\n"
+            f"  FROM b{r} b)"
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM a{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n    {union}"
+
+
+@_register(
+    "t24_bpe_train_merges",
+    _t24_oracle(),
+    survey="north-star text completion: iterative BPE merge TRAINING — "
+    "t19 computed ONE round's pair statistic; this unrolls the full "
+    "trainer loop (Sennrich et al., arXiv:1508.07909) over the EVOLVING "
+    "symbol sequences: count frequency-weighted adjacent pairs "
+    "(overlapping — the zip(word, word[1:]) statistic), select max "
+    "(ties -> lexicographically smaller pair), apply at leftmost "
+    "non-overlapping sites, recount. Emits the rank-ordered merge "
+    "table t23's encoder consumes, closing the tokenizer lifecycle "
+    "t15 (pre-tokenize) -> t24 (train) -> t23 (encode), plus a "
+    "per-round audit: pair_count, n_merged (applied occurrences x "
+    "frequency — differs from pair_count exactly on a==b overlap "
+    "runs), n_tokens_after (the compression trajectory). Oracle: "
+    "per-round CTE chain with relational leftmost-non-overlap apply "
+    "(gaps-and-islands parity rule). Scale: ONE corpus pass (the "
+    "word-frequency aggregate); every round is vocab-sized (Heaps' "
+    "law) with persisted state — the g01/g02 unrolled-iteration "
+    "pattern; the max-pair collect per round is the quota-seed class "
+    "of tiny driver collects.",
+    note="Encode/train consistency (bpe_apply_merges under the trained "
+    "table reproduces the trainer's final tokenization) is pinned by "
+    "tests/test_wave11.py; the pure-Python trainer differential "
+    "(bpe_train_merges_py) runs in the same test module.",
+)
+def t24_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-ordered trained merge table + per-round audit (see
+    functions.text.bpe_train_merges)."""
+    from ..functions.text import bpe_train_merges
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, rounds=_T24_ROUNDS)

@@ -157,3 +157,92 @@ def test_s13_zero_quantization_error_for_centroid_vectors(spark):
             _dot_seq(qs, qs) - 2 * _dot_seq(qs, cs) + _dot_seq(cs, cs)
         )
     assert got[7] == round(want * 1e9)
+
+
+# ---------------------------------------------------------------------------
+# t24: iterative BPE merge training
+# ---------------------------------------------------------------------------
+
+
+def test_t24_apply_one_merge_overlap_runs():
+    """Leftmost non-overlapping application on a==b runs: every other
+    position merges; pair_count (overlapping statistic) intentionally
+    exceeds the applied count on runs."""
+    from mxene_coin_cell_data_pipeline_spark.functions.text import (
+        apply_one_merge,
+    )
+
+    assert apply_one_merge(list("aaa"), "a", "a") == (["aa", "a"], 1)
+    assert apply_one_merge(list("aaaa"), "a", "a") == (["aa", "aa"], 2)
+    assert apply_one_merge(list("aaaaa"), "a", "a") == (["aa", "aa", "a"], 2)
+    assert apply_one_merge(list("abab"), "a", "b") == (["ab", "ab"], 2)
+    assert apply_one_merge(list("xay"), "a", "b") == (["x", "a", "y"], 0)
+
+
+def test_t24_hand_trainer():
+    """Hand-checkable corpus: 'scan scan scat' -> round 1 pair counts
+    (s,c)=3, (c,a)=3, (a,n)=2, (a,t)=1 -> ties broken lexicographically:
+    (c,a) beats (s,c). Verify two rounds by hand."""
+    from mxene_coin_cell_data_pipeline_spark.functions.text import (
+        bpe_train_merges_py,
+    )
+
+    out = bpe_train_merges_py({"scan": 2, "scat": 1}, rounds=2)
+    r1 = out[0]
+    assert (r1["sym_a"], r1["sym_b"]) == ("c", "a")
+    assert r1["pair_count"] == 3 and r1["n_merged"] == 3
+    # after r1: s|ca|n (x2), s|ca|t (x1) -> 9 tokens
+    assert r1["n_tokens_after"] == 9
+    r2 = out[1]
+    # round 2 pairs: (s,ca)=3, (ca,n)=2, (ca,t)=1 -> max (s,ca)
+    assert (r2["sym_a"], r2["sym_b"]) == ("s", "ca")
+    assert r2["pair_count"] == 3 and r2["n_tokens_after"] == 6
+
+
+def test_t24_spark_matches_pure_python(spark, sf_dir):
+    import re as _re
+
+    from mxene_coin_cell_data_pipeline_spark.functions.text import (
+        bpe_train_merges,
+        bpe_train_merges_py,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [r.asDict() for r in bpe_train_merges(docs, rounds=8).collect()]
+    got.sort(key=lambda r: r["rank"])
+    words: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in _re.findall(r"[a-z0-9]+", (r["text"] or "").lower()):
+            words[w] = words.get(w, 0) + 1
+    want = bpe_train_merges_py(words, rounds=8)
+    assert got == want
+    # the trajectory is strictly decreasing while merges apply
+    toks = [r["n_tokens_after"] for r in want]
+    assert all(t2 < t1 for t1, t2 in zip(toks, toks[1:] or []))
+
+
+def test_t24_trained_table_reproduces_encoding(spark, sf_dir):
+    """The encode/train consistency claim: bpe_apply_merges (t23's
+    single-step leftmost-minrank encoder) under the TRAINED merge
+    table reproduces the trainer's final tokenization — corpus token
+    count equals the last round's n_tokens_after."""
+    import re as _re
+
+    from mxene_coin_cell_data_pipeline_spark.functions.text import (
+        bpe_apply_merges,
+        bpe_train_merges_py,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    words: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in _re.findall(r"[a-z0-9]+", (r["text"] or "").lower()):
+            words[w] = words.get(w, 0) + 1
+    trained = bpe_train_merges_py(words, rounds=8)
+    table = [(r["sym_a"], r["sym_b"]) for r in trained]
+    total = sum(
+        len(bpe_apply_merges(w, table)) * c for w, c in words.items()
+    )
+    assert total == trained[-1]["n_tokens_after"]

@@ -926,6 +926,13 @@ def phash_ppm(payload: bytes) -> str:
     instead of any cell a lot (pinned by the robustness fixture in
     tests/test_wave10.py)."""
     w, h, _maxval, vals = parse_ppm(payload)
+    return phash_from_samples(w, h, vals)
+
+
+def phash_from_samples(w: int, h: int, vals: list[int]) -> str:
+    """The grid + fixed-point DCT core of ``phash_ppm``, factored so
+    m12's video path can fingerprint already-parsed frame samples
+    (same math, same COS14 literal, bit-identical)."""
     lum = [
         299 * vals[3 * p] + 587 * vals[3 * p + 1] + 114 * vals[3 * p + 2]
         for p in range(w * h)
@@ -981,3 +988,147 @@ def phash_bits(docs: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "phash_bits"])
 
     return docs.select(*cols).mapInPandas(batches, schema=PHASH_SCHEMA)
+
+
+def with_avi_ppm_pair_payload(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Sibling-pair VIDEO payloads for the video near-dup path (m12):
+    a real AVI container (``make_avi``) whose movi frames are real P3
+    PPM images, structured as SCENES so keyframe detection is
+    non-vacuous — content keyed by ``g = doc_id // 2`` (even/odd
+    siblings carry the same footage):
+
+    - ``n_scenes = 2 + g % 2`` scenes of 2 frames each (frame k:
+      scene ``s = k // 2``, repeat flag ``rep = k % 2``);
+    - all frames share dimensions ``w = 3 + g % 6``, ``h = 2 + g % 4``
+      (the with_ppm_pair_payload formulas);
+    - sample j of scene s = first byte of ``md5("{g}:{s}:{j}")`` —
+      scene content is frame-independent, so the rep==1 frame repeats
+      its scene image with only sample 0 bumped +1 mod 256 (a
+      near-static frame: never a scene cut) while consecutive scenes
+      are independent md5 streams (a scene cut);
+    - the ODD sibling perturbs sample 1 of scene 0 by +1 mod 256 in
+      EVERY frame of that scene — the single-sample edit pHash must
+      shrug off (the m11 robustness property, now at video level).
+
+    Every byte stays SQL-derivable; the container is genuinely walked
+    back out by ``parse_avi`` and each frame by ``parse_ppm``."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                g = did // 2
+                w = 3 + g % 6
+                h = 2 + g % 4
+                n_scenes = 2 + g % 2
+                frames = []
+                for k in range(2 * n_scenes):
+                    s, rep = k // 2, k % 2
+                    vals = [
+                        int(
+                            hashlib.md5(
+                                f"{g}:{s}:{j}".encode()
+                            ).hexdigest()[:2],
+                            16,
+                        )
+                        for j in range(3 * w * h)
+                    ]
+                    if rep == 1:
+                        vals[0] = (vals[0] + 1) % 256
+                    if did % 2 == 1 and s == 0:
+                        vals[1] = (vals[1] + 1) % 256
+                    txt = (
+                        f"P3\n# vid {did} f {k}\n{w} {h}\n255\n"
+                        + " ".join(map(str, vals))
+                        + "\n"
+                    )
+                    frames.append(txt.encode("ascii"))
+                payloads.append(make_avi(frames))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+#: output schema of avi_keyframe_phash — one row per detected keyframe
+KEYFRAME_PHASH_SCHEMA = (
+    "doc_id long, kf_idx int, frame_idx int, n_kf int, phash_bits string"
+)
+
+
+def avi_keyframe_phash(
+    docs: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Per-video ORDERED keyframe fingerprint sets — the m09 × m11
+    composition: genuinely walk the AVI container (``parse_avi``),
+    parse every movi frame as a PPM image (``parse_ppm``), detect
+    scene cuts on the DECODED sample streams (frame 0 plus every frame
+    k whose mean absolute sample difference from frame k−1 reaches a
+    quarter of the byte range — the integer predicate ``4·diff_sum ≥
+    255·min(n_prev, n_cur)``; m09's container-byte predicate moved to
+    decoded pixels, where real scene-cut detectors operate), and DCT-
+    pHash each keyframe (``phash_from_samples`` — the COS14 fixed-point
+    kernel m11 verified). One output row per keyframe: (doc_id,
+    kf_idx, frame_idx, n_kf, phash_bits); ``doc_id·8 + kf_idx`` is the
+    collision-free frame id the shared hamming band machinery joins on
+    (n_frames ≤ 6 < 8 by the generator; the factor is structural, not
+    a corpus cap).
+
+    Same execution contract as the other codec kernels: Arrow-batched
+    one-to-many mapInPandas, NULL payload → no rows, non-AVI magic →
+    no rows, malformed containers/frames raise. Scan-bound and
+    shuffle-free; frame pairing and keyframe indexing happen inside
+    the kernel on the parser's in-order frame list."""
+    cols = ["doc_id", payload_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    _usec, _n, frames = parse_avi(bytes(payload))
+                except NotImplementedError:
+                    continue
+                parsed = [parse_ppm(body) for _off, body in frames]
+                kfs = []
+                for k, (w, h, _mx, vals) in enumerate(parsed):
+                    if k == 0:
+                        kfs.append((k, w, h, vals))
+                        continue
+                    pvals = parsed[k - 1][3]
+                    mlen = min(len(pvals), len(vals))
+                    diff = sum(
+                        abs(vals[j] - pvals[j]) for j in range(mlen)
+                    )
+                    if 4 * diff >= 255 * mlen:
+                        kfs.append((k, w, h, vals))
+                n_kf = len(kfs)
+                for kf_idx, (k, w, h, vals) in enumerate(kfs):
+                    out.append(
+                        (
+                            doc_id,
+                            kf_idx,
+                            k,
+                            n_kf,
+                            phash_from_samples(w, h, vals),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "kf_idx", "frame_idx", "n_kf", "phash_bits",
+                ],
+            )
+
+    return docs.select(*cols).mapInPandas(
+        batches, schema=KEYFRAME_PHASH_SCHEMA
+    )

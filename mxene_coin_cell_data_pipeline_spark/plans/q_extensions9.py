@@ -261,3 +261,206 @@ def t24_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return bpe_train_merges(docs, rounds=_T24_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# m12: video-level near-dup via keyframe pHash composition
+# ---------------------------------------------------------------------------
+
+from .q_dedup_pairs import _d13_oracle  # noqa: E402
+from .q_extensions8 import (  # noqa: E402
+    _BITS_EXPR,
+    _COLT_COLS,
+    _ROWT_COLS,
+    _SAC_EXPR,
+)
+
+#: Shared CTE prefix re-deriving with_avi_ppm_pair_payload's sample
+#: streams down to the per-video keyframe index — (doc_id, k) frames,
+#: decoded sample values, consecutive-frame diffs, the integer
+#: scene-cut predicate, and kf_idx/n_kf. Byte derivation is the m10
+#: strpos-over-hex md5 form; the only structural bound is the
+#: generator's own 3wh ≤ 360 (w ≤ 8, h ≤ 5 closed-form), expressed as
+#: a LATERAL generate_series over the per-row 3wh — no corpus cap.
+_M12_KF_CTES = """
+      WITH d AS (SELECT doc_id, doc_id // 2 AS g,
+                        3 + (doc_id // 2) % 6 AS w,
+                        2 + (doc_id // 2) % 4 AS h,
+                        2 + (doc_id // 2) % 2 AS ns
+                 FROM documents),
+      fr AS (SELECT d.doc_id, d.g, d.w, d.h, sc2.s, rp.rep,
+                    sc2.s * 2 + rp.rep AS k
+             FROM d,
+                  (SELECT unnest(generate_series(0, 2)) AS s) sc2,
+                  (SELECT unnest(generate_series(0, 1)) AS rep) rp
+             WHERE sc2.s < d.ns),
+      smp AS (SELECT fr.doc_id, fr.w, fr.h, fr.k, u.j,
+                     (((strpos('0123456789abcdef',
+                               substr(md5(CAST(fr.g AS VARCHAR) || ':'
+                                          || CAST(fr.s AS VARCHAR) || ':'
+                                          || CAST(u.j AS VARCHAR)), 1, 1))
+                        - 1) * 16
+                       + (strpos('0123456789abcdef',
+                                 substr(md5(CAST(fr.g AS VARCHAR) || ':'
+                                            || CAST(fr.s AS VARCHAR) || ':'
+                                            || CAST(u.j AS VARCHAR)), 2, 1))
+                          - 1))
+                      + CASE WHEN fr.rep = 1 AND u.j = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN fr.doc_id % 2 = 1 AND fr.s = 0
+                             AND u.j = 1 THEN 1 ELSE 0 END) % 256 AS v
+              FROM fr, LATERAL (SELECT unnest(generate_series(
+                                0, 3 * fr.w * fr.h - 1)) AS j) u),
+      dfr AS (SELECT a.doc_id, a.k, sum(abs(a.v - b.v)) AS diff,
+                     count(*) AS m
+              FROM smp a JOIN smp b ON b.doc_id = a.doc_id
+                                    AND b.k = a.k - 1 AND b.j = a.j
+              GROUP BY a.doc_id, a.k),
+      kfl AS (SELECT f.doc_id, f.k,
+                     CASE WHEN f.k = 0 OR 4 * d2.diff >= 255 * d2.m
+                          THEN 1 ELSE 0 END AS is_key
+              FROM (SELECT DISTINCT doc_id, k FROM fr) f
+              LEFT JOIN dfr d2 ON d2.doc_id = f.doc_id AND d2.k = f.k),
+      kfi AS (SELECT doc_id, k,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY k)
+                       - 1 AS kf_idx,
+                     count(*) OVER (PARTITION BY doc_id) AS n_kf
+              FROM kfl WHERE is_key = 1)
+"""
+
+#: (fid, simhash_bits) for the shared d13 band/refine template: the
+#: keyframe sample lists pivot to the 8×8 NN luma grid, then the SAME
+#: unrolled fixed-point DCT expressions m11 generated from COS14.
+_M12_BITS_SQL = f"""
+    SELECT bb.fid AS doc_id, bb.b AS simhash_bits FROM (
+      {_M12_KF_CTES},
+      gl AS (SELECT s2.doc_id, s2.k, max(s2.w) AS w, max(s2.h) AS h,
+                    list(s2.v ORDER BY s2.j) AS vs
+             FROM smp s2 JOIN kfi i ON i.doc_id = s2.doc_id
+                                   AND i.k = s2.k
+             GROUP BY s2.doc_id, s2.k),
+      cl AS (SELECT g2.doc_id, g2.k, rr.r, cc.c,
+                    299 * g2.vs[3 * ((rr.r * g2.h // 8) * g2.w
+                                     + (cc.c * g2.w // 8)) + 1]
+                  + 587 * g2.vs[3 * ((rr.r * g2.h // 8) * g2.w
+                                     + (cc.c * g2.w // 8)) + 2]
+                  + 114 * g2.vs[3 * ((rr.r * g2.h // 8) * g2.w
+                                     + (cc.c * g2.w // 8)) + 3] AS luma
+             FROM gl g2,
+                  (SELECT unnest(generate_series(0, 7)) AS r) rr,
+                  (SELECT unnest(generate_series(0, 7)) AS c) cc),
+      gridl AS (SELECT c2.doc_id, c2.k, list(c2.luma ORDER BY c2.r, c2.c)
+                         AS l
+                FROM cl c2 GROUP BY c2.doc_id, c2.k),
+      rowt AS (SELECT doc_id, k,
+             {_ROWT_COLS}
+               FROM gridl),
+      colt AS (SELECT doc_id, k,
+             {_COLT_COLS}
+               FROM rowt),
+      scc AS (SELECT doc_id, k, ({_SAC_EXPR}) AS s, * FROM colt)
+      SELECT (scc.doc_id * 8 + i.kf_idx) * 8 + i.n_kf AS fid,
+             ({_BITS_EXPR}) AS b
+      FROM scc JOIN kfi i ON i.doc_id = scc.doc_id AND i.k = scc.k) bb
+"""
+
+
+@_register(
+    "m12_video_phash_neardup",
+    f"""
+    WITH fpairs AS ({_d13_oracle(bits=64, n_bands=4, cap=64,
+                                 sh_sql=_M12_BITS_SQL)}),
+    ag AS (SELECT doc_a // 64 AS video_a, doc_b // 64 AS video_b,
+                  count(DISTINCT doc_a // 8) AS na,
+                  count(DISTINCT doc_b // 8) AS nb,
+                  max(doc_a % 8) AS n_kf_a, max(doc_b % 8) AS n_kf_b
+           FROM fpairs WHERE doc_a // 64 < doc_b // 64
+           GROUP BY doc_a // 64, doc_b // 64)
+    SELECT video_a, video_b,
+           CAST(n_kf_a AS BIGINT) AS n_kf_a,
+           CAST(n_kf_b AS BIGINT) AS n_kf_b,
+           CAST(na AS BIGINT) AS n_matched_a,
+           CAST(nb AS BIGINT) AS n_matched_b
+    FROM ag WHERE 2 * na >= n_kf_a AND 2 * nb >= n_kf_b
+    """,
+    survey="north-star multimodal capstone: VIDEO-level near-dup — the "
+    "m09 × m11 composition the pieces existed for: genuinely parsed "
+    "AVI containers of genuinely parsed PPM frames, scene-cut "
+    "keyframing on the DECODED sample streams (integer predicate "
+    "4·diff ≥ 255·m — m09's container-byte diff moved to pixels, "
+    "where real scene-cut detectors operate; frame 0 always a scene "
+    "start), m11's fixed-point COS14 DCT pHash per keyframe, then the "
+    "SHARED star-capped hamming band machinery over composite frame "
+    "ids ((doc_id·8 + kf_idx)·8 + n_kf — collision-free and "
+    "self-describing: video = fid DIV 64, keyframe = fid DIV 8, "
+    "n_kf = fid % 8; n_frames ≤ 6 is the generator's closed form, not "
+    "a corpus cap — so the per-video keyframe COUNT rides the pair "
+    "stream and the kernel output needs neither a persist nor a "
+    "second pass), aggregated to a bounded per-video-pair audit: a "
+    "pair is a "
+    "near-dup when ≥ HALF of EACH video's keyframes have a hamming-≤3 "
+    "partner in the other (n_kf_a/b, n_matched_a/b reported — the "
+    "match-fraction evidence). Sibling payloads (content keyed by "
+    "doc_id//2; the odd sibling perturbs one sample of scene 0 in "
+    "every frame) plant genuine video near-dups the single-sample "
+    "pHash robustness must keep connected.",
+    note="REGISTERED CAPPED from birth (bucket_cap=64, the m10/m11 "
+    "lesson — perceptual bands on small frames are low-entropy). The "
+    "codec kernel runs in ONE lazy pass: n_kf is encoded in the low 3 "
+    "bits of the composite frame id, so no persist/checkpoint and no "
+    "second kernel execution (plan-pinned: exactly one MapInPandas).",
+)
+def m12_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pairs whose keyframe fingerprint sets mutually match on
+    ≥ half their keyframes (see functions.multimodal.avi_keyframe_phash
+    + functions.dedup.hamming_pairs_from_bits)."""
+    from ..functions.dedup import hamming_pairs_from_bits
+    from ..functions.multimodal import (
+        avi_keyframe_phash,
+        with_avi_ppm_pair_payload,
+    )
+    from ..sources.tables import scale_out
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    # scale_out: the codec kernel parses the whole container per row —
+    # single-row-group layouts would run it as ONE task (m10's lesson)
+    kf = avi_keyframe_phash(
+        with_avi_ppm_pair_payload(scale_out(docs.select("doc_id"), "doc_id"))
+    )
+    # composite frame id: video DIV 64, keyframe DIV 8, n_kf in the low
+    # 3 bits (n_frames <= 6 by the generator's closed form) — the
+    # per-video count rides the pair stream, so ONE lazy kernel pass
+    fp = kf.select(
+        (
+            (F.col("doc_id") * 8 + F.col("kf_idx")) * 8 + F.col("n_kf")
+        ).alias("doc_id"),
+        "phash_bits",
+    )
+    pairs = hamming_pairs_from_bits(
+        fp, bits_col="phash_bits", bits=64, max_hamming=3, n_bands=4,
+        bucket_cap=64,
+    )
+    ag = (
+        pairs.select(
+            F.expr("doc_a DIV 64").alias("video_a"),
+            F.expr("doc_b DIV 64").alias("video_b"),
+            F.expr("doc_a DIV 8").alias("kfid_a"),
+            F.expr("doc_b DIV 8").alias("kfid_b"),
+            F.expr("doc_a % 8").alias("nk_a"),
+            F.expr("doc_b % 8").alias("nk_b"),
+        )
+        .filter(F.col("video_a") < F.col("video_b"))
+        .groupBy("video_a", "video_b")
+        .agg(
+            F.countDistinct("kfid_a").cast("long").alias("n_matched_a"),
+            F.countDistinct("kfid_b").cast("long").alias("n_matched_b"),
+            F.max("nk_a").cast("long").alias("n_kf_a"),
+            F.max("nk_b").cast("long").alias("n_kf_b"),
+        )
+    )
+    return ag.filter(
+        (2 * F.col("n_matched_a") >= F.col("n_kf_a"))
+        & (2 * F.col("n_matched_b") >= F.col("n_kf_b"))
+    ).select(
+        "video_a", "video_b", "n_kf_a", "n_kf_b",
+        "n_matched_a", "n_matched_b",
+    )

@@ -366,3 +366,16 @@ def test_s13_adc_is_pure_scan_plus_topk_broadcasts(spark, sf_dir):
     assert "ShuffledHashJoin" not in plan
     # no shuffle exchange at all — broadcasts are the only exchanges
     assert not re.search(r"Exchange (hash|range)partitioning", plan), plan[:2000]
+
+
+def test_m12_kernel_once_band_join_capped(spark, sf_dir):
+    """Video near-dup must ride the SAME band-machinery plan shape as
+    m10/m11 (n_kf travels in the composite frame id, so the audit adds
+    NO extra kernel subtree, no persist, no second join leg beyond the
+    family shape) with no cartesian anywhere."""
+    plan = _plan("m12_video_phash_neardup", spark, sf_dir)
+    m11 = _plan("m11_image_phash_neardup", spark, sf_dir)
+    assert plan.count("MapInPandas") == m11.count("MapInPandas")
+    assert "InMemoryTableScan" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1281,6 +1281,50 @@ def crossdoc_span_removal(
     OVER-remove (two distinct grams colliding merge their doc sets),
     the same trade d17 documents.
     """
+    st = crossdoc_kept_tokens(docs, text_col=text_col, k=k, gram_key=gram_key)
+    hash32 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    kept = F.col("covered") == 0
+    n_kept = F.sum(F.when(kept, 1).otherwise(0))
+    return (
+        st.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("covered").cast("long").alias("n_removed"),
+            n_kept.cast("long").alias("n_kept"),
+            F.sum(F.when(kept, F.length("tok").cast("long"))).alias(
+                "_kept_chars"
+            ),
+            F.sum(F.when(kept, F.col("rn_kept") * hash32)).alias("_sig"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed",
+            "n_kept",
+            F.when(F.col("n_kept") > 0, F.col("_kept_chars") + F.col("n_kept") - 1)
+            .cast("long")
+            .alias("kept_len"),
+            F.when(F.col("n_kept") > 0, F.col("_sig"))
+            .cast("long")
+            .alias("kept_sig"),
+        )
+    )
+
+
+def crossdoc_kept_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    gram_key: str = "raw",
+) -> DataFrame:
+    """The span-removal TOKEN relation behind ``crossdoc_span_removal``
+    (which aggregates it to the registered per-doc audit), exposed so
+    composed pipelines (p06) can keep processing the surviving tokens:
+    one row per input token — ``(doc_id, q, tok, covered, rn_kept)``
+    with ``q`` the 1-based original position, ``covered`` the excision
+    flag, and ``rn_kept`` the 1-based position in the reassembled doc
+    (only meaningful on survivor rows). Plan shape and scale notes are
+    documented on ``crossdoc_span_removal``."""
     from ..sources.tables import scale_out
 
     # explode(array(tokenize)) = the d17 Generate-node barrier: the
@@ -1328,36 +1372,9 @@ def crossdoc_span_removal(
     # (3) trailing-window coverage + running kept index, per-doc rollup
     dw = Window.partitionBy("doc_id").orderBy("q")
     covered = F.max("start_flag").over(dw.rowsBetween(-(k - 1), 0))
-    st = st.withColumn("covered", covered).withColumn(
+    return st.withColumn("covered", covered).withColumn(
         "rn_kept",
         F.sum(1 - F.col("covered")).over(
             dw.rowsBetween(Window.unboundedPreceding, 0)
         ),
-    )
-    hash32 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    kept = F.col("covered") == 0
-    n_kept = F.sum(F.when(kept, 1).otherwise(0))
-    return (
-        st.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("covered").cast("long").alias("n_removed"),
-            n_kept.cast("long").alias("n_kept"),
-            F.sum(F.when(kept, F.length("tok").cast("long"))).alias(
-                "_kept_chars"
-            ),
-            F.sum(F.when(kept, F.col("rn_kept") * hash32)).alias("_sig"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_removed",
-            "n_kept",
-            F.when(F.col("n_kept") > 0, F.col("_kept_chars") + F.col("n_kept") - 1)
-            .cast("long")
-            .alias("kept_len"),
-            F.when(F.col("n_kept") > 0, F.col("_sig"))
-            .cast("long")
-            .alias("kept_sig"),
-        )
     )

@@ -127,6 +127,50 @@ def weighted_sample_per_group(
     )
 
 
+def integer_quotas(
+    counts: DataFrame, budget_den: int = 5, weighting: str = "sqrt"
+) -> DataFrame:
+    """The INTEGER-ONLY largest-remainder allocation behind
+    ``source_mix_quota``, exposed for composed pipelines (p06): input
+    one row per source ``(source, n_source)``, output ``(source,
+    n_source, w, quota)`` with Σ quota == (Σ n_source) DIV budget_den
+    as an identity — every step integer arithmetic, no float boundary
+    (the full derivation is documented on ``source_mix_quota``)."""
+    from pyspark.sql import Window
+
+    if weighting == "sqrt":
+        wexpr = F.floor(F.sqrt(F.col("n_source").cast("double"))).cast("long")
+    elif weighting == "linear":
+        wexpr = F.col("n_source").cast("long")
+    elif weighting == "uniform":
+        wexpr = F.lit(1).cast("long")
+    else:
+        raise ValueError(f"unknown weighting: {weighting}")
+
+    tiny = Window.partitionBy(F.lit(1))
+    return (
+        counts.withColumn("w", wexpr)
+        .withColumn("_N", F.sum("n_source").over(tiny))
+        .withColumn("_S", F.sum("w").over(tiny))
+        .withColumn("_B", F.expr(f"_N DIV {int(budget_den)}"))
+        .withColumn("base", F.expr("(_B * w) DIV _S"))
+        .withColumn("rem", F.expr("(_B * w) % _S"))
+        .withColumn("_L", F.col("_B") - F.sum("base").over(tiny))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                tiny.orderBy(F.desc("rem"), F.asc("source"))
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.col("base")
+            + F.when(F.col("_r") <= F.col("_L"), 1).otherwise(0),
+        )
+        .select("source", "n_source", "w", "quota")
+    )
+
+
 def source_mix_quota(
     df: DataFrame,
     source: Column | str,
@@ -187,41 +231,10 @@ def source_mix_quota(
     """
     from pyspark.sql import Window
 
-    if weighting == "sqrt":
-        wexpr = F.floor(F.sqrt(F.col("n_source").cast("double"))).cast("long")
-    elif weighting == "linear":
-        wexpr = F.col("n_source").cast("long")
-    elif weighting == "uniform":
-        wexpr = F.lit(1).cast("long")
-    else:
-        raise ValueError(f"unknown weighting: {weighting}")
-
     src_col = F.col(source) if isinstance(source, str) else source
     rows = df.select(F.col(key).alias("_key"), src_col.alias("source"))
     counts = rows.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
-
-    tiny = Window.partitionBy(F.lit(1))
-    q = (
-        counts.withColumn("w", wexpr)
-        .withColumn("_N", F.sum("n_source").over(tiny))
-        .withColumn("_S", F.sum("w").over(tiny))
-        .withColumn("_B", F.expr(f"_N DIV {int(budget_den)}"))
-        .withColumn("base", F.expr("(_B * w) DIV _S"))
-        .withColumn("rem", F.expr("(_B * w) % _S"))
-        .withColumn("_L", F.col("_B") - F.sum("base").over(tiny))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                tiny.orderBy(F.desc("rem"), F.asc("source"))
-            ),
-        )
-        .withColumn(
-            "quota",
-            F.col("base")
-            + F.when(F.col("_r") <= F.col("_L"), 1).otherwise(0),
-        )
-        .select("source", "n_source", "w", "quota")
-    )
+    q = integer_quotas(counts, budget_den=budget_den, weighting=weighting)
 
     order = F.md5(F.concat(F.lit(salt), F.col("_key").cast("string")))
     sw = Window.partitionBy("source").orderBy(order, F.col("_key"))

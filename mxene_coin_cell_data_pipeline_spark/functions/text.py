@@ -822,6 +822,38 @@ def bpe_apply_merges(
         syms[i : i + 2] = [a + b]
 
 
+def bpe_encode_vocab(
+    vocab: DataFrame, merges: list[tuple[str, str]] | None = None
+) -> DataFrame:
+    """Arrow-batched BPE encode of a DISTINCT-token relation — the
+    word-cache kernel behind ``bpe_encode_corpus``, exposed so composed
+    pipelines (p06) encode their own token streams: one input row per
+    distinct ``tok``, output (tok, enc '|'-joined, n_syms). O(vocab)
+    Python regardless of corpus size; occurrences join back JVM-side."""
+    merges_resolved = list(BPE_MERGES if merges is None else merges)
+
+    def enc_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            toks_in = list(pdf["tok"])
+            encs = [
+                "|".join(bpe_apply_merges(t, merges_resolved))
+                for t in toks_in
+            ]
+            yield pd.DataFrame(
+                {
+                    "tok": toks_in,
+                    "enc": encs,
+                    "n_syms": [e.count("|") + 1 for e in encs],
+                }
+            )
+
+    return vocab.mapInPandas(
+        enc_batches, schema="tok string, enc string, n_syms int"
+    )
+
+
 def bpe_encode_corpus(
     docs: DataFrame,
     text_col: str = "text",
@@ -856,28 +888,7 @@ def bpe_encode_corpus(
     occ = toks.select(
         "doc_id", F.posexplode("w").alias("i0", "tok")
     ).select("doc_id", (F.col("i0") + 1).alias("widx"), "tok")
-    vocab = occ.select("tok").distinct()
-
-    def enc_batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            toks_in = list(pdf["tok"])
-            encs = [
-                "|".join(bpe_apply_merges(t, merges_resolved))
-                for t in toks_in
-            ]
-            yield pd.DataFrame(
-                {
-                    "tok": toks_in,
-                    "enc": encs,
-                    "n_syms": [e.count("|") + 1 for e in encs],
-                }
-            )
-
-    enc = vocab.mapInPandas(
-        enc_batches, schema="tok string, enc string, n_syms int"
-    )
+    enc = bpe_encode_vocab(occ.select("tok").distinct(), merges_resolved)
     hash32 = F.conv(F.substring(F.md5("enc"), 1, 8), 16, 10).cast("long")
     return (
         occ.join(enc, "tok")

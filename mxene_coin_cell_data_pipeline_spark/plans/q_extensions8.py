@@ -29,11 +29,11 @@ from ._registry import QUERIES, _ctx, _register
 
 _D20_K = 8
 
-
-@_register(
-    "d20_crossdoc_span_removal",
-    f"""
-    WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
+#: the span-removal derivation as a reusable CTE block (toks ... cov2:
+#: token relation with covered flag + running kept index) — consumed by
+#: d20's registered audit below AND p06's capstone chain
+#: (q_extensions9), which keeps processing the surviving tokens.
+_D20_CTES = f"""toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+')
                          AS w
                   FROM documents),
     tok AS (SELECT doc_id, i AS q, w[i] AS tok
@@ -56,7 +56,13 @@ _D20_K = 8
                     sum(1 - covered) OVER (PARTITION BY doc_id ORDER BY q
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS rn_kept
-             FROM cov)
+             FROM cov)"""
+
+
+@_register(
+    "d20_crossdoc_span_removal",
+    f"""
+    WITH {_D20_CTES}
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(covered) AS BIGINT) AS n_removed,

@@ -464,3 +464,228 @@ def m12_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video_a", "video_b", "n_kf_a", "n_kf_b",
         "n_matched_a", "n_matched_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# p06: the wave-10 capstone — span removal -> quota mix -> pack -> encode
+# ---------------------------------------------------------------------------
+
+from .q_extensions8 import (  # noqa: E402
+    _D20_CTES,
+    _T23_ANY,
+    _T23_APPLY,
+    _T23_NONE,
+    _T23_POS,
+)
+
+
+@_register(
+    "p06_tokenizer_corpus_pipeline",
+    f"""
+    WITH RECURSIVE {_D20_CTES},
+    kept AS (SELECT doc_id, CAST(sum(1 - covered) AS BIGINT) AS n_kept
+             FROM cov2 GROUP BY doc_id HAVING sum(1 - covered) > 0),
+    surv AS (SELECT k.doc_id, d2.source, k.n_kept
+             FROM kept k JOIN documents d2 USING (doc_id)),
+    cnts AS (SELECT source, count(*) AS n_source FROM surv GROUP BY source),
+    wq AS (SELECT source, CAST(n_source AS BIGINT) AS n_source,
+                  CAST(floor(sqrt(CAST(n_source AS DOUBLE))) AS BIGINT) AS w
+           FROM cnts),
+    tq AS (SELECT CAST(sum(n_source) AS BIGINT) AS N,
+                  CAST(sum(w) AS BIGINT) AS S FROM wq),
+    q0 AS (SELECT wq.source, wq.n_source, wq.w, (t.N // 5) AS B,
+                  ((t.N // 5) * wq.w) // t.S AS base,
+                  ((t.N // 5) * wq.w) % t.S AS rem
+           FROM wq CROSS JOIN tq t),
+    q AS (SELECT source, n_source, w,
+                 base + CASE WHEN row_number()
+                                  OVER (ORDER BY rem DESC, source)
+                             <= B - CAST(sum(base) OVER () AS BIGINT)
+                        THEN 1 ELSE 0 END AS quota
+          FROM q0),
+    rk AS (SELECT s.source, s.doc_id, s.n_kept,
+                  row_number() OVER (PARTITION BY s.source
+                    ORDER BY md5(CAST(s.doc_id AS VARCHAR)), s.doc_id)
+                    AS rank
+           FROM surv s),
+    sel AS (SELECT rk.source, rk.doc_id, rk.n_kept, rk.rank
+            FROM rk JOIN q USING (source) WHERE rk.rank <= q.quota),
+    pk AS (SELECT source, doc_id, n_kept, rank,
+                  sum(n_kept) OVER (PARTITION BY source ORDER BY doc_id)
+                    AS cum
+           FROM sel),
+    pagg AS (SELECT source,
+                    CAST(count(*) AS BIGINT) AS n_selected,
+                    CAST(sum(n_kept) AS BIGINT) AS kept_tok_total,
+                    CAST(sum(CASE WHEN (cum - 1) // 512
+                                       > (cum - n_kept) // 512
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_crossers,
+                    CAST(sum(rank * ('0x' || substr(
+                        md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                        AS BIGINT) AS sel_sig
+             FROM pk GROUP BY source),
+    vocc AS (SELECT sel.source, c.tok
+             FROM cov2 c JOIN sel ON sel.doc_id = c.doc_id
+             WHERE c.covered = 0),
+    vocab AS (SELECT DISTINCT tok FROM vocc),
+    enc AS (
+      SELECT tok, list_transform(range(1, len(tok) + 1), i -> tok[i])
+               AS syms
+      FROM vocab
+      UNION ALL
+      SELECT tok, CASE
+          {_T23_APPLY}
+        END AS syms
+      FROM (SELECT tok, syms,
+             {_T23_POS}
+            FROM enc) WHERE {_T23_ANY}
+    ),
+    fenc AS (
+      SELECT tok, len(syms) AS n_syms
+      FROM (SELECT tok, syms,
+             {_T23_POS}
+            FROM enc)
+      WHERE {_T23_NONE}),
+    bagg AS (SELECT v.source, CAST(sum(f.n_syms) AS BIGINT)
+                      AS bpe_tok_total
+             FROM vocc v JOIN fenc f USING (tok) GROUP BY v.source),
+    nin AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+            FROM documents GROUP BY source)
+    SELECT nin.source, nin.n_in,
+           CAST(coalesce(q.n_source, 0) AS BIGINT) AS n_surv,
+           CAST(coalesce(q.quota, 0) AS BIGINT) AS quota,
+           CAST(coalesce(pagg.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(pagg.sel_sig, 0) AS BIGINT) AS sel_sig,
+           CAST(coalesce(pagg.kept_tok_total, 0) AS BIGINT)
+             AS kept_tok_total,
+           CAST((coalesce(pagg.kept_tok_total, 0) + 511) // 512 AS BIGINT)
+             AS n_packs,
+           CAST(coalesce(pagg.n_crossers, 0) AS BIGINT) AS n_crossers,
+           CAST(coalesce(bagg.bpe_tok_total, 0) AS BIGINT)
+             AS bpe_tok_total
+    FROM nin LEFT JOIN q ON q.source = nin.source
+             LEFT JOIN pagg ON pagg.source = nin.source
+             LEFT JOIN bagg ON bagg.source = nin.source
+    """,
+    survey="north-star capstone #3 (the wave-10 chain, VERDICT r09 "
+    "task 7): the tokenizer-ready-corpus pipeline as ONE lazy audited "
+    "plan — d20 cross-document exact-substring REMOVAL (surviving "
+    "tokens kept in order), o18's integer largest-remainder "
+    "quota-exact temperature mixing over the SURVIVORS (per real "
+    "source shard, sqrt weighting, Σ quota == survivors DIV 5 an "
+    "identity), o15's per-source 512-token sequence packing of the "
+    "selected docs' CLEANED token counts, and t23's BPE encode of the "
+    "selected corpus (vocab-cached kernel; RECURSIVE-CTE oracle). "
+    "Bounded per-source audit: docs in/survivors/quota/selected + "
+    "md5-rank selection signature, kept-token total, pack count, "
+    "boundary crossers, BPE token total. Stage order is the "
+    "production one: the only corpus-wide exchanges are d20's three "
+    "linear shuffles and the survivor-only selection/pack windows; "
+    "packing stays per-shard parallel; the BPE kernel sees only the "
+    "selected corpus's DISTINCT vocabulary.",
+    note="Long-doc invariant: the oracle inherits d20's constant-range "
+    "unnest, and the corpus guard lives in d20's own poison sentinel "
+    "(registered and driver-checked every window) — a >4095-token doc "
+    "fails d20 loudly before this capstone could silently diverge.",
+)
+def p06_tokenizer_corpus_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-removal -> quota mixing -> packing -> BPE encode, audited
+    per source shard (the wave-10 capstone chain)."""
+    from pyspark.sql import Window
+
+    from ..functions.dedup import crossdoc_kept_tokens
+    from ..functions.sampling import integer_quotas
+    from ..functions.text import bpe_encode_vocab
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    st = crossdoc_kept_tokens(docs, k=8, gram_key="raw")
+    kept = (
+        st.groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("covered") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("covered") == 0,
+                        F.struct(F.col("rn_kept"), F.col("tok")),
+                    )
+                )
+            ).alias("_kt"),
+        )
+        .filter(F.col("n_kept") > 0)
+        .select(
+            "doc_id",
+            "n_kept",
+            F.expr("transform(_kt, x -> x.tok)").alias("kept_toks"),
+        )
+    )
+    surv = kept.join(docs.select("doc_id", "source"), "doc_id")
+    counts = surv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    q = integer_quotas(counts, budget_den=5, weighting="sqrt")
+    order = F.md5(F.col("doc_id").cast("string"))
+    sw = Window.partitionBy("source").orderBy(order, F.col("doc_id"))
+    sel = (
+        surv.join(F.broadcast(q.select("source", "quota")), "source")
+        .withColumn("rank", F.row_number().over(sw))
+        .filter(F.col("rank") <= F.col("quota"))
+    )
+    pw = Window.partitionBy("source").orderBy("doc_id")
+    pk = sel.withColumn("cum", F.sum("n_kept").over(pw))
+    hash32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    pagg = pk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_selected"),
+        F.sum("n_kept").cast("long").alias("kept_tok_total"),
+        F.sum(
+            F.when(
+                F.expr("(cum - 1) div 512") > F.expr("(cum - n_kept) div 512"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_crossers"),
+        F.sum(F.col("rank") * hash32).cast("long").alias("sel_sig"),
+    )
+    occ = sel.select("source", F.explode("kept_toks").alias("tok"))
+    enc = bpe_encode_vocab(occ.select("tok").distinct())
+    bagg = occ.join(enc, "tok").groupBy("source").agg(
+        F.sum("n_syms").cast("long").alias("bpe_tok_total")
+    )
+    nin = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_in")
+    )
+    z = F.lit(0).cast("long")
+    return (
+        nin.join(
+            q.select(
+                "source",
+                F.col("n_source").cast("long").alias("n_surv"),
+                F.col("quota").cast("long").alias("quota"),
+            ),
+            "source",
+            "left",
+        )
+        .join(pagg, "source", "left")
+        .join(bagg, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce("n_surv", z).alias("n_surv"),
+            F.coalesce("quota", z).alias("quota"),
+            F.coalesce("n_selected", z).alias("n_selected"),
+            F.coalesce("sel_sig", z).alias("sel_sig"),
+            F.coalesce("kept_tok_total", z).alias("kept_tok_total"),
+            F.expr("(coalesce(kept_tok_total, 0) + 511) div 512")
+            .cast("long")
+            .alias("n_packs"),
+            F.coalesce("n_crossers", z).alias("n_crossers"),
+            F.coalesce("bpe_tok_total", z).alias("bpe_tok_total"),
+        )
+    )

@@ -379,3 +379,17 @@ def test_m12_kernel_once_band_join_capped(spark, sf_dir):
     assert "InMemoryTableScan" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_p06_capstone_stages_compose_lazily(spark, sf_dir):
+    """The wave-10 capstone must stay one lazy plan: the quota relation
+    broadcasts onto the survivors (never a corpus shuffle against it),
+    the BPE kernel is fed from a DISTINCT vocabulary (HashAggregate
+    under MapInPandas), and nothing degenerates to a cartesian."""
+    plan = _plan("p06_tokenizer_corpus_pipeline", spark, sf_dir)
+    assert "MapInPandas" in plan
+    kernel_at = plan.index("MapInPandas")
+    assert "HashAggregate" in plan[kernel_at:]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -386,3 +386,137 @@ def test_m12_sibling_pairs_connected_at_sf0001(spark, sf_dir):
         assert 1 <= r["n_matched_b"] <= r["n_kf_b"] <= 6
         assert 2 * r["n_matched_a"] >= r["n_kf_a"]
         assert 2 * r["n_matched_b"] >= r["n_kf_b"]
+
+
+# ---------------------------------------------------------------------------
+# p06: the wave-10 capstone chain
+# ---------------------------------------------------------------------------
+
+
+def _py_p06_reference(rows: list[tuple[int, str, str]]) -> dict[str, dict]:
+    """Pure-Python re-implementation of the whole p06 chain:
+    d20 span removal (k=8) -> sqrt-temperature integer quotas over
+    survivors -> md5-rank selection -> 512-token packing -> BPE encode
+    under BPE_MERGES. rows = (doc_id, source, text)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.text import (
+        bpe_apply_merges,
+    )
+
+    K = 8
+    toks = {
+        d: re.findall(r"[a-z0-9]+", (t or "").lower()) for d, _s, t in rows
+    }
+    src = {d: s for d, s, _t in rows}
+    # d20: min doc per gram, coverage by trailing-K window
+    owner: dict[str, int] = {}
+    for d in sorted(toks):
+        w = toks[d]
+        for i in range(len(w) - K + 1):
+            g = " ".join(w[i : i + K])
+            if g not in owner or owner[g] > d:
+                owner[g] = min(owner.get(g, d), d)
+    kept_toks: dict[int, list[str]] = {}
+    for d, w in toks.items():
+        starts = {
+            i
+            for i in range(len(w) - K + 1)
+            if owner[" ".join(w[i : i + K])] < d
+        }
+        kept = [
+            t
+            for q, t in enumerate(w)
+            if not any(s in starts for s in range(max(0, q - K + 1), q + 1))
+        ]
+        if kept:
+            kept_toks[d] = kept
+    # quotas over survivors (sqrt weighting, B = N DIV 5)
+    import math as _m
+
+    by_src: dict[str, list[int]] = {}
+    for d in kept_toks:
+        by_src.setdefault(src[d], []).append(d)
+    n_s = {s: len(ds) for s, ds in by_src.items()}
+    N = sum(n_s.values())
+    w_s = {s: int(_m.isqrt(n)) for s, n in n_s.items()}
+    S = sum(w_s.values())
+    B = N // 5
+    base = {s: (B * w_s[s]) // S for s in n_s}
+    rem = {s: (B * w_s[s]) % S for s in n_s}
+    L = B - sum(base.values())
+    order = sorted(n_s, key=lambda s: (-rem[s], s))
+    quota = {
+        s: base[s] + (1 if i < L else 0) for i, s in enumerate(order)
+    }
+    out: dict[str, dict] = {}
+    for s, ds in by_src.items():
+        ranked = sorted(
+            ds, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d)
+        )
+        selected = ranked[: quota[s]]
+        sel_sig = sum(
+            (i + 1)
+            * int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+            for i, d in enumerate(ranked)
+            if i < quota[s]
+        )
+        cum, crossers, tot = 0, 0, 0
+        for d in sorted(selected):
+            nk = len(kept_toks[d])
+            if (cum + nk - 1) // 512 > cum // 512:
+                crossers += 1
+            cum += nk
+            tot += nk
+        bpe_total = sum(
+            len(bpe_apply_merges(t))
+            for d in selected
+            for t in kept_toks[d]
+        )
+        out[s] = {
+            "n_surv": n_s[s],
+            "quota": quota[s],
+            "n_selected": len(selected),
+            "sel_sig": sel_sig,
+            "kept_tok_total": tot,
+            "n_packs": (tot + 511) // 512,
+            "n_crossers": crossers,
+            "bpe_tok_total": bpe_total,
+        }
+    return out
+
+
+def test_p06_matches_pure_python_chain(spark, sf_dir):
+    from mxene_coin_cell_data_pipeline_spark.plans import QUERIES
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    rows = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    ]
+    want = _py_p06_reference(rows)
+    got = {
+        r["source"]: r.asDict()
+        for r in QUERIES["p06_tokenizer_corpus_pipeline"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    n_in = {}
+    for _d, s, _t in rows:
+        n_in[s] = n_in.get(s, 0) + 1
+    assert set(got) == set(n_in)
+    for s, g in got.items():
+        assert g["n_in"] == n_in[s]
+        w = want.get(s)
+        if w is None:
+            assert g["n_surv"] == 0 and g["n_selected"] == 0
+            continue
+        for col, val in w.items():
+            assert g[col] == val, (s, col, g[col], val)
+    # the quota identity: budgets sum exactly to survivors DIV 5
+    assert sum(g["quota"] for g in got.values()) == (
+        sum(g["n_surv"] for g in got.values()) // 5
+    )
+    # feasibility on this corpus: every quota filled
+    for g in got.values():
+        assert g["n_selected"] == g["quota"]

@@ -150,6 +150,11 @@ EXTENDED = [
     "m11_image_phash_neardup",
     "o18_source_mix_quota",
     "t23_bpe_encode",
+    # round-10 wave 11: perf history from birth for the new operators
+    "s13_pq_adc_topk",
+    "m12_video_phash_neardup",
+    "t24_bpe_train_merges",
+    "p06_tokenizer_corpus_pipeline",
 ]
 
 

@@ -139,59 +139,62 @@ def _fsum6_micro(col) -> F.Column:
 #: cohort to hold the window at 50 (disjoint from r08's window by
 #: construction: r08 verified the wave-6-9 heads + r04-stale set).
 _DRIVER_PREFIX = [
-    # — NEW this round (wave 10): never driver-verified, so they lead —
+    # — NEW this round (wave 11): never driver-verified, so they lead —
+    "s13_pq_adc_topk",
+    "m12_video_phash_neardup",
+    "t24_bpe_train_merges",
+    "p06_tokenizer_corpus_pipeline",
+    # — oracles CHANGED this round (r09 ADVICE long-doc poison
+    #   sentinels; d06 restated per the 100x-oracle investigation) —
     "d20_crossdoc_span_removal",
-    "m11_image_phash_neardup",
-    "o18_source_mix_quota",
     "t23_bpe_encode",
-    # — all 42 queries whose last driver verdict is r05 —
-    "j04_outer_custdist",
-    "u02_intersect_except",
-    "w05_ntile_cume",
-    "c12_json_extract",
-    "t06_top_bigrams",
-    "o05_hash_split",
-    "w06_range_frame",
-    "a15_listagg",
-    "a13_percentiles",
-    "o07_latest_by_key",
-    "a26_hll_sketch_merge",
-    "o13_winsorize",
-    "a22_zscore",
-    "d15_decontaminate",
-    "o15_sequence_pack",
-    "o16_domain_mixture",
-    "t14_dsir_resample",
-    "s08_semdedup",
-    "s07_int8_quantize",
-    "t15_bpe_pretokenize",
-    "g02_connected_components",
-    "e14_linear_interp",
-    "d16_bloom_decontaminate",
-    "src04_orc_roundtrip",
-    "m06_ppm_resize",
-    "t16_linear_classifier",
-    "st09_stream_decode",
-    "m07_wav_decode",
-    "m08_avi_frames",
-    "t17_span_self_dedup",
-    "t18_bm25_topk",
-    "a27_histogram_quantile",
-    "s09_matryoshka_topk",
-    "g03_triangle_count",
-    "e15_scd2_intervals",
-    "st10_stream_histogram",
-    "a28_countmin_freq",
-    "src05_hive_partitioned_roundtrip",
-    "p05_export_pipeline",
-    "s10_pca_power",
-    "e16_seasonal_backtest",
-    "a29_join_size_sketch",
-    # — r06-cohort fills to hold the window at 50 —
-    "q01_pricing_summary",
-    "q03_top_revenue_orders",
-    "q05_nation_volume",
-    "o03_topk_orders",
+    "d06_near_dup_groups",
+    # — the r06-stale cohort (45 queries; a05_trapezoid and
+    #   p01_cycler_pipeline dropped to fit 50 — both were additionally
+    #   judge-re-verified first-hand in r09) —
+    "a02_last_non_null",
+    "a03_guarded_ratio",
+    "a04_first_norm",
+    "a06_argmin_nearest",
+    "a07_neighbor_median_delta",
+    "a08_min_subtract",
+    "a10_running_first_shift",
+    "a11_regr_fade",
+    "a24_grouped_agg_pandas_udf",
+    "c04_c08_casts",
+    "c05_c06_labels",
+    "c07_substring_filter",
+    "d01_exact_dedup",
+    "d03_simhash",
+    "d04_embedding_neardup",
+    "d08_edit_distance_refine",
+    "e01_asof_join",
+    "e02_sessionize",
+    "e04_resample_ffill",
+    "e08_spatial_join",
+    "m01_binary_meta",
+    "m02_decode_stub",
+    "m03_frame_sample",
+    "p02_cycler_features_sql",
+    "p03_dqdv_sql",
+    "p04_ir_sql",
+    "q06_forecast_revenue",
+    "q07_nation_pair_volume",
+    "qc01_aggregate_checks",
+    "s01_cosine_topk",
+    "s02_ivf_topk",
+    "st01_stream_window_rollup",
+    "st02_stream_static_join",
+    "t01_token_stats",
+    "t02_quality_score",
+    "t03_language_id",
+    "t04_fingerprint",
+    "t05_tfidf_top_terms",
+    "u01_union_slices",
+    "w01_rank_per_group",
+    "w02_pivot_step_counts",
+    "w03_rolling_capacity",
+    "w07_unpivot",
 ]
 
 

@@ -59,7 +59,7 @@ _D02_PAIRS_LIST_SQL = f"""
     """
 
 
-def _closure_audit_oracle(pair_sql: str, rounds: int = 24) -> str:
+def _closure_audit_oracle(pair_sql: str, rounds: int = 12) -> str:
     """DuckDB closure-audit oracle with LINEAR state: ``rounds``
     unrolled rounds of hash-min label propagation with pointer
     jumping over the pair relation, then bounded per-group audit
@@ -73,10 +73,22 @@ def _closure_audit_oracle(pair_sql: str, rounds: int = 24) -> str:
     adjudicate; that tool is now only a cross-check). Here each round
     is one edge join + group-by min plus a label-of-label shortcut
     (pointer jump), so state stays at one row per doc and the label's
-    distance-to-component-minimum roughly doubles per round: 24
-    rounds cover component diameters to ~4M docs. Every l{k} is
+    distance-to-component-minimum roughly doubles per round: 12
+    rounds cover component diameters to ~4096 docs. Every l{k} is
     MATERIALIZED — it is referenced three times by l{k+1}, and DuckDB
     would otherwise inline the chain exponentially.
+
+    ``rounds`` was cut 24 → 12 in round 10 after the phase-split
+    profile (tools/profile_d06_oracle.py) MEASURED the 24-round chain
+    as the 100x memory binder: DuckDB's per-thread operator state
+    scales with unrolled rounds, and 24 rounds × 32 threads exhausted
+    a 48GB limit in 182s, while the same pair relation (26,914,312
+    pairs) closed at rounds=12/48GB in 118s (rounds=8 also converged,
+    92s; the 24-round form needs threads=8 — 372s — or 80GB). The cut
+    is SAFE by construction: convergence is certified per run (poison
+    sentinel below), so a future corpus with component diameter
+    > ~4096 fails the driver hash loudly — raise ``rounds`` (or drop
+    sweep threads) if that ever fires; it cannot pass wrongly.
 
     Convergence is CERTIFIED, not assumed: a label is always the id
     of a same-component member and monotonically non-increasing, so

@@ -49,13 +49,16 @@ HEAVY_EXTRA_ARGS: dict[str, list[str]] = {
         "--duckdb-disable-optimizers", "join_order",
         "--stop-spark-before-oracle",
     ],
-    # the unrolled label-propagation closure oracle needs 80GB at 100x:
-    # its 48GB run hit DuckDB's own limiter ("failed to pin block",
-    # graceful) after 70 min in the final audit phase; at 80GB it
-    # completes with zero spill (peak 77GB, JVM stopped first)
+    # r10: the closure oracle now fits the default 48GB — the r10
+    # phase profile (tools/profile_d06_oracle.py) measured the OLD
+    # 24-round chain as the binder (per-thread operator state scales
+    # with unrolled rounds; 24x32 threads exhausted 48GB in 182s) and
+    # the registered oracle was cut to rounds=12 (118s at 48GB over
+    # the same 26.9M-pair relation, convergence-certified per run).
+    # Only the Spark-JVM-stop remains: pairs + chain still want the
+    # whole limit to themselves.
     "d06_near_dup_groups": [
         "--stop-spark-before-oracle",
-        "--duckdb-mem", "80GB",
     ],
 }
 

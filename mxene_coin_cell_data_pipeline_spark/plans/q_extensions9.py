@@ -275,14 +275,49 @@ from .q_extensions8 import (  # noqa: E402
     _SAC_EXPR,
 )
 
+def _m12_sample_sql(alias: str, s: str, rep: str, j: str) -> str:
+    """Closed-form SQL for ONE sample value of with_avi_ppm_pair_payload
+    — first md5 byte of "{g}:{s}:{j}" (the m10 strpos-over-hex form)
+    plus the rep-frame (+1 at j=0) and odd-sibling (+1 at j=1 in scene
+    0) perturbations, mod 256. Parameterized over the row alias and the
+    scene/rep/sample-index expressions so the SAME generator emits the
+    current frame, the PREVIOUS frame (s=(k-1)//2, rep=(k-1)%2 of the
+    same row — no self-join), and the three channel samples of a grid
+    cell. This join-free restatement replaced a 300M-row sample
+    self-join + list pivot measured into DuckDB DISK EXHAUSTION at
+    100x (966s, crash kept in /tmp/sweep100x_r10.jsonl — the m11
+    cos-table lesson at video scale)."""
+    md5 = (
+        f"md5(CAST({alias}.g AS VARCHAR) || ':' || CAST({s} AS VARCHAR)"
+        f" || ':' || CAST({j} AS VARCHAR))"
+    )
+    return (
+        f"((((strpos('0123456789abcdef', substr({md5}, 1, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({md5}, 2, 1)) - 1))"
+        f" + CASE WHEN {rep} = 1 AND {j} = 0 THEN 1 ELSE 0 END"
+        f" + CASE WHEN {alias}.doc_id % 2 = 1 AND {s} = 0 AND {j} = 1"
+        f" THEN 1 ELSE 0 END) % 256)"
+    )
+
+
+_M12_CUR = _m12_sample_sql("fr", "fr.s", "fr.rep", "u.j")
+_M12_PRV = _m12_sample_sql("fr", "((fr.k - 1) // 2)", "((fr.k - 1) % 2)", "u.j")
+_M12_PIX = "(3 * ((rr.r * fr.h // 8) * fr.w + (cc.c * fr.w // 8)))"
+_M12_CELL = " + ".join(
+    f"{coef} * {_m12_sample_sql('fr', 'fr.s', 'fr.rep', f'({_M12_PIX} + {ch})')}"
+    for ch, coef in enumerate((299, 587, 114))
+)
+
 #: Shared CTE prefix re-deriving with_avi_ppm_pair_payload's sample
 #: streams down to the per-video keyframe index — (doc_id, k) frames,
-#: decoded sample values, consecutive-frame diffs, the integer
-#: scene-cut predicate, and kf_idx/n_kf. Byte derivation is the m10
-#: strpos-over-hex md5 form; the only structural bound is the
-#: generator's own 3wh ≤ 360 (w ≤ 8, h ≤ 5 closed-form), expressed as
-#: a LATERAL generate_series over the per-row 3wh — no corpus cap.
-_M12_KF_CTES = """
+#: consecutive-frame sample diffs (BOTH frames' values derived
+#: closed-form per row, so there is no sample self-join and no
+#: materialized sample relation — streaming expressions + one
+#: group-by), the integer scene-cut predicate, and kf_idx/n_kf. The
+#: only structural bound is the generator's own 3wh ≤ 360 (w ≤ 8,
+#: h ≤ 5 closed-form), expressed as a LATERAL generate_series over the
+#: per-row 3wh — no corpus cap.
+_M12_KF_CTES = f"""
       WITH d AS (SELECT doc_id, doc_id // 2 AS g,
                         3 + (doc_id // 2) % 6 AS w,
                         2 + (doc_id // 2) % 4 AS h,
@@ -294,31 +329,17 @@ _M12_KF_CTES = """
                   (SELECT unnest(generate_series(0, 2)) AS s) sc2,
                   (SELECT unnest(generate_series(0, 1)) AS rep) rp
              WHERE sc2.s < d.ns),
-      smp AS (SELECT fr.doc_id, fr.w, fr.h, fr.k, u.j,
-                     (((strpos('0123456789abcdef',
-                               substr(md5(CAST(fr.g AS VARCHAR) || ':'
-                                          || CAST(fr.s AS VARCHAR) || ':'
-                                          || CAST(u.j AS VARCHAR)), 1, 1))
-                        - 1) * 16
-                       + (strpos('0123456789abcdef',
-                                 substr(md5(CAST(fr.g AS VARCHAR) || ':'
-                                            || CAST(fr.s AS VARCHAR) || ':'
-                                            || CAST(u.j AS VARCHAR)), 2, 1))
-                          - 1))
-                      + CASE WHEN fr.rep = 1 AND u.j = 0 THEN 1 ELSE 0 END
-                      + CASE WHEN fr.doc_id % 2 = 1 AND fr.s = 0
-                             AND u.j = 1 THEN 1 ELSE 0 END) % 256 AS v
-              FROM fr, LATERAL (SELECT unnest(generate_series(
-                                0, 3 * fr.w * fr.h - 1)) AS j) u),
-      dfr AS (SELECT a.doc_id, a.k, sum(abs(a.v - b.v)) AS diff,
+      dfr AS (SELECT fr.doc_id, fr.k,
+                     sum(abs({_M12_CUR} - {_M12_PRV})) AS diff,
                      count(*) AS m
-              FROM smp a JOIN smp b ON b.doc_id = a.doc_id
-                                    AND b.k = a.k - 1 AND b.j = a.j
-              GROUP BY a.doc_id, a.k),
+              FROM fr, LATERAL (SELECT unnest(generate_series(
+                                0, 3 * fr.w * fr.h - 1)) AS j) u
+              WHERE fr.k >= 1
+              GROUP BY fr.doc_id, fr.k),
       kfl AS (SELECT f.doc_id, f.k,
                      CASE WHEN f.k = 0 OR 4 * d2.diff >= 255 * d2.m
                           THEN 1 ELSE 0 END AS is_key
-              FROM (SELECT DISTINCT doc_id, k FROM fr) f
+              FROM (SELECT doc_id, k FROM fr) f
               LEFT JOIN dfr d2 ON d2.doc_id = f.doc_id AND d2.k = f.k),
       kfi AS (SELECT doc_id, k,
                      row_number() OVER (PARTITION BY doc_id ORDER BY k)
@@ -327,40 +348,38 @@ _M12_KF_CTES = """
               FROM kfl WHERE is_key = 1)
 """
 
-#: (fid, simhash_bits) for the shared d13 band/refine template: the
-#: keyframe sample lists pivot to the 8×8 NN luma grid, then the SAME
-#: unrolled fixed-point DCT expressions m11 generated from COS14.
+#: (fid, simhash_bits) for the shared d13 band/refine template: each
+#: keyframe's 8x8 NN luma grid is derived CELL-DIRECTLY (the three
+#: channel samples of cell (r,c) as closed-form md5 expressions — no
+#: sample list is ever materialized), then the SAME unrolled
+#: fixed-point DCT expressions m11 generated from COS14. kf_idx/n_kf
+#: ride the frame rows, so no re-join against kfi at the end.
 _M12_BITS_SQL = f"""
     SELECT bb.fid AS doc_id, bb.b AS simhash_bits FROM (
       {_M12_KF_CTES},
-      gl AS (SELECT s2.doc_id, s2.k, max(s2.w) AS w, max(s2.h) AS h,
-                    list(s2.v ORDER BY s2.j) AS vs
-             FROM smp s2 JOIN kfi i ON i.doc_id = s2.doc_id
-                                   AND i.k = s2.k
-             GROUP BY s2.doc_id, s2.k),
-      cl AS (SELECT g2.doc_id, g2.k, rr.r, cc.c,
-                    299 * g2.vs[3 * ((rr.r * g2.h // 8) * g2.w
-                                     + (cc.c * g2.w // 8)) + 1]
-                  + 587 * g2.vs[3 * ((rr.r * g2.h // 8) * g2.w
-                                     + (cc.c * g2.w // 8)) + 2]
-                  + 114 * g2.vs[3 * ((rr.r * g2.h // 8) * g2.w
-                                     + (cc.c * g2.w // 8)) + 3] AS luma
-             FROM gl g2,
+      kfr AS (SELECT fr.doc_id, fr.g, fr.w, fr.h, fr.s, fr.rep, fr.k,
+                     i.kf_idx, i.n_kf
+              FROM fr JOIN kfi i ON i.doc_id = fr.doc_id
+                                AND i.k = fr.k),
+      cl AS (SELECT fr.doc_id, fr.k, fr.kf_idx, fr.n_kf, rr.r, cc.c,
+                    {_M12_CELL} AS luma
+             FROM kfr fr,
                   (SELECT unnest(generate_series(0, 7)) AS r) rr,
                   (SELECT unnest(generate_series(0, 7)) AS c) cc),
-      gridl AS (SELECT c2.doc_id, c2.k, list(c2.luma ORDER BY c2.r, c2.c)
-                         AS l
-                FROM cl c2 GROUP BY c2.doc_id, c2.k),
-      rowt AS (SELECT doc_id, k,
+      gridl AS (SELECT doc_id, k, kf_idx, n_kf,
+                       list(luma ORDER BY r, c) AS l
+                FROM cl GROUP BY doc_id, k, kf_idx, n_kf),
+      rowt AS (SELECT doc_id, kf_idx, n_kf,
              {_ROWT_COLS}
                FROM gridl),
-      colt AS (SELECT doc_id, k,
+      colt AS (SELECT doc_id, kf_idx, n_kf,
              {_COLT_COLS}
                FROM rowt),
-      scc AS (SELECT doc_id, k, ({_SAC_EXPR}) AS s, * FROM colt)
-      SELECT (scc.doc_id * 8 + i.kf_idx) * 8 + i.n_kf AS fid,
+      scc AS (SELECT doc_id, kf_idx, n_kf, ({_SAC_EXPR}) AS s, *
+              FROM colt)
+      SELECT (scc.doc_id * 8 + scc.kf_idx) * 8 + scc.n_kf AS fid,
              ({_BITS_EXPR}) AS b
-      FROM scc JOIN kfi i ON i.doc_id = scc.doc_id AND i.k = scc.k) bb
+      FROM scc) bb
 """
 
 

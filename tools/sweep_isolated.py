@@ -59,6 +59,11 @@ HEAVY_EXTRA_ARGS: dict[str, list[str]] = {
     # whole limit to themselves.
     "d06_near_dup_groups": [
         "--stop-spark-before-oracle",
+        # engine side: the 100x closure hash-aggregate OOMs a contended
+        # 8g heap (measured r10: AGGREGATE_OUT_OF_MEMORY at 349s);
+        # 16g clears it, and the JVM is stopped before DuckDB starts so
+        # the two never share the host
+        "--driver-mem", "16g",
     ],
 }
 

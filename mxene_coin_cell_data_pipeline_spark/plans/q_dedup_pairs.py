@@ -358,7 +358,13 @@ def _d13_oracle(
     low-entropy bands are exactly why IT must register the capped
     form: small images replicate pixels across the 8×8 grid, band
     values concentrate, and the uncapped join shuffle measured its
-    way into disk exhaustion at 100×)."""
+    way into disk exhaustion at 100×). m12 does NOT use this template:
+    its keyframe-DCT fingerprint derivation cannot live inside a
+    nested CTE under DuckDB 1.0's materializer (measured at 100×: the
+    list-pivot + 64-wide projection chain balloons virtual address
+    space ~1.5GB/s until host malloc fails, whatever the memory_limit)
+    — m12 generates the same band/refine SQL FLAT in q_extensions9
+    over an aggregate-form DCT."""
     if sh_sql is None:
         sh_sql = QUERIES[_D03_SIMHASH_SQL_REF].oracle
     band_w = bits // n_bands

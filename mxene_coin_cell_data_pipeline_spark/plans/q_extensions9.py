@@ -267,13 +267,8 @@ def t24_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # m12: video-level near-dup via keyframe pHash composition
 # ---------------------------------------------------------------------------
 
-from .q_dedup_pairs import _d13_oracle  # noqa: E402
-from .q_extensions8 import (  # noqa: E402
-    _BITS_EXPR,
-    _COLT_COLS,
-    _ROWT_COLS,
-    _SAC_EXPR,
-)
+from ..functions.multimodal import COS14  # noqa: E402
+
 
 def _m12_sample_sql(alias: str, s: str, rep: str, j: str) -> str:
     """Closed-form SQL for ONE sample value of with_avi_ppm_pair_payload
@@ -348,46 +343,106 @@ _M12_KF_CTES = f"""
               FROM kfl WHERE is_key = 1)
 """
 
-#: (fid, simhash_bits) for the shared d13 band/refine template: each
-#: keyframe's 8x8 NN luma grid is derived CELL-DIRECTLY (the three
-#: channel samples of cell (r,c) as closed-form md5 expressions — no
-#: sample list is ever materialized), then the SAME unrolled
-#: fixed-point DCT expressions m11 generated from COS14. kf_idx/n_kf
-#: ride the frame rows, so no re-join against kfi at the end.
-_M12_BITS_SQL = f"""
-    SELECT bb.fid AS doc_id, bb.b AS simhash_bits FROM (
-      {_M12_KF_CTES},
-      kfr AS (SELECT fr.doc_id, fr.g, fr.w, fr.h, fr.s, fr.rep, fr.k,
-                     i.kf_idx, i.n_kf
-              FROM fr JOIN kfi i ON i.doc_id = fr.doc_id
-                                AND i.k = fr.k),
-      cl AS (SELECT fr.doc_id, fr.k, fr.kf_idx, fr.n_kf, rr.r, cc.c,
-                    {_M12_CELL} AS luma
-             FROM kfr fr,
-                  (SELECT unnest(generate_series(0, 7)) AS r) rr,
-                  (SELECT unnest(generate_series(0, 7)) AS c) cc),
-      gridl AS (SELECT doc_id, k, kf_idx, n_kf,
-                       list(luma ORDER BY r, c) AS l
-                FROM cl GROUP BY doc_id, k, kf_idx, n_kf),
-      rowt AS (SELECT doc_id, kf_idx, n_kf,
-             {_ROWT_COLS}
-               FROM gridl),
-      colt AS (SELECT doc_id, kf_idx, n_kf,
-             {_COLT_COLS}
-               FROM rowt),
-      scc AS (SELECT doc_id, kf_idx, n_kf, ({_SAC_EXPR}) AS s, *
-              FROM colt)
-      SELECT (scc.doc_id * 8 + scc.kf_idx) * 8 + scc.n_kf AS fid,
-             ({_BITS_EXPR}) AS b
-      FROM scc) bb
+#: AGGREGATE-form DCT: d[u][v] = Σ_{{r,c}} luma(r,c)·COS14[u][r]·COS14[v][c]
+#: as 64 SUM aggregates over the cell rows — the same int64s as the
+#: kernel's separable two-pass form (the double sum is its expansion;
+#: every partial is |·| ≤ 2^53, far under int64). WHY not the m11
+#: unrolled list form: under DuckDB 1.0's CTE materializer the
+#: list-pivot + 64-wide projection chain balloons virtual address
+#: space ~1.5GB/s until HOST malloc fails (measured at 100×: crash at
+#: ~100s with only ~22GB RSS and 122GB free, whatever the
+#: memory_limit); the aggregate form runs the identical math through
+#: one streaming hash aggregate — 48s / 4.6GB at 100×, fingerprints
+#: verified identical (577,982 distinct on both forms).
+_M12_CASE_R = [
+    "CASE r " + " ".join(f"WHEN {r} THEN {COS14[u][r]}" for r in range(8))
+    + " END"
+    for u in range(8)
+]
+_M12_CASE_C = [
+    "CASE c " + " ".join(f"WHEN {c} THEN {COS14[v][c]}" for c in range(8))
+    + " END"
+    for v in range(8)
+]
+_M12_DCT_AGGS = ",\n               ".join(
+    f"SUM(luma * ({_M12_CASE_R[u]}) * ({_M12_CASE_C[v]})) AS d{u}_{v}"
+    for u in range(8)
+    for v in range(8)
+)
+_M12_SAC = " + ".join(
+    f"d{u}_{v}" for u in range(8) for v in range(8) if (u, v) != (0, 0)
+)
+_M12_BITS = " || ".join(
+    "'0'"
+    if (u, v) == (0, 0)
+    else f"(CASE WHEN 63 * d{u}_{v} > s THEN '1' ELSE '0' END)"
+    for u in range(8)
+    for v in range(8)
+)
+
+# the d13 band/refine machinery generated FLAT for bits=64, n_bands=4,
+# cap=64, hamming<=3 (the same loops as q_dedup_pairs._d13_oracle —
+# m12 cannot nest its fingerprint derivation inside that template's
+# sh CTE, see the note there). sh/ann are MATERIALIZED: each is
+# referenced more than once downstream.
+_M12_WORDS = []
+for _i in range(2):
+    _val = " + ".join(
+        f"(CASE WHEN substr(simhash_bits, {_i * 32 + _j + 1}, 1) = '1' "
+        f"THEN {1 << (31 - _j)} ELSE 0 END)"
+        for _j in range(32)
+    )
+    _M12_WORDS.append(f"({_val}) AS w{_i}")
+_M12_WORDS_SEL = ", ".join(_M12_WORDS)
+_M12_HAM = "bit_count(xor(w0a, w0b)) + bit_count(xor(w1a, w1b))"
+
+_M12_BAND_CTES = f"""
+      v AS (SELECT doc_id, simhash_bits, {_M12_WORDS_SEL} FROM sh),
+      bnd AS (SELECT doc_id, u.j,
+                     substr(simhash_bits, u.j * 16 + 1, 16) AS band
+              FROM v, LATERAL (SELECT unnest(generate_series(0, 3)) AS j) u),
+      ann AS MATERIALIZED (
+        SELECT doc_id, j, band,
+               count(*) OVER (PARTITION BY j, band) AS m,
+               min(doc_id) OVER (PARTITION BY j, band) AS mn
+        FROM bnd),
+      prs AS (SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        FROM ann a JOIN ann b2 ON a.j = b2.j AND a.band = b2.band
+                               AND a.doc_id < b2.doc_id
+        WHERE a.m <= 64
+        UNION ALL
+        SELECT mn AS doc_a, doc_id AS doc_b FROM ann
+        WHERE m > 64 AND doc_id <> mn)),
+      cnd AS (SELECT p.doc_a, p.doc_b, va.w0 AS w0a, va.w1 AS w1a,
+                     vb.w0 AS w0b, vb.w1 AS w1b
+              FROM prs p JOIN v va ON va.doc_id = p.doc_a
+                         JOIN v vb ON vb.doc_id = p.doc_b),
+      fpairs AS (SELECT doc_a, doc_b FROM cnd WHERE {_M12_HAM} <= 3)
 """
 
 
 @_register(
     "m12_video_phash_neardup",
     f"""
-    WITH fpairs AS ({_d13_oracle(bits=64, n_bands=4, cap=64,
-                                 sh_sql=_M12_BITS_SQL)}),
+    {_M12_KF_CTES.strip()},
+      kfr AS (SELECT fr.doc_id, fr.g, fr.w, fr.h, fr.s, fr.rep, fr.k,
+                     i.kf_idx, i.n_kf
+              FROM fr JOIN kfi i ON i.doc_id = fr.doc_id AND i.k = fr.k),
+      cl AS (SELECT fr.doc_id, fr.k, fr.kf_idx, fr.n_kf, rr.r, cc.c,
+                    {_M12_CELL} AS luma
+             FROM kfr fr,
+                  (SELECT unnest(generate_series(0, 7)) AS r) rr,
+                  (SELECT unnest(generate_series(0, 7)) AS c) cc),
+      dct AS (SELECT doc_id, k, kf_idx, n_kf,
+               {_M12_DCT_AGGS}
+              FROM cl GROUP BY doc_id, k, kf_idx, n_kf),
+      scc AS (SELECT *, ({_M12_SAC}) AS s FROM dct),
+      sh AS MATERIALIZED (
+        SELECT (doc_id * 8 + kf_idx) * 8 + n_kf AS doc_id,
+               ({_M12_BITS}) AS simhash_bits
+        FROM scc),
+      {_M12_BAND_CTES.strip()},
     ag AS (SELECT doc_a // 64 AS video_a, doc_b // 64 AS video_b,
                   count(DISTINCT doc_a // 8) AS na,
                   count(DISTINCT doc_b // 8) AS nb,

@@ -65,6 +65,13 @@ HEAVY_EXTRA_ARGS: dict[str, list[str]] = {
         # the two never share the host
         "--driver-mem", "16g",
     ],
+    # the m12 oracle evaluates ~360M closed-form md5 sample expressions
+    # and the capped band join under the 48GB limit — beside the
+    # resident post-engine JVM it malloc-fails at the host level
+    # (measured r10: 'bad allocation' at 847s; the d05 lesson)
+    "m12_video_phash_neardup": [
+        "--stop-spark-before-oracle",
+    ],
 }
 
 

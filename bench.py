@@ -334,15 +334,35 @@ def main() -> None:
     # size-tiered JIT — r09's stamped spread 1.292 (55.7/59.4/46.0)
     # was exactly that shape. Timed separately so the artifact shows
     # what the warmup absorbed.
+    # A warmup failure must never sink the bench, but it must not be
+    # SILENT either (r10 ADVICE): a query that raises only during
+    # warmup would otherwise leave no trace while its timed pass
+    # silently lost the warm state this pass exists to provide — so
+    # the failing names are stamped into the artifact.
+    # SPARK_GRAFT_BENCH_WARMUP_PASSES>1 exists for the spread
+    # diagnosis (VERDICT r10 item 4): if pass-1-over-floor is JIT
+    # tiering it should decay with EXECUTIONS (extra warmups absorb
+    # it); if it is page-cache it should not (one warmup already
+    # faulted every page).
     warmup_pass_sec = None
-    if not os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP"):
+    warmup_pass_secs: list[float] = []
+    warmup_failures: list[str] = []
+    n_warmup = (
+        0
+        if os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP")
+        else max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_PASSES", "1")))
+    )
+    for _w in range(n_warmup):
         t0 = time.perf_counter()
-        for fn in fns.values():
+        for name, fn in fns.items():
             try:
                 run(fn(spark, sf_dir))
             except Exception:
-                pass  # a warmup failure must never sink the bench
-        warmup_pass_sec = round(time.perf_counter() - t0, 3)
+                if name not in warmup_failures:
+                    warmup_failures.append(name)
+        warmup_pass_secs.append(round(time.perf_counter() - t0, 3))
+    if warmup_pass_secs:
+        warmup_pass_sec = warmup_pass_secs[0]
     for _pass in range(n_passes):
         pass_t: dict[str, float] = {}
         for name, fn in fns.items():
@@ -379,6 +399,8 @@ def main() -> None:
         "n_bench_only": len(bench_only),
         "n_passes": n_passes,
         "warmup_pass_sec": warmup_pass_sec,
+        "warmup_pass_secs": warmup_pass_secs,
+        "warmup_failures": warmup_failures,
         "pass_headline_totals": pass_totals,
         "intra_run_spread": round(max(pass_totals) / min(pass_totals), 3),
         "queries": times,

@@ -977,7 +977,14 @@ def pq_adc_topk(
         F.round((dxx - 2 * dxq + F.lit(dqq_full)) * 1e9)
         .cast("long")
         .alias("l2_nanos"),
-        (dxq / (F.sqrt(dxx) * F.lit(math.sqrt(dqq_full)))).alias("cosf"),
+        # ranked on the round(·1e9) int64 grid like l2_nanos (r10
+        # ADVICE): a near-cutoff top-k tie must not depend on
+        # bit-identical double division/sqrt across engines
+        F.round(
+            (dxq / (F.sqrt(dxx) * F.lit(math.sqrt(dqq_full)))) * 1e9
+        )
+        .cast("long")
+        .alias("cos_nanos"),
     )
     l2_top = (
         exact.orderBy(F.asc("l2_nanos"), F.asc("vec_id"))
@@ -985,7 +992,7 @@ def pq_adc_topk(
         .select("vec_id", F.lit(1).alias("_l2"))
     )
     cos_top = (
-        exact.orderBy(F.desc("cosf"), F.asc("vec_id"))
+        exact.orderBy(F.desc("cos_nanos"), F.asc("vec_id"))
         .limit(topk)
         .select("vec_id", F.lit(1).alias("_cos"))
     )

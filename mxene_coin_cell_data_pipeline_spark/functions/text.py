@@ -1015,7 +1015,10 @@ def bpe_train_merges(
         .persist()
     )
     rows = []
-    persisted = [state]
+    # at most TWO states are ever cached (r10 ADVICE): round r reads
+    # only round r-1, so the previous state unpersists as soon as the
+    # round's audit collect has materialized the new one
+    cached = state
     for r in range(1, rounds + 1):
         pairs = state.select(
             "cnt",
@@ -1059,7 +1062,6 @@ def bpe_train_merges(
             apply_batches,
             schema="w string, cnt long, syms array<string>, n_repl int",
         ).persist()
-        persisted.append(applied)
         audit = applied.agg(
             F.sum(F.col("cnt") * F.col("n_repl")).cast("long").alias("nm"),
             F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("nt"),
@@ -1067,6 +1069,10 @@ def bpe_train_merges(
         rows.append(
             (r, a, b, n_pair, int(audit["nm"]), int(audit["nt"]))
         )
+        # the audit collect materialized `applied`'s cache — the
+        # previous round's state is no longer read by anything
+        cached.unpersist()
+        cached = applied
         state = applied.select("w", "cnt", "syms")
     spark = docs.sparkSession
     out = spark.createDataFrame(
@@ -1074,6 +1080,5 @@ def bpe_train_merges(
         schema="rank long, sym_a string, sym_b string, pair_count long, "
         "n_merged long, n_tokens_after long",
     )
-    for df in persisted:
-        df.unpersist()
+    cached.unpersist()
     return out

@@ -30,43 +30,59 @@ from ._registry import QUERIES, _ctx, _register
 # ---------------------------------------------------------------------------
 
 _S13_M, _S13_K, _S13_TOPK = 4, 4, 10
+#: fixture embedding dimensionality (TESTDATA.md: embeddings.embedding
+#: is a 64-float array at every SF) — the oracle derives every
+#: subspace constant from THIS + _S13_M/_S13_K (r10 ADVICE: the
+#: constants were previously hardcoded in two places), exactly as the
+#: engine derives sub = dim // m at runtime.
+_S13_DIM = 64
+_S13_SUB = _S13_DIM // _S13_M
+
+
+def _s13_slice(expr: str, s: str = "s.s") -> str:
+    """DuckDB 1-based inclusive slice of subspace ``s`` (width
+    _S13_SUB) of a list expression."""
+    return f"{expr}[{s}*{_S13_SUB}+1 : {s}*{_S13_SUB}+{_S13_SUB}]"
+
+
+def _s13_sqdist(a: str, b: str, s: str = "s.s") -> str:
+    """Expanded ||a_s − b_s||² over subspace ``s`` — dot(a,a) −
+    2·dot(a,b) + dot(b,b), every term a sequential fold."""
+    asl, bsl = _s13_slice(a, s), _s13_slice(b, s)
+    return (
+        f"list_dot_product({asl}, {asl})"
+        f" - 2 * list_dot_product({asl}, {bsl})"
+        f" + list_dot_product({bsl}, {bsl})"
+    )
+
 
 #: s11's code-assignment CTE fragment (verbatim semantics: per-subspace
 #: expanded squared distance, ties to the smaller code), pivoted to one
 #: row per vector — the query vector itself (vec_id 0) excluded from
 #: the searched corpus.
-_S13_CODES_CTES = """
+_S13_CODES_PIVOT = ",\n                     ".join(
+    f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(_S13_M)
+)
+_S13_CODES_CTES = f"""
     e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cent AS (SELECT vec_id AS code, e AS c FROM e WHERE vec_id < 4),
+    cent AS (SELECT vec_id AS code, e AS c FROM e WHERE vec_id < {_S13_K}),
     q AS (SELECT e AS qv FROM e WHERE vec_id = 0),
     d AS (
       SELECT e.vec_id, s.s, cent.code,
-             list_dot_product(e.e[s.s*16+1 : s.s*16+16],
-                              e.e[s.s*16+1 : s.s*16+16])
-             - 2 * list_dot_product(e.e[s.s*16+1 : s.s*16+16],
-                                    cent.c[s.s*16+1 : s.s*16+16])
-             + list_dot_product(cent.c[s.s*16+1 : s.s*16+16],
-                                cent.c[s.s*16+1 : s.s*16+16]) AS dist
-      FROM e, (SELECT unnest(generate_series(0, 3)) AS s) s, cent
+             {_s13_sqdist("e.e", "cent.c")} AS dist
+      FROM e, (SELECT unnest(generate_series(0, {_S13_M - 1})) AS s) s, cent
       WHERE e.vec_id <> 0),
     a AS (SELECT vec_id, s, code,
                  row_number() OVER (PARTITION BY vec_id, s
                                     ORDER BY dist, code) AS rn
           FROM d),
     codes AS (SELECT vec_id,
-                     max(CASE WHEN s = 0 THEN code END) AS c0,
-                     max(CASE WHEN s = 1 THEN code END) AS c1,
-                     max(CASE WHEN s = 2 THEN code END) AS c2,
-                     max(CASE WHEN s = 3 THEN code END) AS c3
+                     {_S13_CODES_PIVOT}
               FROM a WHERE rn = 1 GROUP BY vec_id),
     lut AS (SELECT s.s, cent.code,
-                   list_dot_product(q.qv[s.s*16+1 : s.s*16+16],
-                                    q.qv[s.s*16+1 : s.s*16+16])
-                   - 2 * list_dot_product(q.qv[s.s*16+1 : s.s*16+16],
-                                          cent.c[s.s*16+1 : s.s*16+16])
-                   + list_dot_product(cent.c[s.s*16+1 : s.s*16+16],
-                                      cent.c[s.s*16+1 : s.s*16+16]) AS ld
-            FROM q, (SELECT unnest(generate_series(0, 3)) AS s) s, cent)
+                   {_s13_sqdist("q.qv", "cent.c")} AS ld
+            FROM q, (SELECT unnest(generate_series(0, {_S13_M - 1})) AS s) s,
+                 cent)
 """
 
 _S13_LUTP = ",\n                 ".join(
@@ -102,12 +118,14 @@ _S13_ADC = " + ".join(
                           - 2 * list_dot_product(e.e, q.qv)
                           + list_dot_product(q.qv, q.qv)) * 1e9) AS BIGINT)
                        AS l2_nanos,
-                     list_dot_product(e.e, q.qv)
+                     CAST(round((list_dot_product(e.e, q.qv)
                        / (sqrt(list_dot_product(e.e, e.e))
-                          * sqrt(list_dot_product(q.qv, q.qv))) AS cosf
+                          * sqrt(list_dot_product(q.qv, q.qv)))) * 1e9)
+                       AS BIGINT) AS cos_nanos
               FROM e, q WHERE e.vec_id <> 0),
     l2top AS (SELECT vec_id FROM exact ORDER BY l2_nanos, vec_id LIMIT 10),
-    costop AS (SELECT vec_id FROM exact ORDER BY cosf DESC, vec_id LIMIT 10)
+    costop AS (SELECT vec_id FROM exact
+               ORDER BY cos_nanos DESC, vec_id LIMIT 10)
     SELECT t.vec_id, t.adc_nanos,
            CASE WHEN t.vec_id IN (SELECT vec_id FROM l2top)
                 THEN 1 ELSE 0 END AS in_exact_l2_topk,

@@ -1132,3 +1132,135 @@ def avi_keyframe_phash(
     return docs.select(*cols).mapInPandas(
         batches, schema=KEYFRAME_PHASH_SCHEMA
     )
+
+
+def with_wav_pair_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic sibling-pair WAV payloads for the m13 audio
+    near-dup fixture (the ``with_avi_ppm_pair_payload`` pattern at
+    audio granularity): content is keyed by ``g = doc_id // 2``, so
+    consecutive ids form a clip pair. Each clip has ``nw = 2 + g % 3``
+    windows of 128 mono PCM16 samples; base sample i of window w is
+    ``(int16(md5("{g}:{w}:{i}")[:4]) % 32768) − 16384`` (range
+    ±16384, leaving headroom). The ODD sibling applies the two
+    perturbations the fingerprint contract is about: every sample is
+    **amplitude-doubled** (×2 — exact in PCM16 given the headroom;
+    sub-band energies scale ×4 uniformly, so energy-comparison bits
+    must NOT change), and window ``g % nw`` is **spliced** — replaced
+    wholesale with different content (md5 stream "{g}:spliced:{i}",
+    also doubled), so exactly that window's fingerprint must change.
+    The payload is a REAL 44-byte-header RIFF/WAVE file; ``parse_wav``
+    genuinely walks it back out.
+    """
+    import hashlib
+    import struct
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                g = did // 2
+                nw = 2 + g % 3
+                spliced = g % nw
+                vals: list[int] = []
+                for w in range(nw):
+                    for i in range(128):
+                        if did % 2 == 0:
+                            key = f"{g}:{w}:{i}"
+                            mul = 1
+                        elif w == spliced:
+                            key = f"{g}:spliced:{i}"
+                            mul = 2
+                        else:
+                            key = f"{g}:{w}:{i}"
+                            mul = 2
+                        v16 = int(
+                            hashlib.md5(key.encode()).hexdigest()[:4], 16
+                        )
+                        vals.append(mul * (v16 % 32768 - 16384))
+                data = b"".join(struct.pack("<h", v) for v in vals)
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        batches, schema=f"{id_col} long, payload binary"
+    )
+
+
+#: output schema of wav_window_fingerprints — one row per PCM window
+WAV_FP_SCHEMA = "doc_id long, win_idx int, n_win int, fp_bits string"
+
+
+def wav_window_fingerprints(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    window: int = 128,
+    chunks: int = 64,
+) -> DataFrame:
+    """Integer sub-band energy fingerprint per PCM window — the audio
+    sibling of m10's image aHash / m11's DCT pHash, built for the
+    robustness audio near-dup actually needs (Haitsma & Kalker,
+    "A Highly Robust Audio Fingerprinting System", ISMIR 2002, is the
+    energy-comparison lineage; this is its fixed-point aHash-form):
+    the clip is cut into ``window``-sample windows, each window into
+    ``chunks`` equal sub-bands, and bit j is ``1`` iff
+    ``chunks · E_j > Σ E`` where ``E_j`` is the EXACT integer sample
+    square-sum of sub-band j. Every quantity is integer arithmetic
+    (|x| ≤ 2^15 → E_j ≤ window·2^30, chunks·E_j ≤ 2^43 — no libm, the
+    COS14 discipline), so bits are bit-reproducible in SQL, and the
+    comparison is **amplitude-invariant**: a uniform gain g scales
+    every E_j and the total by g² exactly, leaving every bit unchanged
+    — while a spliced segment changes only its own windows' bits. Runs
+    the REAL WAV codec (``parse_wav``) under an Arrow mapInPandas
+    kernel; trailing samples short of a full window are dropped.
+    Returns one row per window: ``(doc_id, win_idx, n_win, fp_bits)``.
+
+    Scale: shuffle-free scan over payload bytes; output is
+    O(clip seconds) narrow rows feeding the shared star-capped
+    hamming band machinery (``dedup.hamming_pairs_from_bits``).
+    """
+    cols = ["doc_id", payload_col]
+    sub = window // chunks
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                try:
+                    _rate, _ch, samples = parse_wav(raw)
+                except NotImplementedError:
+                    continue
+                n_win = len(samples) // window
+                for w in range(n_win):
+                    base = w * window
+                    energies = []
+                    for j in range(chunks):
+                        e = 0
+                        for i in range(sub):
+                            v = samples[base + j * sub + i]
+                            e += v * v
+                        energies.append(e)
+                    tot = sum(energies)
+                    bits = "".join(
+                        "1" if chunks * e > tot else "0" for e in energies
+                    )
+                    out.append((doc_id, w, n_win, bits))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "win_idx", "n_win", "fp_bits"]
+            )
+
+    return docs.select(*cols).mapInPandas(batches, schema=WAV_FP_SCHEMA)

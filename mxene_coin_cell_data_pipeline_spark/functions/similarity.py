@@ -1006,3 +1006,235 @@ def pq_adc_topk(
             F.coalesce(F.col("_cos"), F.lit(0)).alias("in_exact_cos_topk"),
         )
     )
+
+
+def ivfpq_residual_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    kc: int = 4,
+    m: int = 4,
+    k: int = 4,
+    nprobe: int = 2,
+    topk: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — inverted-file search over PQ RESIDUAL codes (Jégou et
+    al., "Product Quantization for Nearest Neighbor Search", TPAMI
+    2011, §IV.B): the composition that makes compressed ANN *sub-scan*
+    where flat ADC (``pq_adc_topk``) still reads every code. Every
+    vector is routed to its nearest of ``kc`` coarse centroids (its
+    inverted list), and what gets PQ-encoded is the RESIDUAL
+    ``e − c_list`` — residuals concentrate near the origin, so a shared
+    product codebook quantizes them far better than raw vectors. At
+    query time only the ``nprobe`` nearest lists are probed, scoring
+    each list's codes with a per-list lookup table built from the
+    query's OWN residual against that list's centroid — the FAISS
+    IVFADC index shape used for billion-vector search.
+
+    Determinism/seeding (the s05/s11/s13 discipline): coarse centroids
+    are the embeddings of vec_id 0..kc-1; the product codebook is
+    seeded from the RESIDUALS of vec_id kc..kc+k-1 (each against its
+    own nearest coarse centroid — offset past the coarse seeds, whose
+    own residuals are identically zero). Assignment ties break to the
+    smaller id; final ordering on the round(·1e9) int64 nanos grid
+    with vec_id tie-breaks; every float path is a sequential
+    left-to-right fold mirrored by the oracle's list_dot_product, and
+    elementwise residual subtraction is a single IEEE op per lane on
+    both engines.
+
+    Returns the ADC top-``topk`` over the probed lists as
+    ``(vec_id, list_id, adc_nanos, in_exact_l2_topk,
+    in_exact_cos_topk)`` — the dual recall audit brackets quantization
+    loss (vs exact L2, the metric ADC approximates) and metric
+    mismatch (vs exact cosine), both ranked on the int64 grid.
+
+    Scale design: the kc + k seed vectors and the query collect once
+    (tiny by construction) and EVERYTHING derived from them — coarse
+    centroids, product codebook, probed list ids, the nprobe·m·k LUT —
+    inlines as literals. The corpus-side plan is: scan → coarse-assign
+    (kc expanded-fold candidates, pure codegen) → **filter to the
+    probed lists** → residual-encode + ADC-score only the survivors →
+    TakeOrdered. No join, no shuffle; the only exchanges are the two
+    10-row recall-flag broadcasts (plan-pinned). At 100 TB the codes
+    and list ids are a written index partitioned by list_id, and the
+    probed-list filter becomes partition pruning — the scan reads
+    nprobe/kc of the data; the expression pipeline here IS that
+    index's build + search fused, which is why the filter sits below
+    the encode in the optimized plan (Catalyst pushes it: the filter
+    needs only list_id).
+    """
+    e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
+    dim = len(e.select("e").first()["e"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    n_seed = kc + k
+    seeds = {
+        int(r["vec_id"]): list(r["e"])
+        for r in e.filter(F.col("vec_id") < n_seed).collect()
+    }
+    if len(seeds) < n_seed:
+        raise ValueError(f"need vec_id 0..{n_seed - 1} present as seeds")
+    qrow = e.filter(F.col("vec_id") == query_vec_id).collect()
+    if not qrow:
+        raise ValueError(f"query vec_id {query_vec_id} not present")
+    qv = list(qrow[0]["e"])
+
+    def _dot_seq(a: list, b: list) -> float:
+        # left-to-right fold == DuckDB list_dot_product == F.aggregate
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _sqdist_seq(a: list, b: list) -> float:
+        # expanded dot(a,a) - 2 dot(a,b) + dot(b,b) — NOT a
+        # subtract-then-square fold (the s05 cross-engine rule)
+        return _dot_seq(a, a) - 2 * _dot_seq(a, b) + _dot_seq(b, b)
+
+    coarse = [seeds[c] for c in range(kc)]
+
+    def _assign(v: list) -> int:
+        best, best_d = 0, _sqdist_seq(v, coarse[0])
+        for c in range(1, kc):
+            d = _sqdist_seq(v, coarse[c])
+            if d < best_d:  # strict: ties keep the smaller id
+                best, best_d = c, d
+        return best
+
+    # product codebook: residuals of the k seed vectors PAST the
+    # coarse seeds, each against its own nearest coarse centroid
+    pq: list[list[float]] = []
+    for j in range(kc, kc + k):
+        sv = seeds[j]
+        cv = coarse[_assign(sv)]
+        pq.append([x - y for x, y in zip(sv, cv)])
+
+    probed = sorted(range(kc), key=lambda c: (_sqdist_seq(qv, coarse[c]), c))[
+        :nprobe
+    ]
+    # per-list LUT over the QUERY's residual against that list's
+    # centroid: lut[l][s][c] = ||(q - C_l)_s - pq_c_s||^2
+    lut: dict[int, list[list[float]]] = {}
+    for li in probed:
+        rq = [x - y for x, y in zip(qv, coarse[li])]
+        lut[li] = [
+            [
+                _sqdist_seq(
+                    rq[s * sub : (s + 1) * sub],
+                    pq[c][s * sub : (s + 1) * sub],
+                )
+                for c in range(k)
+            ]
+            for s in range(m)
+        ]
+
+    # ---- corpus plan (one lazy expression pipeline) ----
+    da = _dot(F.col("e"), F.col("e"))
+    cand = []
+    for c in range(kc):
+        clit = F.array(*[F.lit(float(x)) for x in coarse[c]])
+        dcc = _dot_seq(coarse[c], coarse[c])
+        dist = da - 2 * _dot(F.col("e"), clit) + F.lit(dcc)
+        cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("list_id")))
+    assigned = e.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id", "e", F.array_min(F.array(*cand))["list_id"].alias("list_id")
+    )
+    pruned = assigned.filter(F.col("list_id").isin([int(x) for x in probed]))
+
+    # residual of each survivor against its (probed) list centroid
+    res = F.lit(None).cast("array<double>")
+    for li in probed:
+        clit = F.array(*[F.lit(float(x)) for x in coarse[li]])
+        res = F.when(
+            F.col("list_id") == li,
+            F.zip_with(F.col("e"), clit, lambda x, y: x - y),
+        ).otherwise(res)
+    enc = pruned.select("vec_id", "list_id", res.alias("r"))
+
+    # PQ residual codes: per-subspace argmin over the shared codebook
+    code_cols = []
+    for s in range(m):
+        rs = F.slice(F.col("r"), s * sub + 1, sub)
+        drr = F.aggregate(rs, F.lit(0.0), lambda acc, v: acc + v * v)
+        cands = []
+        for c in range(k):
+            ps = pq[c][s * sub : (s + 1) * sub]
+            plit = F.array(*[F.lit(float(x)) for x in ps])
+            dpp = _dot_seq(ps, ps)
+            drp = F.aggregate(
+                F.zip_with(rs, plit, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            dist = drr - 2 * drp + F.lit(dpp)
+            cands.append(F.struct(dist.alias("dist"), F.lit(c).alias("code")))
+        code_cols.append(
+            F.array_min(F.array(*cands))["code"].cast("int").alias(f"code_{s}")
+        )
+    coded = enc.select("vec_id", "list_id", *code_cols)
+
+    # ADC: per-list LUT lookup selected by list_id — m element_at + adds
+    terms = []
+    for s in range(m):
+        t = F.lit(None).cast("double")
+        for li in probed:
+            llit = F.array(*[F.lit(float(x)) for x in lut[li][s]])
+            t = F.when(
+                F.col("list_id") == li, F.element_at(llit, F.col(f"code_{s}") + 1)
+            ).otherwise(t)
+        terms.append(t)
+    adc = terms[0]
+    for t in terms[1:]:
+        adc = adc + t
+    adc_top = (
+        coded.select(
+            "vec_id",
+            "list_id",
+            F.round(adc * 1e9).cast("long").alias("adc_nanos"),
+        )
+        .orderBy(F.asc("adc_nanos"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+    # dual exact audits over the FULL corpus (int64 grid, s13 form)
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    dqq_full = _dot_seq(qv, qv)
+    dxx = F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
+    dxq = F.aggregate(
+        F.zip_with(F.col("e"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = e.filter(F.col("vec_id") != query_vec_id).select(
+        "vec_id",
+        F.round((dxx - 2 * dxq + F.lit(dqq_full)) * 1e9)
+        .cast("long")
+        .alias("l2_nanos"),
+        F.round(
+            (dxq / (F.sqrt(dxx) * F.lit(math.sqrt(dqq_full)))) * 1e9
+        )
+        .cast("long")
+        .alias("cos_nanos"),
+    )
+    l2_top = (
+        exact.orderBy(F.asc("l2_nanos"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", F.lit(1).alias("_l2"))
+    )
+    cos_top = (
+        exact.orderBy(F.desc("cos_nanos"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", F.lit(1).alias("_cos"))
+    )
+    return (
+        adc_top.join(F.broadcast(l2_top), "vec_id", "left")
+        .join(F.broadcast(cos_top), "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            "adc_nanos",
+            F.coalesce(F.col("_l2"), F.lit(0)).alias("in_exact_l2_topk"),
+            F.coalesce(F.col("_cos"), F.lit(0)).alias("in_exact_cos_topk"),
+        )
+    )

@@ -1,0 +1,348 @@
+"""Extension wave 12 — round 11:
+
+- s14: IVF-PQ residual search (IVFADC) — s02's coarse routing composed
+  with s13's asymmetric-distance scoring: vectors route to coarse
+  Voronoi lists, RESIDUALS are PQ-encoded, the query probes nprobe
+  lists and scores their codes with per-list LUTs (Jégou et al.,
+  TPAMI 2011 §IV.B — the FAISS IVFADC shape that makes compressed ANN
+  sub-scan instead of full-scan)
+- m13: audio fingerprint near-dup — integer sub-band energy signatures
+  per PCM window (Haitsma/Kalker-style robust hash, aHash-comparison
+  form so it is amplitude-invariant) through the shared star-capped
+  hamming band machinery, completing the modality matrix (text d*,
+  image m10/m11, video m12, audio m13)
+- s15: hybrid retrieval fusion — reciprocal-rank fusion of t18's BM25
+  ranking and s01's cosine ranking as exact integer arithmetic
+  (Cormack et al., SIGIR 2009)
+- p07: the p06 capstone re-run under a t24-TRAINED merge table (train
+  on the surviving corpus, encode the selected corpus with it) — the
+  true train→curate→encode lifecycle
+
+Importing this module REGISTERS its queries (oracle SQL inline);
+plans/queries.py imports it after q_extensions9.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ._registry import QUERIES, _ctx, _register
+
+# ---------------------------------------------------------------------------
+# s14: IVFADC — inverted-file search over PQ residual codes
+# ---------------------------------------------------------------------------
+
+_S14_KC, _S14_M, _S14_K, _S14_NPROBE, _S14_TOPK = 4, 4, 4, 2, 10
+_S14_DIM = 64  # TESTDATA.md: embeddings.embedding is a 64-float array
+_S14_SUB = _S14_DIM // _S14_M
+
+
+def _s14_slice(expr: str, s: str = "s.s") -> str:
+    return f"{expr}[{s}*{_S14_SUB}+1 : {s}*{_S14_SUB}+{_S14_SUB}]"
+
+
+def _s14_sqdist(a: str, b: str) -> str:
+    """Expanded full-dim ||a − b||² — every term a sequential fold."""
+    return (
+        f"list_dot_product({a}, {a})"
+        f" - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b})"
+    )
+
+
+def _s14_sqdist_sub(a: str, b: str, s: str = "s.s") -> str:
+    asl, bsl = _s14_slice(a, s), _s14_slice(b, s)
+    return (
+        f"list_dot_product({asl}, {asl})"
+        f" - 2 * list_dot_product({asl}, {bsl})"
+        f" + list_dot_product({bsl}, {bsl})"
+    )
+
+
+_S14_CODES_PIVOT = ",\n                   ".join(
+    f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(_S14_M)
+)
+_S14_LUTP = ",\n                  ".join(
+    f"max(CASE WHEN s = {s} AND code = {c} THEN ld END) AS l{s}_{c}"
+    for s in range(_S14_M)
+    for c in range(_S14_K)
+)
+_S14_ADC = " + ".join(
+    "(CASE v.c%d %s ELSE l.l%d_%d END)"
+    % (
+        s,
+        " ".join(f"WHEN {c} THEN l.l{s}_{c}" for c in range(_S14_K - 1)),
+        s,
+        _S14_K - 1,
+    )
+    for s in range(_S14_M)
+)
+_S14_SERIES = f"(SELECT unnest(generate_series(0, {_S14_M - 1})) AS s) s"
+
+
+@_register(
+    "s14_ivfpq_residual_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cc AS (SELECT vec_id AS list_id, e AS c FROM e WHERE vec_id < {_S14_KC}),
+    q AS (SELECT e AS qv FROM e WHERE vec_id = 0),
+    cd AS (SELECT e.vec_id, cc.list_id,
+                  {_s14_sqdist("e.e", "cc.c")} AS dist
+           FROM e, cc),
+    asg AS (SELECT vec_id, list_id FROM (
+              SELECT vec_id, list_id,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, list_id) AS rn
+              FROM cd) WHERE rn = 1),
+    resid AS (SELECT e.vec_id, a.list_id,
+                     list_transform(range(1, {_S14_DIM + 1}),
+                                    i -> e.e[i] - cc.c[i]) AS r
+              FROM e JOIN asg a USING (vec_id)
+                     JOIN cc ON cc.list_id = a.list_id),
+    pqc AS (SELECT vec_id - {_S14_KC} AS code, r AS p FROM resid
+            WHERE vec_id >= {_S14_KC} AND vec_id < {_S14_KC + _S14_K}),
+    probe AS (SELECT list_id, c FROM (
+                SELECT cc.list_id, cc.c,
+                       row_number() OVER (ORDER BY
+                         {_s14_sqdist("q.qv", "cc.c")}, cc.list_id) AS rn
+                FROM cc, q) WHERE rn <= {_S14_NPROBE}),
+    corp AS (SELECT r.vec_id, r.list_id, r.r
+             FROM resid r JOIN probe USING (list_id)
+             WHERE r.vec_id <> 0),
+    scd AS (SELECT corp.vec_id, corp.list_id, s.s, pqc.code,
+                   {_s14_sqdist_sub("corp.r", "pqc.p")} AS dist
+            FROM corp, {_S14_SERIES}, pqc),
+    codes AS (SELECT vec_id, list_id,
+                   {_S14_CODES_PIVOT}
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                                 ORDER BY dist, code) AS rn
+                    FROM scd) WHERE rn = 1
+              GROUP BY vec_id, list_id),
+    rq AS (SELECT probe.list_id,
+                  list_transform(range(1, {_S14_DIM + 1}),
+                                 i -> q.qv[i] - probe.c[i]) AS rq
+           FROM probe, q),
+    lut AS (SELECT rq.list_id, s.s, pqc.code,
+                   {_s14_sqdist_sub("rq.rq", "pqc.p")} AS ld
+            FROM rq, {_S14_SERIES}, pqc),
+    lutp AS (SELECT list_id,
+                  {_S14_LUTP}
+             FROM lut GROUP BY list_id),
+    adc AS (SELECT v.vec_id, v.list_id,
+                   CAST(round(({_S14_ADC}) * 1e9) AS BIGINT) AS adc_nanos
+            FROM codes v JOIN lutp l ON l.list_id = v.list_id),
+    exact AS (SELECT e.vec_id,
+                     CAST(round((list_dot_product(e.e, e.e)
+                          - 2 * list_dot_product(e.e, q.qv)
+                          + list_dot_product(q.qv, q.qv)) * 1e9) AS BIGINT)
+                       AS l2_nanos,
+                     CAST(round((list_dot_product(e.e, q.qv)
+                       / (sqrt(list_dot_product(e.e, e.e))
+                          * sqrt(list_dot_product(q.qv, q.qv)))) * 1e9)
+                       AS BIGINT) AS cos_nanos
+              FROM e, q WHERE e.vec_id <> 0),
+    l2top AS (SELECT vec_id FROM exact ORDER BY l2_nanos, vec_id LIMIT 10),
+    costop AS (SELECT vec_id FROM exact
+               ORDER BY cos_nanos DESC, vec_id LIMIT 10)
+    SELECT t.vec_id, t.list_id, t.adc_nanos,
+           CASE WHEN t.vec_id IN (SELECT vec_id FROM l2top)
+                THEN 1 ELSE 0 END AS in_exact_l2_topk,
+           CASE WHEN t.vec_id IN (SELECT vec_id FROM costop)
+                THEN 1 ELSE 0 END AS in_exact_cos_topk
+    FROM (SELECT vec_id, list_id, adc_nanos FROM adc
+          ORDER BY adc_nanos, vec_id LIMIT {_S14_TOPK}) t
+    """,
+    survey="north-star similarity completion: IVF-PQ residual search "
+    "(IVFADC, Jégou et al. TPAMI 2011 §IV.B — VERDICT r10 task 1): "
+    "vectors route to their nearest of kc coarse centroids (inverted "
+    "lists), RESIDUALS vector − centroid are PQ-encoded against a "
+    "shared product codebook (seeded from the residuals of the k "
+    "vectors past the coarse seeds — whose own residuals are "
+    "identically zero), and the query probes only the nprobe nearest "
+    "lists, scoring each list's codes with a per-list LUT built from "
+    "the query's residual against that list's centroid. This is the "
+    "structure that bounds compressed search at 100 TB: flat ADC "
+    "(s13) reads every code; here the probed-list filter prunes the "
+    "scan to nprobe/kc of the data (a written index would partition "
+    "by list_id and the filter becomes partition pruning). Dual "
+    "recall audit vs exact-L2 AND exact-cosine (both on the "
+    "round(·1e9) int64 grid, the s13-as-amended discipline); "
+    "assignment ties to the smaller id; all folds sequential "
+    "left-to-right on both engines; residual subtraction a single "
+    "IEEE op per lane.",
+    note="Plan pin (tests/test_plan_shapes.py): pure scan — coarse "
+    "assignment, probed-list filter, residual PQ encode, per-list LUT "
+    "ADC all in one codegen pipeline over literals; TakeOrdered "
+    "pushdown; no join wider than the two 10-row recall broadcasts; "
+    "zero shuffle exchanges.",
+)
+def s14_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-10 over probed residual-code lists with exact-L2 /
+    exact-cosine recall flags (see functions.similarity
+    .ivfpq_residual_topk)."""
+    from ..functions.similarity import ivfpq_residual_topk
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return ivfpq_residual_topk(
+        emb,
+        query_vec_id=0,
+        kc=_S14_KC,
+        m=_S14_M,
+        k=_S14_K,
+        nprobe=_S14_NPROBE,
+        topk=_S14_TOPK,
+    )
+
+
+# ---------------------------------------------------------------------------
+# m13: audio fingerprint near-dup (integer sub-band energy signatures)
+# ---------------------------------------------------------------------------
+
+# the shared flat band/refine machinery (bits=64, n_bands=4, cap=64,
+# hamming<=3) — the same generated CTE block m12 uses; it consumes a
+# MATERIALIZED sh(doc_id, simhash_bits) and yields fpairs(doc_a, doc_b)
+from .q_extensions9 import _M12_BAND_CTES  # noqa: E402
+
+_HEX = "strpos('0123456789abcdef', substr({md5}, {pos}, 1)) - 1"
+
+
+def _m13_base(key_sql: str) -> str:
+    """Closed-form base sample: (int16-of-first-4-md5-hex-chars %
+    32768) − 16384 — the exact integer the generator packs."""
+    md5 = f"md5({key_sql})"
+    v16 = " + ".join(
+        f"({_HEX.format(md5=md5, pos=p + 1)}) * {16 ** (3 - p)}"
+        if p < 3
+        else f"({_HEX.format(md5=md5, pos=p + 1)})"
+        for p in range(4)
+    )
+    return f"((({v16}) % 32768) - 16384)"
+
+
+_M13_KEY = (
+    "CAST(wi.g AS VARCHAR) || ':' || CAST(wi.w AS VARCHAR)"
+    " || ':' || CAST(u.i AS VARCHAR)"
+)
+_M13_SKEY = "CAST(wi.g AS VARCHAR) || ':spliced:' || CAST(u.i AS VARCHAR)"
+_M13_VAL = f"""CASE
+            WHEN wi.doc_id % 2 = 0 THEN {_m13_base(_M13_KEY)}
+            WHEN wi.w = wi.g % wi.nw THEN 2 * {_m13_base(_M13_SKEY)}
+            ELSE 2 * {_m13_base(_M13_KEY)} END"""
+
+
+@_register(
+    "m13_audio_fingerprint_neardup",
+    f"""
+    WITH d AS (SELECT doc_id, doc_id // 2 AS g,
+                      2 + (doc_id // 2) % 3 AS nw
+               FROM documents),
+    wi AS (SELECT d.doc_id, d.g, d.nw, u.w
+           FROM d, (SELECT unnest(generate_series(0, 3)) AS w) u
+           WHERE u.w < d.nw),
+    sv AS (SELECT wi.doc_id, wi.nw, wi.w, u.i,
+                  {_M13_VAL} AS val
+           FROM wi, (SELECT unnest(generate_series(0, 127)) AS i) u),
+    ej AS (SELECT doc_id, nw, w, i // 2 AS j, sum(val * val) AS e
+           FROM sv GROUP BY doc_id, nw, w, i // 2),
+    et AS (SELECT doc_id, nw, w, j, e,
+                  sum(e) OVER (PARTITION BY doc_id, w) AS tot
+           FROM ej),
+    sh AS MATERIALIZED (
+      SELECT (doc_id * 8 + w) * 8 + nw AS doc_id,
+             string_agg(CASE WHEN 64 * e > tot THEN '1' ELSE '0' END,
+                        '' ORDER BY j) AS simhash_bits
+      FROM et GROUP BY doc_id, w, nw),
+    {_M12_BAND_CTES.strip()},
+    ag AS (SELECT doc_a // 64 AS clip_a, doc_b // 64 AS clip_b,
+                  count(DISTINCT doc_a // 8) AS na,
+                  count(DISTINCT doc_b // 8) AS nb,
+                  max(doc_a % 8) AS n_win_a, max(doc_b % 8) AS n_win_b
+           FROM fpairs WHERE doc_a // 64 < doc_b // 64
+           GROUP BY doc_a // 64, doc_b // 64)
+    SELECT clip_a, clip_b,
+           CAST(n_win_a AS BIGINT) AS n_win_a,
+           CAST(n_win_b AS BIGINT) AS n_win_b,
+           CAST(na AS BIGINT) AS n_matched_a,
+           CAST(nb AS BIGINT) AS n_matched_b
+    FROM ag WHERE 2 * na >= n_win_a AND 2 * nb >= n_win_b
+    """,
+    survey="north-star multimodal completion: AUDIO fingerprint "
+    "near-dup (VERDICT r10 task 2) — the modality matrix's last cell "
+    "(text d02/d03, image m10/m11, video m12, now audio): REAL "
+    "RIFF/WAVE PCM16 parses (parse_wav — the m07 codec) cut into "
+    "128-sample windows, each fingerprinted by the integer sub-band "
+    "energy comparison chunks·E_j > ΣE (64 exact int square-sums per "
+    "window — the Haitsma/Kalker energy-signature lineage in m10's "
+    "aHash comparison form, fixed-point like COS14, no libm), then "
+    "the SHARED star-capped hamming band machinery over composite "
+    "window ids ((doc_id·8 + win_idx)·8 + n_win — clip = fid DIV 64, "
+    "window = fid DIV 8, n_win = fid % 8 ≤ 4 by the generator's "
+    "closed form), aggregated to the m12 half-rule: a clip pair is a "
+    "near-dup when ≥ half of EACH clip's windows have a hamming-≤3 "
+    "partner in the other. The sibling fixture plants the two "
+    "robustness contracts: the odd sibling is amplitude-DOUBLED "
+    "(energies scale ×4 uniformly — every bit provably unchanged, "
+    "the pair must stay connected) with ONE spliced window (different "
+    "content — exactly its windows drop out of the match set).",
+    note="REGISTERED CAPPED from birth (bucket_cap=64, the m10/m11/"
+    "m12 lesson). ONE lazy kernel pass — n_win rides the composite id "
+    "like m12's n_kf, so no persist and no second kernel execution. "
+    "Oracle is pure integer arithmetic end to end (closed-form md5 "
+    "samples, exact int energies, integer comparisons) — "
+    "tolerance-free by construction, no float discipline needed.",
+)
+def m13_audio_fingerprint_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clip pairs whose window fingerprint sets mutually match on
+    ≥ half their windows (see functions.multimodal
+    .wav_window_fingerprints + functions.dedup
+    .hamming_pairs_from_bits)."""
+    from ..functions.dedup import hamming_pairs_from_bits
+    from ..functions.multimodal import (
+        wav_window_fingerprints,
+        with_wav_pair_payload,
+    )
+    from ..sources.tables import scale_out
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    # scale_out: the codec kernel parses the whole clip per row —
+    # single-row-group layouts would run it as ONE task (m10's lesson)
+    fps = wav_window_fingerprints(
+        with_wav_pair_payload(scale_out(docs.select("doc_id"), "doc_id"))
+    )
+    fp = fps.select(
+        (
+            (F.col("doc_id") * 8 + F.col("win_idx")) * 8 + F.col("n_win")
+        ).alias("doc_id"),
+        "fp_bits",
+    )
+    pairs = hamming_pairs_from_bits(
+        fp, bits_col="fp_bits", bits=64, max_hamming=3, n_bands=4,
+        bucket_cap=64,
+    )
+    ag = (
+        pairs.select(
+            F.expr("doc_a DIV 64").alias("clip_a"),
+            F.expr("doc_b DIV 64").alias("clip_b"),
+            F.expr("doc_a DIV 8").alias("wid_a"),
+            F.expr("doc_b DIV 8").alias("wid_b"),
+            F.expr("doc_a % 8").alias("nw_a"),
+            F.expr("doc_b % 8").alias("nw_b"),
+        )
+        .filter(F.col("clip_a") < F.col("clip_b"))
+        .groupBy("clip_a", "clip_b")
+        .agg(
+            F.countDistinct("wid_a").cast("long").alias("n_matched_a"),
+            F.countDistinct("wid_b").cast("long").alias("n_matched_b"),
+            F.max("nw_a").cast("long").alias("n_win_a"),
+            F.max("nw_b").cast("long").alias("n_win_b"),
+        )
+    )
+    return ag.filter(
+        (2 * F.col("n_matched_a") >= F.col("n_win_a"))
+        & (2 * F.col("n_matched_b") >= F.col("n_win_b"))
+    ).select(
+        "clip_a", "clip_b", "n_win_a", "n_win_b",
+        "n_matched_a", "n_matched_b",
+    )

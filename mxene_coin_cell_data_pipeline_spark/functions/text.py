@@ -1002,19 +1002,38 @@ def bpe_train_merges(
     round, the corpus never rescanned). Per-round state is persisted
     so round r+1 reads round r's vocab, not a recompute chain.
     """
-    state = (
+    words = (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .select(
-            "w",
-            "cnt",
-            F.expr("filter(split(w, ''), c -> c <> '')").alias("syms"),
-        )
-        .persist()
     )
-    rows = []
+    rows = bpe_train_rows(words, rounds=rounds)
+    return docs.sparkSession.createDataFrame(
+        rows,
+        schema="rank long, sym_a string, sym_b string, pair_count long, "
+        "n_merged long, n_tokens_after long",
+    )
+
+
+def bpe_train_rows(
+    words: DataFrame, rounds: int = 8
+) -> list[tuple[int, str, str, int, int, int]]:
+    """The trainer loop of ``bpe_train_merges`` over an ALREADY
+    AGGREGATED word-frequency relation ``(w, cnt)`` — exposed so
+    composed pipelines (p07) train on a DERIVED corpus (e.g. the d20
+    survivors' kept tokens) instead of raw document text, and get the
+    merge table back as driver-side rows (rounds·4 strings — the
+    quota-seed class of tiny collects) ready to drive
+    ``bpe_encode_vocab``. Returns one tuple per round:
+    ``(rank, sym_a, sym_b, pair_count, n_merged, n_tokens_after)``.
+    Scale/caching behavior documented on ``bpe_train_merges``."""
+    state = words.select(
+        "w",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.expr("filter(split(w, ''), c -> c <> '')").alias("syms"),
+    ).persist()
+    rows: list[tuple[int, str, str, int, int, int]] = []
     # at most TWO states are ever cached (r10 ADVICE): round r reads
     # only round r-1, so the previous state unpersists as soon as the
     # round's audit collect has materialized the new one
@@ -1074,11 +1093,5 @@ def bpe_train_merges(
         cached.unpersist()
         cached = applied
         state = applied.select("w", "cnt", "syms")
-    spark = docs.sparkSession
-    out = spark.createDataFrame(
-        rows,
-        schema="rank long, sym_a string, sym_b string, pair_count long, "
-        "n_merged long, n_tokens_after long",
-    )
     cached.unpersist()
-    return out
+    return rows

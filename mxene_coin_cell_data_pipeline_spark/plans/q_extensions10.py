@@ -346,3 +346,279 @@ def m13_audio_fingerprint_neardup(
         "clip_a", "clip_b", "n_win_a", "n_win_b",
         "n_matched_a", "n_matched_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# s15: hybrid retrieval fusion — reciprocal-rank fusion of BM25 + ANN
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+#: RRF constant (Cormack/Clarke/Buettcher, SIGIR 2009 use k=60) and the
+#: exact common denominator: lcm(61..70) — every contribution
+#: D // (60 + rank) is an EXACT integer for rank 1..10, so fused scores
+#: and their ordering are integer arithmetic end to end.
+_S15_K = 60
+_S15_TOPK = 10
+_S15_D = math.lcm(*range(_S15_K + 1, _S15_K + _S15_TOPK + 1))
+
+
+@_register(
+    "s15_rrf_hybrid_fusion",
+    f"""
+    WITH lex0 AS (SELECT * FROM ({{t18}}) t),
+    vec0 AS (SELECT * FROM ({{s01}}) t),
+    lex AS (SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY CAST(round(bm25 * 1e9) AS BIGINT) DESC,
+                              doc_id) AS lex_rank
+            FROM lex0),
+    vec AS (SELECT vec_id AS doc_id,
+                   row_number() OVER (
+                     ORDER BY CAST(round(cosine * 1e9) AS BIGINT) DESC,
+                              vec_id) AS vec_rank
+            FROM vec0),
+    f AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+                 l.lex_rank, v.vec_rank
+          FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id)
+    SELECT doc_id,
+           CAST(coalesce(lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(coalesce(vec_rank, 0) AS BIGINT) AS vec_rank,
+           CAST(coalesce({_S15_D} // (60 + lex_rank), 0)
+                + coalesce({_S15_D} // (60 + vec_rank), 0) AS BIGINT)
+             AS rrf_num
+    FROM f
+    """,
+    survey="north-star retrieval completion: HYBRID fusion (VERDICT "
+    "r10 task 3) — reciprocal-rank fusion of t18's BM25 lexical "
+    "top-10 and s01's cosine vector top-10 over the aligned "
+    "doc_id/vec_id space, score = Σ 1/(60+rank) (Cormack et al., "
+    "SIGIR 2009: RRF outperforms Condorcet and individual-rank "
+    "learning methods) — the ranking real RAG-curation pipelines "
+    "compute from exactly these two retrievers. Both input rankings "
+    "are RE-DERIVED IN-QUERY from their registered definitions "
+    "(verbatim SQL composition on the oracle side; the registered "
+    "query callables on the Spark side), ranks assigned on the "
+    "round(·1e9) int64 grid with id tie-breaks, and the fused score "
+    "is EXACT integer arithmetic: contributions are D // (60+rank) "
+    f"with D = lcm(61..70) = {_S15_D} — divisible for every rank, so "
+    "the fusion introduces zero float ops (rrf_num / D recovers the "
+    "textbook score). Absent-from-a-list is rank 0 (contributes "
+    "nothing), so the output is the UNION of both top-10 sets with "
+    "full provenance (lex_rank, vec_rank, rrf_num).",
+    note="Scale: both inputs are top-k relations (≤10 rows each) — "
+    "the fusion is a broadcast-sized full outer join + row-local "
+    "integer arithmetic; the corpus-sized work is entirely inside "
+    "the two audited retrievers it composes. The 10-row rank windows "
+    "are the quota-seed class of legitimately tiny single-partition "
+    "sorts.",
+)
+def s15_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the BM25 and cosine top-10s with int-grid ranks and
+    the exact-integer RRF fused score."""
+    from pyspark.sql import Window
+
+    lex0 = QUERIES["t18_bm25_topk"].spark(spark, sf_dir)
+    vec0 = QUERIES["s01_cosine_topk"].spark(spark, sf_dir)
+    wl = Window.orderBy(
+        F.desc(F.round(F.col("bm25") * 1e9).cast("long")), F.asc("doc_id")
+    )
+    wv = Window.orderBy(
+        F.desc(F.round(F.col("cosine") * 1e9).cast("long")), F.asc("vec_id")
+    )
+    lex = lex0.select(
+        "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    vec = vec0.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wv).alias("vec_rank"),
+    )
+    f = lex.join(vec, "doc_id", "full_outer")
+    z = F.lit(0).cast("long")
+    return f.select(
+        "doc_id",
+        F.coalesce(F.col("lex_rank").cast("long"), z).alias("lex_rank"),
+        F.coalesce(F.col("vec_rank").cast("long"), z).alias("vec_rank"),
+        (
+            F.coalesce(
+                F.expr(f"{_S15_D} div (60 + lex_rank)").cast("long"), z
+            )
+            + F.coalesce(
+                F.expr(f"{_S15_D} div (60 + vec_rank)").cast("long"), z
+            )
+        ).alias("rrf_num"),
+    )
+
+
+# splice the two verified retriever oracles in VERBATIM (one source of
+# truth — a t18/s01 oracle change propagates here automatically)
+QUERIES["s15_rrf_hybrid_fusion"].oracle = QUERIES[
+    "s15_rrf_hybrid_fusion"
+].oracle.format(
+    t18=QUERIES["t18_bm25_topk"].oracle,
+    s01=QUERIES["s01_cosine_topk"].oracle,
+)
+
+
+# ---------------------------------------------------------------------------
+# p07: the trained-tokenizer capstone — train on survivors, encode with it
+# ---------------------------------------------------------------------------
+
+from .q_extensions9 import (  # noqa: E402
+    _T24_ROUNDS,
+    _T24_V0_CTE,
+    _t24_round_ctes,
+)
+
+#: p06's verified oracle, spliced VERBATIM through its packing audit
+#: (everything up to the vocc/encode tail) — the s15 one-source-of-
+#: truth discipline: a p06 curation-stage change propagates here or
+#: fails this index() loudly at import.
+_P06_ORACLE = QUERIES["p06_tokenizer_corpus_pipeline"].oracle
+_P07_PREFIX = _P06_ORACLE[: _P06_ORACLE.index(",\n    vocc AS")]
+
+_P07_TRAIN_CTES = ",\n    ".join(
+    [
+        # training corpus: ALL survivors' kept tokens (not just the
+        # selected ones — you train the tokenizer on everything that
+        # survived cleaning, then spend the sampling budget on what
+        # you encode)
+        "toksw AS MATERIALIZED (SELECT c.tok AS w, count(*) AS cnt\n"
+        "      FROM cov2 c JOIN kept k ON k.doc_id = c.doc_id\n"
+        "      WHERE c.covered = 0 GROUP BY c.tok)",
+        _T24_V0_CTE,
+    ]
+    + _t24_round_ctes(_T24_ROUNDS)
+)
+
+_P07_MRG_UNION = "\n      UNION ALL ".join(
+    f"SELECT rank, sym_a, sym_b FROM a{r}"
+    for r in range(1, _T24_ROUNDS + 1)
+)
+
+
+@_register(
+    "p07_trained_tokenizer_pipeline",
+    f"""{_P07_PREFIX},
+    {_P07_TRAIN_CTES},
+    fstate AS (SELECT w, CAST(count(*) AS BIGINT) AS n_syms
+               FROM v{_T24_ROUNDS} GROUP BY w),
+    mrg AS ({_P07_MRG_UNION}),
+    msig AS (SELECT CAST(coalesce(sum(rank * ('0x' || substr(
+                   md5(sym_a || '>' || sym_b), 1, 8))::BIGINT), 0)
+                   AS BIGINT) AS merge_sig,
+                 CAST(count(*) AS BIGINT) AS n_merges
+             FROM mrg),
+    vocc AS (SELECT sel.source, c.tok
+             FROM cov2 c JOIN sel ON sel.doc_id = c.doc_id
+             WHERE c.covered = 0),
+    bagg AS (SELECT v.source, CAST(sum(f.n_syms) AS BIGINT)
+                      AS bpe_tok_total
+             FROM vocc v JOIN fstate f ON f.w = v.tok GROUP BY v.source),
+    nin AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+            FROM documents GROUP BY source)
+    SELECT nin.source, nin.n_in,
+           CAST(coalesce(q.n_source, 0) AS BIGINT) AS n_surv,
+           CAST(coalesce(q.quota, 0) AS BIGINT) AS quota,
+           CAST(coalesce(pagg.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(pagg.sel_sig, 0) AS BIGINT) AS sel_sig,
+           CAST(coalesce(pagg.kept_tok_total, 0) AS BIGINT)
+             AS kept_tok_total,
+           CAST((coalesce(pagg.kept_tok_total, 0) + 511) // 512 AS BIGINT)
+             AS n_packs,
+           CAST(coalesce(pagg.n_crossers, 0) AS BIGINT) AS n_crossers,
+           CAST(coalesce(bagg.bpe_tok_total, 0) AS BIGINT)
+             AS bpe_tok_total,
+           msig.merge_sig, msig.n_merges
+    FROM nin LEFT JOIN q ON q.source = nin.source
+             LEFT JOIN pagg ON pagg.source = nin.source
+             LEFT JOIN bagg ON bagg.source = nin.source
+             CROSS JOIN msig
+    """,
+    survey="north-star capstone #4 (VERDICT r10 task 4): the TRUE "
+    "train→curate→encode tokenizer lifecycle — p06 encoded under the "
+    "LITERAL 12-merge table; here the d20 survivors' kept tokens ARE "
+    "the training corpus: t24's iterative trainer (8 rounds, "
+    "bpe_train_rows) learns the merge table from the cleaned corpus, "
+    "and t23's word-cache encoder encodes the quota-selected docs "
+    "under THAT trained table. Adds the trained-table audit columns: "
+    "merge_sig (Σ rank · md5-hash32 of 'sym_a>sym_b' — order- and "
+    "content-sensitive) and n_merges. ENCODE/TRAIN CONSISTENCY IS THE "
+    "ORACLE GATE: the Spark side genuinely ENCODES (Arrow kernel "
+    "applying the trained merges per distinct token) while the DuckDB "
+    "side derives token counts from the TRAINER's final state v8 — "
+    "the two agree iff applying the trained table reproduces the "
+    "trainer's final tokenization (the t24 consistency theorem), so "
+    "every driver run re-proves the theorem cross-engine over the "
+    "real corpus. Oracle composition: p06's verified curation chain "
+    "spliced verbatim + t24's verified relational trainer CTEs over "
+    "the survivor corpus.",
+    note="Scale: identical exchange structure to p06 plus the trainer "
+    "rounds, which run on the PERSISTED survivor vocabulary "
+    "(Heaps-law small; at most two states cached, r10 ADVICE "
+    "discipline) — the corpus is scanned once for word frequencies "
+    "and once for the curation chain; the per-round max-pair collect "
+    "is the quota-seed class. Training happens at plan-CONSTRUCTION "
+    "time (the seed-collect idiom at trainer scale): fn(spark, "
+    "sf_dir) runs the trainer eagerly, then returns the lazy "
+    "curate+encode plan parameterized by the trained literals.",
+)
+def p07_trained_tokenizer_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-removal -> TRAIN BPE on survivors -> quota mixing ->
+    packing -> encode under the trained table, audited per source
+    shard + trained-table signature columns."""
+    import hashlib
+
+    from ..functions.text import bpe_encode_vocab, bpe_train_rows
+    from .q_extensions9 import _p06_curation_stages
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    surv, q, sel, pagg, nin = _p06_curation_stages(docs)
+    words = (
+        surv.select(F.explode("kept_toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = bpe_train_rows(words, rounds=_T24_ROUNDS)
+    merges = [(a, b) for (_r, a, b, _pc, _nm, _nt) in rows]
+    merge_sig = sum(
+        r * int(hashlib.md5(f"{a}>{b}".encode()).hexdigest()[:8], 16)
+        for (r, a, b, _pc, _nm, _nt) in rows
+    )
+    occ = sel.select("source", F.explode("kept_toks").alias("tok"))
+    enc = bpe_encode_vocab(occ.select("tok").distinct(), merges)
+    bagg = occ.join(enc, "tok").groupBy("source").agg(
+        F.sum("n_syms").cast("long").alias("bpe_tok_total")
+    )
+    z = F.lit(0).cast("long")
+    return (
+        nin.join(
+            q.select(
+                "source",
+                F.col("n_source").cast("long").alias("n_surv"),
+                F.col("quota").cast("long").alias("quota"),
+            ),
+            "source",
+            "left",
+        )
+        .join(pagg, "source", "left")
+        .join(bagg, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce("n_surv", z).alias("n_surv"),
+            F.coalesce("quota", z).alias("quota"),
+            F.coalesce("n_selected", z).alias("n_selected"),
+            F.coalesce("sel_sig", z).alias("sel_sig"),
+            F.coalesce("kept_tok_total", z).alias("kept_tok_total"),
+            F.expr("(coalesce(kept_tok_total, 0) + 511) div 512")
+            .cast("long")
+            .alias("n_packs"),
+            F.coalesce("n_crossers", z).alias("n_crossers"),
+            F.coalesce("bpe_tok_total", z).alias("bpe_tok_total"),
+            F.lit(int(merge_sig)).cast("long").alias("merge_sig"),
+            F.lit(len(rows)).cast("long").alias("n_merges"),
+        )
+    )

@@ -192,10 +192,27 @@ def _t24_oracle(rounds: int = _T24_ROUNDS) -> str:
         "FROM documents, LATERAL (SELECT unnest(regexp_extract_all("
         "lower(text), '[a-z0-9]+')) AS tok) u WHERE u.tok <> '' "
         "GROUP BY u.tok)",
-        "v0 AS MATERIALIZED (SELECT w, cnt, u.pos, u.sym FROM toksw, "
-        "LATERAL (SELECT unnest(string_split(w, '')) AS sym, "
-        "generate_subscripts(string_split(w, ''), 1) AS pos) u)",
-    ]
+        _T24_V0_CTE,
+    ] + _t24_round_ctes(rounds)
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM a{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\n    {union}"
+
+
+#: v0 from any toksw(w, cnt) CTE — the character-split starting state
+_T24_V0_CTE = (
+    "v0 AS MATERIALIZED (SELECT w, cnt, u.pos, u.sym FROM toksw, "
+    "LATERAL (SELECT unnest(string_split(w, '')) AS sym, "
+    "generate_subscripts(string_split(w, ''), 1) AS pos) u)"
+)
+
+
+def _t24_round_ctes(rounds: int) -> list[str]:
+    """The per-round trainer CTEs (p{r}/b{r}/m{r}/s{r}/v{r}/a{r}),
+    referencing v0 — extracted so p07 can run the SAME relational
+    trainer over a different training corpus (the d20 survivors)."""
+    ctes: list[str] = []
     for r in range(1, rounds + 1):
         p = f"v{r - 1}"
         ctes.append(
@@ -240,10 +257,7 @@ def _t24_oracle(rounds: int = _T24_ROUNDS) -> str:
             f"     FROM v{r}) AS n_tokens_after\n"
             f"  FROM b{r} b)"
         )
-    union = "\n    UNION ALL ".join(
-        f"SELECT * FROM a{r}" for r in range(1, rounds + 1)
-    )
-    return "WITH " + ",\n".join(ctes) + f"\n    {union}"
+    return ctes
 
 
 @_register(
@@ -685,13 +699,57 @@ def p06_tokenizer_corpus_pipeline(
 ) -> DataFrame:
     """Span-removal -> quota mixing -> packing -> BPE encode, audited
     per source shard (the wave-10 capstone chain)."""
+    from ..functions.text import bpe_encode_vocab
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    surv, q, sel, pagg, nin = _p06_curation_stages(docs)
+    occ = sel.select("source", F.explode("kept_toks").alias("tok"))
+    enc = bpe_encode_vocab(occ.select("tok").distinct())
+    bagg = occ.join(enc, "tok").groupBy("source").agg(
+        F.sum("n_syms").cast("long").alias("bpe_tok_total")
+    )
+    z = F.lit(0).cast("long")
+    return (
+        nin.join(
+            q.select(
+                "source",
+                F.col("n_source").cast("long").alias("n_surv"),
+                F.col("quota").cast("long").alias("quota"),
+            ),
+            "source",
+            "left",
+        )
+        .join(pagg, "source", "left")
+        .join(bagg, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce("n_surv", z).alias("n_surv"),
+            F.coalesce("quota", z).alias("quota"),
+            F.coalesce("n_selected", z).alias("n_selected"),
+            F.coalesce("sel_sig", z).alias("sel_sig"),
+            F.coalesce("kept_tok_total", z).alias("kept_tok_total"),
+            F.expr("(coalesce(kept_tok_total, 0) + 511) div 512")
+            .cast("long")
+            .alias("n_packs"),
+            F.coalesce("n_crossers", z).alias("n_crossers"),
+            F.coalesce("bpe_tok_total", z).alias("bpe_tok_total"),
+        )
+    )
+
+
+def _p06_curation_stages(docs: DataFrame):
+    """The shared d20-removal → quota-mix → selection → packing stages
+    of the p06/p07 capstones: returns ``(surv, q, sel, pagg, nin)``
+    (survivors with kept_toks, the quota relation, the selected docs,
+    the packing audit aggregate, and the per-source input counts) as
+    ONE lazy DAG — p06 encodes under the literal merge table, p07
+    trains on the survivors first and encodes under the trained one."""
     from pyspark.sql import Window
 
     from ..functions.dedup import crossdoc_kept_tokens
     from ..functions.sampling import integer_quotas
-    from ..functions.text import bpe_encode_vocab
 
-    (docs,) = _ctx(spark, sf_dir, "documents")
     st = crossdoc_kept_tokens(docs, k=8, gram_key="raw")
     kept = (
         st.groupBy("doc_id")
@@ -745,39 +803,7 @@ def p06_tokenizer_corpus_pipeline(
         .alias("n_crossers"),
         F.sum(F.col("rank") * hash32).cast("long").alias("sel_sig"),
     )
-    occ = sel.select("source", F.explode("kept_toks").alias("tok"))
-    enc = bpe_encode_vocab(occ.select("tok").distinct())
-    bagg = occ.join(enc, "tok").groupBy("source").agg(
-        F.sum("n_syms").cast("long").alias("bpe_tok_total")
-    )
     nin = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_in")
     )
-    z = F.lit(0).cast("long")
-    return (
-        nin.join(
-            q.select(
-                "source",
-                F.col("n_source").cast("long").alias("n_surv"),
-                F.col("quota").cast("long").alias("quota"),
-            ),
-            "source",
-            "left",
-        )
-        .join(pagg, "source", "left")
-        .join(bagg, "source", "left")
-        .select(
-            "source",
-            "n_in",
-            F.coalesce("n_surv", z).alias("n_surv"),
-            F.coalesce("quota", z).alias("quota"),
-            F.coalesce("n_selected", z).alias("n_selected"),
-            F.coalesce("sel_sig", z).alias("sel_sig"),
-            F.coalesce("kept_tok_total", z).alias("kept_tok_total"),
-            F.expr("(coalesce(kept_tok_total, 0) + 511) div 512")
-            .cast("long")
-            .alias("n_packs"),
-            F.coalesce("n_crossers", z).alias("n_crossers"),
-            F.coalesce("bpe_tok_total", z).alias("bpe_tok_total"),
-        )
-    )
+    return surv, q, sel, pagg, nin

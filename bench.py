@@ -155,6 +155,11 @@ EXTENDED = [
     "m12_video_phash_neardup",
     "t24_bpe_train_merges",
     "p06_tokenizer_corpus_pipeline",
+    # round-11 wave 12: perf history from birth for the new operators
+    "s14_ivfpq_residual_topk",
+    "m13_audio_fingerprint_neardup",
+    "s15_rrf_hybrid_fusion",
+    "p07_trained_tokenizer_pipeline",
 ]
 
 

@@ -131,71 +131,76 @@ def _fsum6_micro(col) -> F.Column:
 #: text/multimodal heads — every one oracle-backed and green in the
 #: full driver_check sweep. Everything not listed follows in
 #: definition order, so the full registry is always exported.
-#: Round-9 rotation (VERDICT r08 task 3): union of r01-r08 windows =
-#: 191/191 green, so this window leads with the four round-9 additions
-#: (d20 cross-doc span removal, m11 DCT pHash, o18 quota mixing, t23
-#: BPE encode — never driver-verified), then ALL 42 queries whose last
-#: driver verdict is r05, topped up with the first four of the r06
-#: cohort to hold the window at 50 (disjoint from r08's window by
-#: construction: r08 verified the wave-6-9 heads + r04-stale set).
+#: Round-11 rotation (VERDICT r10 task 5): union of the r01-r10
+#: windows = 199/199 green, so this window leads with the four
+#: round-11 additions (s14 IVFADC, m13 audio fingerprint near-dup,
+#: s15 RRF fusion, p07 trained-tokenizer capstone — never
+#: driver-verified) plus s13, whose oracle CHANGED this round (r10
+#: ADVICE: cosine audit re-ranked onto the round(·1e9) int64 grid);
+#: then the r06-stale trio the judge named (a05_trapezoid,
+#: m02_decode_stub, p01_cycler_pipeline — last driver-verdicted r06),
+#: then the r07 cohort in its r07-window order MINUS the four the
+#: judge re-verified first-hand in r10 (a16_stats_agg, g01_pagerank,
+#: e05_ewma, o09_zorder_layout), truncated to hold the window at 50.
+#: Left for r12: the tail of the filtered r07 cohort
+#: (e06_interval_coverage, o08_weighted_sample,
+#: st06_stream_upsert_snapshot, a20_approx_distinct_bound) plus the
+#: four judge-covered names above.
 _DRIVER_PREFIX = [
-    # — NEW this round (wave 11): never driver-verified, so they lead —
+    # — NEW this round (wave 12): never driver-verified, so they lead —
+    "s14_ivfpq_residual_topk",
+    "m13_audio_fingerprint_neardup",
+    "s15_rrf_hybrid_fusion",
+    "p07_trained_tokenizer_pipeline",
+    # — oracle CHANGED this round (int-grid cosine audit) —
     "s13_pq_adc_topk",
-    "m12_video_phash_neardup",
-    "t24_bpe_train_merges",
-    "p06_tokenizer_corpus_pipeline",
-    # — oracles CHANGED this round (r09 ADVICE long-doc poison
-    #   sentinels; d06 restated per the 100x-oracle investigation) —
-    "d20_crossdoc_span_removal",
-    "t23_bpe_encode",
-    "d06_near_dup_groups",
-    "d14_star_cap_groups",
-    # — the r06-stale cohort (45 queries; a05_trapezoid,
-    #   p01_cycler_pipeline and m02_decode_stub dropped to fit 50 —
-    #   the first two judge-re-verified first-hand in r09, m02 a
-    #   pytest-pinned plumbing stub) —
-    "a02_last_non_null",
-    "a03_guarded_ratio",
-    "a04_first_norm",
-    "a06_argmin_nearest",
-    "a07_neighbor_median_delta",
-    "a08_min_subtract",
-    "a10_running_first_shift",
-    "a11_regr_fade",
-    "a24_grouped_agg_pandas_udf",
-    "c04_c08_casts",
-    "c05_c06_labels",
-    "c07_substring_filter",
-    "d01_exact_dedup",
-    "d03_simhash",
-    "d04_embedding_neardup",
-    "d08_edit_distance_refine",
-    "e01_asof_join",
-    "e02_sessionize",
-    "e04_resample_ffill",
-    "e08_spatial_join",
-    "m01_binary_meta",
-    "m03_frame_sample",
-    "p02_cycler_features_sql",
-    "p03_dqdv_sql",
-    "p04_ir_sql",
-    "q06_forecast_revenue",
-    "q07_nation_pair_volume",
-    "qc01_aggregate_checks",
-    "s01_cosine_topk",
-    "s02_ivf_topk",
-    "st01_stream_window_rollup",
-    "st02_stream_static_join",
-    "t01_token_stats",
-    "t02_quality_score",
-    "t03_language_id",
-    "t04_fingerprint",
-    "t05_tfidf_top_terms",
-    "u01_union_slices",
-    "w01_rank_per_group",
-    "w02_pivot_step_counts",
-    "w03_rolling_capacity",
-    "w07_unpivot",
+    # — the r06-stale trio —
+    "a05_trapezoid",
+    "m02_decode_stub",
+    "p01_cycler_pipeline",
+    # — the r07 cohort (42 of 46 after the judge-covered four) —
+    "s03_signlsh_pairs",
+    "d07_signlsh_neardup",
+    "d10_chunk_dedup",
+    "j01_semi_join",
+    "j02_anti_join",
+    "j03_min_per_group",
+    "q18_having",
+    "w04_rollup",
+    "a14_distinct_agg",
+    "s04_knn_join",
+    "w08_grouping_sets",
+    "j05_correlated_avg",
+    "j06_disjunctive_join",
+    "j07_waiting_supplier",
+    "st04_stream_sessionize",
+    "a17_quantile_2pass",
+    "w09_cube",
+    "j09_group_vs_global",
+    "j10_max_over_agg",
+    "j11_nested_semi",
+    "q10_returned_revenue",
+    "t08_repetition_metrics",
+    "q08_market_share",
+    "q09_product_profit",
+    "q16_supplier_cnt",
+    "st07_stream_stateful_energy",
+    "a21_sliding_median",
+    "j12_nullsafe_join",
+    "st08_stream_incremental_agg",
+    "e03_range_join",
+    "st03_stream_dedup",
+    "t07_winnow_fingerprint",
+    "o06_stratified_sample",
+    "m04_byte_features",
+    "j08_salted_skew_agg",
+    "s05_kmeans_iteration",
+    "st05_stream_stream_join",
+    "c13_variant_shred",
+    "u03_udtf_sentences",
+    "a18_promo_ratio",
+    "a19_priority_counts",
+    "t09_pii_redact",
 ]
 
 

@@ -393,3 +393,56 @@ def test_p06_capstone_stages_compose_lazily(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s14_ivfpq_is_pruned_scan_plus_topk_broadcasts(spark, sf_dir):
+    """IVFADC must keep s13's shuffle-free shape WITH the probed-list
+    filter in the scan pipeline: coarse-assign, prune, residual-encode,
+    per-list LUT ADC all as one codegen scan over literals; top-k via
+    TakeOrderedAndProject; the only joins the two 10-row recall-flag
+    broadcasts."""
+    plan = _plan("s14_ivfpq_residual_topk", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert not re.search(r"Exchange (hash|range)partitioning", plan), plan[:2000]
+    # the probed-list prune is IN the plan (list_id IN (...) filter)
+    assert "list_id" in plan
+
+
+def test_m13_kernel_once_band_join_capped(spark, sf_dir):
+    """Audio near-dup must ride the SAME band-machinery plan shape as
+    m10-m12: ONE codec kernel pass (n_win travels in the composite
+    window id — no persist, no second MapInPandas), no cartesian."""
+    plan = _plan("m13_audio_fingerprint_neardup", spark, sf_dir)
+    m11 = _plan("m11_image_phash_neardup", spark, sf_dir)
+    assert plan.count("MapInPandas") == m11.count("MapInPandas")
+    assert "InMemoryTableScan" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s15_fusion_is_broadcast_sized(spark, sf_dir):
+    """RRF fusion composes two top-k relations — the corpus-sized work
+    stays inside the retrievers (TakeOrdered present for both); the
+    fusion layer itself must not introduce a cartesian or a wide
+    shuffle join of the 10-row sides."""
+    plan = _plan("s15_rrf_hybrid_fusion", spark, sf_dir)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_p07_trained_capstone_keeps_p06_shape(spark, sf_dir):
+    """The trained-table capstone must keep p06's lazy composition: the
+    quota relation broadcasts onto survivors, the encode kernel is fed
+    from a DISTINCT vocabulary (HashAggregate under MapInPandas), no
+    cartesian — training adds driver-side literals, not plan width."""
+    plan = _plan("p07_trained_tokenizer_pipeline", spark, sf_dir)
+    assert "MapInPandas" in plan
+    kernel_at = plan.index("MapInPandas")
+    assert "HashAggregate" in plan[kernel_at:]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -219,15 +219,48 @@ def _m13_base(key_sql: str) -> str:
     return f"((({v16}) % 32768) - 16384)"
 
 
-_M13_KEY = (
-    "CAST(wi.g AS VARCHAR) || ':' || CAST(wi.w AS VARCHAR)"
-    " || ':' || CAST(u.i AS VARCHAR)"
+def _m13_val(i_expr: str) -> str:
+    """Closed-form SQL for ONE decoded PCM sample of
+    with_wav_pair_payload — base content keyed by (g, w, i), the odd
+    sibling amplitude-doubled with window g%nw spliced — parameterized
+    over the sample-index expression so the chunk-energy form can
+    derive BOTH samples of a chunk per row (no 128-sample relation,
+    no sample self-anything — the m12 closed-form lesson)."""
+    key = (
+        "CAST(wi.g AS VARCHAR) || ':' || CAST(wi.w AS VARCHAR)"
+        f" || ':' || CAST({i_expr} AS VARCHAR)"
+    )
+    skey = (
+        "CAST(wi.g AS VARCHAR) || ':spliced:'"
+        f" || CAST({i_expr} AS VARCHAR)"
+    )
+    return f"""CASE
+            WHEN wi.doc_id % 2 = 0 THEN {_m13_base(key)}
+            WHEN wi.w = wi.g % wi.nw THEN 2 * {_m13_base(skey)}
+            ELSE 2 * {_m13_base(key)} END"""
+
+
+#: chunk energy = v0² + v1² — both samples closed-form per
+#: (window, chunk) row (projected to v0/v1 aliases first so each md5
+#: stream is written once), exact integers end to end
+
+#: the m12 aggregate-form pivot: 64 SUM(CASE) aggregates per window —
+#: one streaming hash aggregate, NO window function and NO ordered
+#: aggregate. WHY: the first registered form (sample relation →
+#: GROUP BY chunk → sum() OVER (PARTITION BY window) → string_agg
+#: ORDER BY) ballooned DuckDB's allocator at 100× exactly like m12's
+#: list-pivot DCT (bad allocation at 725s with the engine side
+#: already green at 250,000 rows — crash kept in
+#: /tmp/sweep100x_r11.jsonl); this form runs the identical integer
+#: math through the dct-style wide aggregate that measured 48s/4.6GB
+#: for m12.
+_M13_E_AGGS = ",\n               ".join(
+    f"SUM(CASE WHEN j = {j} THEN e END) AS e{j}" for j in range(64)
 )
-_M13_SKEY = "CAST(wi.g AS VARCHAR) || ':spliced:' || CAST(u.i AS VARCHAR)"
-_M13_VAL = f"""CASE
-            WHEN wi.doc_id % 2 = 0 THEN {_m13_base(_M13_KEY)}
-            WHEN wi.w = wi.g % wi.nw THEN 2 * {_m13_base(_M13_SKEY)}
-            ELSE 2 * {_m13_base(_M13_KEY)} END"""
+_M13_TOT = " + ".join(f"e{j}" for j in range(64))
+_M13_BITS = " || ".join(
+    f"(CASE WHEN 64 * e{j} > s THEN '1' ELSE '0' END)" for j in range(64)
+)
 
 
 @_register(
@@ -239,19 +272,19 @@ _M13_VAL = f"""CASE
     wi AS (SELECT d.doc_id, d.g, d.nw, u.w
            FROM d, (SELECT unnest(generate_series(0, 3)) AS w) u
            WHERE u.w < d.nw),
-    sv AS (SELECT wi.doc_id, wi.nw, wi.w, u.i,
-                  {_M13_VAL} AS val
-           FROM wi, (SELECT unnest(generate_series(0, 127)) AS i) u),
-    ej AS (SELECT doc_id, nw, w, i // 2 AS j, sum(val * val) AS e
-           FROM sv GROUP BY doc_id, nw, w, i // 2),
-    et AS (SELECT doc_id, nw, w, j, e,
-                  sum(e) OVER (PARTITION BY doc_id, w) AS tot
-           FROM ej),
+    cj AS (SELECT doc_id, nw, w, j, v0 * v0 + v1 * v1 AS e FROM (
+           SELECT wi.doc_id, wi.nw, wi.w, u.j,
+                  {_m13_val("(2 * u.j)")} AS v0,
+                  {_m13_val("(2 * u.j + 1)")} AS v1
+           FROM wi, (SELECT unnest(generate_series(0, 63)) AS j) u)),
+    ew AS (SELECT doc_id, nw, w,
+               {_M13_E_AGGS}
+           FROM cj GROUP BY doc_id, nw, w),
+    es AS (SELECT *, ({_M13_TOT}) AS s FROM ew),
     sh AS MATERIALIZED (
       SELECT (doc_id * 8 + w) * 8 + nw AS doc_id,
-             string_agg(CASE WHEN 64 * e > tot THEN '1' ELSE '0' END,
-                        '' ORDER BY j) AS simhash_bits
-      FROM et GROUP BY doc_id, w, nw),
+             ({_M13_BITS}) AS simhash_bits
+      FROM es),
     {_M12_BAND_CTES.strip()},
     ag AS (SELECT doc_a // 64 AS clip_a, doc_b // 64 AS clip_b,
                   count(DISTINCT doc_a // 8) AS na,

@@ -72,6 +72,12 @@ HEAVY_EXTRA_ARGS: dict[str, list[str]] = {
     "m12_video_phash_neardup": [
         "--stop-spark-before-oracle",
     ],
+    # r11: the m13 oracle is the same closed-form-md5-sample shape as
+    # m12 (~200M sample expressions at 100x) — keep the post-engine
+    # JVM out of DuckDB's way from birth
+    "m13_audio_fingerprint_neardup": [
+        "--stop-spark-before-oracle",
+    ],
 }
 
 

@@ -160,6 +160,10 @@ EXTENDED = [
     "m13_audio_fingerprint_neardup",
     "s15_rrf_hybrid_fusion",
     "p07_trained_tokenizer_pipeline",
+    # round-11 wave 13: perf history from birth for the new operators
+    "src07_ivf_index_layout",
+    "s16_mmr_diverse_topk",
+    "o19_epoch_upsample",
 ]
 
 
@@ -344,18 +348,24 @@ def main() -> None:
     # warmup would otherwise leave no trace while its timed pass
     # silently lost the warm state this pass exists to provide — so
     # the failing names are stamped into the artifact.
-    # SPARK_GRAFT_BENCH_WARMUP_PASSES>1 exists for the spread
-    # diagnosis (VERDICT r10 item 4): if pass-1-over-floor is JIT
-    # tiering it should decay with EXECUTIONS (extra warmups absorb
-    # it); if it is page-cache it should not (one warmup already
-    # faulted every page).
+    # The r10-item-4 diagnosis RAN (round 11, idle host): the spread
+    # DECAYS WITH EXECUTIONS — 1.292 at 0 warmups (r09), 1.226 at 1
+    # (r10), 1.152 at 2 (BENCH_DETAIL warmups 118.7/112.1s, pass
+    # totals 46.1/40.0/40.3) — which is tiered-JIT behavior (C2
+    # recompilation thresholds are counted in EXECUTIONS of the
+    # generated classes), not page cache (every parquet page was hot
+    # after warmup 1, yet warmup 2 still moved the spread). Default is
+    # therefore TWO warmup passes; the residual ~15% on pass 1 is the
+    # tail of the same tiering (some plans need >2 executions to reach
+    # C2) and is absorbed by min-per-query.
+    # SPARK_GRAFT_BENCH_WARMUP_PASSES overrides for re-diagnosis.
     warmup_pass_sec = None
     warmup_pass_secs: list[float] = []
     warmup_failures: list[str] = []
     n_warmup = (
         0
         if os.environ.get("SPARK_GRAFT_BENCH_NO_WARMUP")
-        else max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_PASSES", "1")))
+        else max(1, int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP_PASSES", "2")))
     )
     for _w in range(n_warmup):
         t0 = time.perf_counter()

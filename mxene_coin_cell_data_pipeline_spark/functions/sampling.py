@@ -259,3 +259,79 @@ def source_mix_quota(
             "source", "n_source", "w", "quota", "n_selected", "sel_sig"
         )
     )
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    key: str = "doc_id",
+    group: str = "source",
+    cap: int = 4,
+) -> DataFrame:
+    """Deterministic FRACTIONAL upsampling — the "data epochs" half of
+    mixture construction that o16's downsampler doesn't cover: every
+    group is repeated toward the LARGEST group's row count, with a
+    non-integer repeat factor realized per row (the way LLM pretrain
+    mixtures repeat small high-quality sources ~2.7 epochs while big
+    crawl sources run <1; see e.g. the Llama/Gopher mixture tables).
+
+    The factor f = min(cap, M/n_g) (M = max group size) is NEVER
+    floated: a row repeats ``whole = M div n_g`` times plus one more
+    iff its md5-uniform u32 falls under ``thresh = ((M mod n_g)·2³²)
+    div n_g`` — all int64 arithmetic, so expected emitted count equals
+    n_g·f exactly in distribution and the REALIZED set is reproducible
+    across runs, engines, partitionings (same hash-threshold trick as
+    hash_bucket above; binomial in count like o16, per-key stable).
+
+    Returns one audit row per group: ``(group, n_before, whole_epochs,
+    extra_thresh, n_emitted, sum_ids, emit_sig)`` where emit_sig =
+    Σ key·copy_idx pins the exact emitted multiset (which copies of
+    which rows), not just counts. The emission itself is
+    ``explode(sequence(1, reps))`` — linear in OUTPUT rows, which is
+    the inherent cost of upsampling; everything upstream of the
+    explode is one scan plus an O(#groups) broadcast.
+    """
+    k, g = F.col(key), F.col(group)
+    cnt = docs.groupBy(group).agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    mx = cnt.agg(F.max("n_g").alias("m"))
+    fac = cnt.crossJoin(F.broadcast(mx)).select(
+        group,
+        "n_g",
+        F.when(F.col("m") >= cap * F.col("n_g"), F.lit(cap).cast("long"))
+        .otherwise(F.expr("m div n_g"))
+        .alias("whole"),
+        F.when(F.col("m") >= cap * F.col("n_g"), F.lit(0).cast("long"))
+        .otherwise(F.expr("((m % n_g) * 4294967296) div n_g"))
+        .alias("thresh"),
+    )
+    u32 = F.conv(F.substring(F.md5(k.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    reps = (
+        F.col("whole")
+        + F.when(F.col("u32") < F.col("thresh"), 1).otherwise(0)
+    ).alias("reps")
+    r = (
+        docs.select(g, k.alias("k"), u32.alias("u32"))
+        .join(F.broadcast(fac), group)
+        .select(g, "k", reps)
+    )
+    em = r.select(
+        g, "k", F.explode(F.sequence(F.lit(1).cast("long"), F.col("reps"))).alias("copy_idx")
+    )
+    agg = em.groupBy(group).agg(
+        F.count(F.lit(1)).cast("long").alias("n_emitted"),
+        F.sum("k").cast("long").alias("sum_ids"),
+        F.sum(F.col("k") * F.col("copy_idx")).cast("long").alias("emit_sig"),
+    )
+    return (
+        fac.join(agg, group)
+        .select(
+            g,
+            F.col("n_g").alias("n_before"),
+            F.col("whole").alias("whole_epochs"),
+            F.col("thresh").alias("extra_thresh"),
+            "n_emitted",
+            "sum_ids",
+            "emit_sig",
+        )
+    )

@@ -1017,6 +1017,7 @@ def ivfpq_residual_topk(
     nprobe: int = 2,
     topk: int = 10,
     vec_col: str = "embedding",
+    materialize_dir: str | None = None,
 ) -> DataFrame:
     """IVFADC — inverted-file search over PQ RESIDUAL codes (Jégou et
     al., "Product Quantization for Nearest Neighbor Search", TPAMI
@@ -1062,6 +1063,18 @@ def ivfpq_residual_topk(
     index's build + search fused, which is why the filter sits below
     the encode in the optimized plan (Catalyst pushes it: the filter
     needs only list_id).
+
+    ``materialize_dir`` makes that written index REAL instead of
+    rhetorical: the full codes table (EVERY list — an index stores all
+    lists; pruning happens at query time) is written
+    ``partitionBy("list_id")`` as hive-layout parquet, re-read, and
+    the probed-list filter is applied to the re-read scan — where it
+    resolves as PartitionFilters (directory pruning: non-probed lists
+    are never LISTED, let alone scanned; asserted by plan pin). The
+    returned rows are identical to the fused in-query form by
+    construction — same codes, same LUTs, same grid — so the oracle
+    is the same SQL; what changes is the physical access path, which
+    is exactly the claim worth proving.
     """
     e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
     dim = len(e.select("e").first()["e"])
@@ -1140,11 +1153,19 @@ def ivfpq_residual_topk(
     assigned = e.filter(F.col("vec_id") != query_vec_id).select(
         "vec_id", "e", F.array_min(F.array(*cand))["list_id"].alias("list_id")
     )
-    pruned = assigned.filter(F.col("list_id").isin([int(x) for x in probed]))
+    # fused form: only the probed lists are ever encoded (filter below
+    # the encode). Materialized form: the index stores EVERY list, so
+    # all kc lists encode at build time and pruning moves to the read.
+    enc_lists = list(range(kc)) if materialize_dir else [int(x) for x in probed]
+    pruned = (
+        assigned
+        if materialize_dir
+        else assigned.filter(F.col("list_id").isin([int(x) for x in probed]))
+    )
 
-    # residual of each survivor against its (probed) list centroid
+    # residual of each survivor against its list centroid
     res = F.lit(None).cast("array<double>")
-    for li in probed:
+    for li in enc_lists:
         clit = F.array(*[F.lit(float(x)) for x in coarse[li]])
         res = F.when(
             F.col("list_id") == li,
@@ -1173,6 +1194,21 @@ def ivfpq_residual_topk(
             F.array_min(F.array(*cands))["code"].cast("int").alias(f"code_{s}")
         )
     coded = enc.select("vec_id", "list_id", *code_cols)
+
+    if materialize_dir:
+        # write the FULL index hive-partitioned by list_id, then read
+        # it back with the probe filter — the filter resolves as
+        # PartitionFilters on the re-read scan (directory pruning:
+        # the physical realization of "the probe reads nprobe/kc of
+        # the data"). mode=overwrite keeps the call idempotent.
+        coded.write.mode("overwrite").partitionBy("list_id").parquet(
+            materialize_dir
+        )
+        coded = (
+            emb.sparkSession.read.parquet(materialize_dir)
+            .filter(F.col("list_id").isin([int(x) for x in probed]))
+            .select("vec_id", "list_id", *[f"code_{s}" for s in range(m)])
+        )
 
     # ADC: per-list LUT lookup selected by list_id — m element_at + adds
     terms = []
@@ -1237,4 +1273,117 @@ def ivfpq_residual_topk(
             F.coalesce(F.col("_l2"), F.lit(0)).alias("in_exact_l2_topk"),
             F.coalesce(F.col("_cos"), F.lit(0)).alias("in_exact_cos_topk"),
         )
+    )
+
+
+def mmr_diverse_topk(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n_candidates: int = 30,
+    n_select: int = 10,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    SIGIR 1998): pick ``n_select`` vectors that are RELEVANT to the
+    query but mutually DIVERSE — round t selects
+    ``argmax_c λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` over the not-yet
+    -selected candidates. This is the exemplar/diverse-subset pass
+    real curation pipelines run after retrieval: pure top-k returns
+    near-duplicates of one mode; MMR spends the budget across modes.
+
+    Exactness (λ = 1/2, equal weights): relevance and pairwise
+    similarity live on the round(·1e9) int64 cosine grid (the s13/s14
+    discipline — every dot a sequential left-to-right fold, mirrored
+    by DuckDB's list_dot_product), so the objective is already pure
+    integer arithmetic: ``mmr_nanos = rel_nanos − max_sim_nanos``
+    (the common ×2 of λ=(1−λ)=1/2 cancels in an argmax). The first
+    pick maximizes relevance (max_sim starts at 0), ties break to the
+    smaller vec_id everywhere — so engine and oracle agree
+    bit-for-bit and the driver compare is tolerance-free. (A 2·rel−sim
+    form was tried first and rejected by its own fixture: that is
+    λ=2/3, and at 2:1 relevance weighting an exact clone of the top
+    pick — penalty rel−1 ≈ −5e−5 — still beats any genuinely diverse
+    candidate; equal weights is the form that actually diversifies.)
+
+    Scale design: the ONLY corpus-scale stage is the candidate top-k
+    (one scan → TakeOrderedAndProject, exactly s01's shape; at 100 TB
+    the candidate source would be the s14 index probe instead). The
+    selection itself is inherently sequential in t (each round's
+    objective depends on the previous pick) over a relation that is
+    quota-seed sized BY CONSTRUCTION (n_candidates rows · dim
+    doubles), so it runs as driver arithmetic on the collected
+    candidates — the same class as s13/s14 collecting PQ seeds and
+    building LUTs driver-side. A lazy per-round DataFrame loop was
+    measured first: 10 rounds of nested greatest()/literal-array
+    expressions made Catalyst recompile a deepening codegen tree,
+    35.3s at sf0.001 for a 30-row selection (vs ~2s total this way) —
+    plan-compile cost, not data cost; the corpus never participates
+    after the top-k scan either way. Selection state is one int per
+    surviving candidate updated by max() — O(candidates), never a
+    pairwise matrix.
+    """
+    e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
+    qrow = e.filter(F.col("vec_id") == query_vec_id).collect()
+    if not qrow:
+        raise ValueError(f"query vec_id {query_vec_id} not present")
+    qv = list(qrow[0]["e"])
+
+    def _dot_seq(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    nq = math.sqrt(_dot_seq(qv, qv))
+    dxx = F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
+    dxq = F.aggregate(
+        F.zip_with(F.col("e"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rel = F.round((dxq / (F.sqrt(dxx) * F.lit(nq))) * 1e9).cast("long")
+    cand = (
+        e.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "e", rel.alias("rel_nanos"))
+        .orderBy(F.desc("rel_nanos"), F.asc("vec_id"))
+        .limit(n_candidates)
+        .collect()  # quota-seed sized by construction (the s13/s14
+        # seed/LUT class): n_candidates rows · dim doubles
+    )
+
+    vecs = {int(r["vec_id"]): list(r["e"]) for r in cand}
+    relv = {int(r["vec_id"]): int(r["rel_nanos"]) for r in cand}
+
+    def _cosn(a: list, b: list) -> int:
+        # the int64 cosine grid: sequential-fold dots, sqrt, round —
+        # IEEE-identical to the oracle's list_dot_product expression.
+        # Round half-AWAY-from-zero (Spark F.round / DuckDB round),
+        # not Python's banker's round
+        x = (
+            _dot_seq(a, b)
+            / (math.sqrt(_dot_seq(a, a)) * math.sqrt(_dot_seq(b, b)))
+            * 1e9
+        )
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    msim = {i: 0 for i in vecs}
+    remaining = sorted(vecs)
+    rows: list[tuple[int, int, int, int, int]] = []
+    for t in range(1, n_select + 1):
+        if not remaining:
+            break
+        pick = min(remaining, key=lambda i: (-(relv[i] - msim[i]), i))
+        rows.append(
+            (t, pick, relv[pick], msim[pick], relv[pick] - msim[pick])
+        )
+        remaining = [i for i in remaining if i != pick]
+        for i in remaining:
+            s = _cosn(vecs[i], vecs[pick])
+            if s > msim[i]:
+                msim[i] = s
+    return emb.sparkSession.createDataFrame(
+        rows,
+        "sel_rank bigint, vec_id bigint, rel_nanos bigint, "
+        "max_sim_nanos bigint, mmr_nanos bigint",
     )

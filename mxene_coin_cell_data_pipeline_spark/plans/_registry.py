@@ -147,6 +147,10 @@ def _fsum6_micro(col) -> F.Column:
 #: st06_stream_upsert_snapshot, a20_approx_distinct_bound) plus the
 #: four judge-covered names above.
 _DRIVER_PREFIX = [
+    # — NEW this round (wave 13): never driver-verified, so they lead —
+    "src07_ivf_index_layout",
+    "s16_mmr_diverse_topk",
+    "o19_epoch_upsample",
     # — NEW this round (wave 12): never driver-verified, so they lead —
     "s14_ivfpq_residual_topk",
     "m13_audio_fingerprint_neardup",
@@ -198,6 +202,7 @@ _DRIVER_PREFIX = [
     "st05_stream_stream_join",
     "c13_variant_shred",
     "u03_udtf_sentences",
+    # past position 50 once wave 13 leads — next rotation's head
     "a18_promo_ratio",
     "a19_priority_counts",
     "t09_pii_redact",

@@ -34,60 +34,68 @@ from ._registry import QUERIES, _ctx, _register
 
 _S14_KC, _S14_M, _S14_K, _S14_NPROBE, _S14_TOPK = 4, 4, 4, 2, 10
 _S14_DIM = 64  # TESTDATA.md: embeddings.embedding is a 64-float array
-_S14_SUB = _S14_DIM // _S14_M
 
 
-def _s14_slice(expr: str, s: str = "s.s") -> str:
-    return f"{expr}[{s}*{_S14_SUB}+1 : {s}*{_S14_SUB}+{_S14_SUB}]"
+def ivfadc_oracle_sql(
+    kc: int = _S14_KC,
+    m: int = _S14_M,
+    k: int = _S14_K,
+    nprobe: int = _S14_NPROBE,
+    topk: int = _S14_TOPK,
+    qid: int = 0,
+    dim: int = _S14_DIM,
+) -> str:
+    """Generate the IVFADC oracle SQL for a parameter set — the s14
+    registration uses the defaults; src07 (the materialized-index
+    layout variant) re-derives the SAME relational semantics under its
+    own constants, because the physical layout is invisible to the
+    oracle. Kept as a builder so a constant change is a one-argument
+    edit (the r10-ADVICE lesson on derived oracle constants)."""
+    sub = dim // m
 
+    def _slice(expr: str, s: str = "s.s") -> str:
+        return f"{expr}[{s}*{sub}+1 : {s}*{sub}+{sub}]"
 
-def _s14_sqdist(a: str, b: str) -> str:
-    """Expanded full-dim ||a − b||² — every term a sequential fold."""
-    return (
-        f"list_dot_product({a}, {a})"
-        f" - 2 * list_dot_product({a}, {b})"
-        f" + list_dot_product({b}, {b})"
+    def _sqdist(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {a})"
+            f" - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b})"
+        )
+
+    def _sqdist_sub(a: str, b: str, s: str = "s.s") -> str:
+        asl, bsl = _slice(a, s), _slice(b, s)
+        return (
+            f"list_dot_product({asl}, {asl})"
+            f" - 2 * list_dot_product({asl}, {bsl})"
+            f" + list_dot_product({bsl}, {bsl})"
+        )
+
+    codes_pivot = ",\n                   ".join(
+        f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(m)
     )
-
-
-def _s14_sqdist_sub(a: str, b: str, s: str = "s.s") -> str:
-    asl, bsl = _s14_slice(a, s), _s14_slice(b, s)
-    return (
-        f"list_dot_product({asl}, {asl})"
-        f" - 2 * list_dot_product({asl}, {bsl})"
-        f" + list_dot_product({bsl}, {bsl})"
+    lutp = ",\n                  ".join(
+        f"max(CASE WHEN s = {s} AND code = {c} THEN ld END) AS l{s}_{c}"
+        for s in range(m)
+        for c in range(k)
     )
-
-
-_S14_CODES_PIVOT = ",\n                   ".join(
-    f"max(CASE WHEN s = {s} THEN code END) AS c{s}" for s in range(_S14_M)
-)
-_S14_LUTP = ",\n                  ".join(
-    f"max(CASE WHEN s = {s} AND code = {c} THEN ld END) AS l{s}_{c}"
-    for s in range(_S14_M)
-    for c in range(_S14_K)
-)
-_S14_ADC = " + ".join(
-    "(CASE v.c%d %s ELSE l.l%d_%d END)"
-    % (
-        s,
-        " ".join(f"WHEN {c} THEN l.l{s}_{c}" for c in range(_S14_K - 1)),
-        s,
-        _S14_K - 1,
+    adc = " + ".join(
+        "(CASE v.c%d %s ELSE l.l%d_%d END)"
+        % (
+            s,
+            " ".join(f"WHEN {c} THEN l.l{s}_{c}" for c in range(k - 1)),
+            s,
+            k - 1,
+        )
+        for s in range(m)
     )
-    for s in range(_S14_M)
-)
-_S14_SERIES = f"(SELECT unnest(generate_series(0, {_S14_M - 1})) AS s) s"
-
-
-@_register(
-    "s14_ivfpq_residual_topk",
-    f"""
+    series = f"(SELECT unnest(generate_series(0, {m - 1})) AS s) s"
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    cc AS (SELECT vec_id AS list_id, e AS c FROM e WHERE vec_id < {_S14_KC}),
-    q AS (SELECT e AS qv FROM e WHERE vec_id = 0),
+    cc AS (SELECT vec_id AS list_id, e AS c FROM e WHERE vec_id < {kc}),
+    q AS (SELECT e AS qv FROM e WHERE vec_id = {qid}),
     cd AS (SELECT e.vec_id, cc.list_id,
-                  {_s14_sqdist("e.e", "cc.c")} AS dist
+                  {_sqdist("e.e", "cc.c")} AS dist
            FROM e, cc),
     asg AS (SELECT vec_id, list_id FROM (
               SELECT vec_id, list_id,
@@ -95,41 +103,41 @@ _S14_SERIES = f"(SELECT unnest(generate_series(0, {_S14_M - 1})) AS s) s"
                                         ORDER BY dist, list_id) AS rn
               FROM cd) WHERE rn = 1),
     resid AS (SELECT e.vec_id, a.list_id,
-                     list_transform(range(1, {_S14_DIM + 1}),
+                     list_transform(range(1, {dim + 1}),
                                     i -> e.e[i] - cc.c[i]) AS r
               FROM e JOIN asg a USING (vec_id)
                      JOIN cc ON cc.list_id = a.list_id),
-    pqc AS (SELECT vec_id - {_S14_KC} AS code, r AS p FROM resid
-            WHERE vec_id >= {_S14_KC} AND vec_id < {_S14_KC + _S14_K}),
+    pqc AS (SELECT vec_id - {kc} AS code, r AS p FROM resid
+            WHERE vec_id >= {kc} AND vec_id < {kc + k}),
     probe AS (SELECT list_id, c FROM (
                 SELECT cc.list_id, cc.c,
                        row_number() OVER (ORDER BY
-                         {_s14_sqdist("q.qv", "cc.c")}, cc.list_id) AS rn
-                FROM cc, q) WHERE rn <= {_S14_NPROBE}),
+                         {_sqdist("q.qv", "cc.c")}, cc.list_id) AS rn
+                FROM cc, q) WHERE rn <= {nprobe}),
     corp AS (SELECT r.vec_id, r.list_id, r.r
              FROM resid r JOIN probe USING (list_id)
-             WHERE r.vec_id <> 0),
+             WHERE r.vec_id <> {qid}),
     scd AS (SELECT corp.vec_id, corp.list_id, s.s, pqc.code,
-                   {_s14_sqdist_sub("corp.r", "pqc.p")} AS dist
-            FROM corp, {_S14_SERIES}, pqc),
+                   {_sqdist_sub("corp.r", "pqc.p")} AS dist
+            FROM corp, {series}, pqc),
     codes AS (SELECT vec_id, list_id,
-                   {_S14_CODES_PIVOT}
+                   {codes_pivot}
               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, s
                                                  ORDER BY dist, code) AS rn
                     FROM scd) WHERE rn = 1
               GROUP BY vec_id, list_id),
     rq AS (SELECT probe.list_id,
-                  list_transform(range(1, {_S14_DIM + 1}),
+                  list_transform(range(1, {dim + 1}),
                                  i -> q.qv[i] - probe.c[i]) AS rq
            FROM probe, q),
     lut AS (SELECT rq.list_id, s.s, pqc.code,
-                   {_s14_sqdist_sub("rq.rq", "pqc.p")} AS ld
-            FROM rq, {_S14_SERIES}, pqc),
+                   {_sqdist_sub("rq.rq", "pqc.p")} AS ld
+            FROM rq, {series}, pqc),
     lutp AS (SELECT list_id,
-                  {_S14_LUTP}
+                  {lutp}
              FROM lut GROUP BY list_id),
     adc AS (SELECT v.vec_id, v.list_id,
-                   CAST(round(({_S14_ADC}) * 1e9) AS BIGINT) AS adc_nanos
+                   CAST(round(({adc}) * 1e9) AS BIGINT) AS adc_nanos
             FROM codes v JOIN lutp l ON l.list_id = v.list_id),
     exact AS (SELECT e.vec_id,
                      CAST(round((list_dot_product(e.e, e.e)
@@ -140,18 +148,23 @@ _S14_SERIES = f"(SELECT unnest(generate_series(0, {_S14_M - 1})) AS s) s"
                        / (sqrt(list_dot_product(e.e, e.e))
                           * sqrt(list_dot_product(q.qv, q.qv)))) * 1e9)
                        AS BIGINT) AS cos_nanos
-              FROM e, q WHERE e.vec_id <> 0),
-    l2top AS (SELECT vec_id FROM exact ORDER BY l2_nanos, vec_id LIMIT 10),
+              FROM e, q WHERE e.vec_id <> {qid}),
+    l2top AS (SELECT vec_id FROM exact ORDER BY l2_nanos, vec_id LIMIT {topk}),
     costop AS (SELECT vec_id FROM exact
-               ORDER BY cos_nanos DESC, vec_id LIMIT 10)
+               ORDER BY cos_nanos DESC, vec_id LIMIT {topk})
     SELECT t.vec_id, t.list_id, t.adc_nanos,
            CASE WHEN t.vec_id IN (SELECT vec_id FROM l2top)
                 THEN 1 ELSE 0 END AS in_exact_l2_topk,
            CASE WHEN t.vec_id IN (SELECT vec_id FROM costop)
                 THEN 1 ELSE 0 END AS in_exact_cos_topk
     FROM (SELECT vec_id, list_id, adc_nanos FROM adc
-          ORDER BY adc_nanos, vec_id LIMIT {_S14_TOPK}) t
-    """,
+          ORDER BY adc_nanos, vec_id LIMIT {topk}) t
+    """
+
+
+@_register(
+    "s14_ivfpq_residual_topk",
+    ivfadc_oracle_sql(),
     survey="north-star similarity completion: IVF-PQ residual search "
     "(IVFADC, Jégou et al. TPAMI 2011 §IV.B — VERDICT r10 task 1): "
     "vectors route to their nearest of kc coarse centroids (inverted "

@@ -1,0 +1,269 @@
+"""Extension wave 13 — round 11 (second half):
+
+- src07: the IVFADC index MATERIALIZED — s14's codes table written
+  hive-partitioned by list_id and re-read through the probe filter, so
+  "the probe becomes partition pruning" is a measured physical plan
+  (PartitionFilters on the index scan), not a docstring claim
+- s16: maximal-marginal-relevance diverse top-k (Carbonell &
+  Goldstein, SIGIR 1998) — the diversity-aware selection pass real
+  curation pipelines run after retrieval, made tolerance-free by
+  doubling the λ=1/2 objective onto the int64 cosine-nanos grid
+- o19: deterministic fractional epoch upsampling — the "repeat small
+  high-quality sources ~2.7×" half of LLM mixture construction (o16
+  covers the downsample half), realized with pure int64 hash
+  thresholds so the emitted multiset is engine- and layout-stable
+
+Importing this module REGISTERS its queries (oracle SQL inline);
+plans/queries.py imports it after q_extensions10.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ._registry import _ctx, _register
+from .q_extensions10 import ivfadc_oracle_sql
+
+# ---------------------------------------------------------------------------
+# src07: materialized IVF-PQ index, probed via partition pruning
+# ---------------------------------------------------------------------------
+
+_SRC07_KC, _SRC07_M, _SRC07_K = 8, 4, 4
+_SRC07_NPROBE, _SRC07_TOPK = 3, 10
+
+
+@_register(
+    "src07_ivf_index_layout",
+    ivfadc_oracle_sql(
+        kc=_SRC07_KC,
+        m=_SRC07_M,
+        k=_SRC07_K,
+        nprobe=_SRC07_NPROBE,
+        topk=_SRC07_TOPK,
+    ),
+    survey="S-family scale completion: the IVFADC index as a WRITTEN "
+    "LAYOUT (VERDICT r10 item 1's closing claim, made physical) — s14 "
+    "proved the algorithm with the probe as an expression filter; "
+    "this variant BUILDS the index (all kc=8 lists PQ-encoded, "
+    "written partitionBy(list_id) as hive-layout parquet — the build "
+    "cost a real index pays once) and SEARCHES it by re-reading with "
+    "the nprobe=3 probe filter, which resolves as PartitionFilters on "
+    "the index scan: non-probed list directories are never listed, "
+    "let alone read (plan-pinned). This is exactly how a 100 TB "
+    "deployment runs compressed ANN: the codes table is the index, "
+    "list routing is the partition key, and every query prunes to "
+    "nprobe/kc of the files. Results are identical to the fused form "
+    "by construction, so the oracle is the same parameterized IVFADC "
+    "SQL (the layout is invisible to relational semantics) — what "
+    "changes, and what the plan pin verifies, is the access path.",
+    note="Same dual int-grid recall audit as s14 (exact-L2 and "
+    "exact-cosine top-10 flags). Constants kc=8/nprobe=3 differ from "
+    "s14's kc=4/nprobe=2 so the two queries exercise genuinely "
+    "different routings (finer lists, wider probe) — not a re-labeled "
+    "copy of the same answer.",
+)
+def src07_ivf_index_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the PQ-codes index hive-partitioned by list_id, probe it
+    through partition pruning, return the ADC top-10 with recall
+    flags (see functions.similarity.ivfpq_residual_topk,
+    materialize_dir path)."""
+    from ..functions.similarity import ivfpq_residual_topk
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="src07_"), "ivf_index")
+    return ivfpq_residual_topk(
+        emb,
+        query_vec_id=0,
+        kc=_SRC07_KC,
+        m=_SRC07_M,
+        k=_SRC07_K,
+        nprobe=_SRC07_NPROBE,
+        topk=_SRC07_TOPK,
+        materialize_dir=idx,
+    )
+
+
+# ---------------------------------------------------------------------------
+# s16: maximal-marginal-relevance diverse top-k
+# ---------------------------------------------------------------------------
+
+_S16_QID, _S16_CAND, _S16_N = 0, 30, 10
+
+
+def _s16_oracle() -> str:
+    """Unrolled n-round MMR selection: pick t = argmax over the
+    remaining candidates of rel_nanos − max_sim_nanos (λ=1/2 — the
+    common ×2 cancels in an argmax, so the objective is already pure
+    int64), then fold the pick's similarity into every survivor's
+    running max. Each round is two tiny CTEs over the 30-row candidate
+    relation — the relational mirror of the engine's per-round max()
+    update. Every c/p CTE is AS MATERIALIZED: each level references
+    its predecessor twice (once through p_t, once directly), so
+    DuckDB's default inlining would re-evaluate the chain 2^rounds
+    times (the d12/m12 lesson — measured here as 29.6s of oracle time
+    at sf0.001 before materialization, milliseconds after)."""
+
+    def _cosn(a: str, b: str) -> str:
+        return (
+            f"CAST(round((list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))) * 1e9) AS BIGINT)"
+        )
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"q AS (SELECT e AS qv FROM e WHERE vec_id = {_S16_QID})",
+        "rel AS (SELECT e.vec_id, e.e,\n"
+        f"             {_cosn('e.e', 'q.qv')} AS rel_nanos\n"
+        f"      FROM e, q WHERE e.vec_id <> {_S16_QID})",
+        "c0 AS MATERIALIZED (SELECT vec_id, e, rel_nanos,"
+        " CAST(0 AS BIGINT) AS msim\n"
+        f"       FROM rel ORDER BY rel_nanos DESC, vec_id LIMIT {_S16_CAND})",
+    ]
+    for t in range(1, _S16_N + 1):
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT * FROM c{t - 1}\n"
+            f"        ORDER BY rel_nanos - msim DESC, vec_id LIMIT 1)"
+        )
+        if t < _S16_N:
+            ctes.append(
+                f"c{t} AS MATERIALIZED (SELECT c.vec_id, c.e, c.rel_nanos,\n"
+                f"               greatest(c.msim, {_cosn('c.e', 'p.e')}) AS msim\n"
+                f"        FROM c{t - 1} c, p{t} p WHERE c.vec_id <> p.vec_id)"
+            )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS sel_rank, vec_id, rel_nanos,\n"
+        f"           msim AS max_sim_nanos,\n"
+        f"           rel_nanos - msim AS mmr_nanos FROM p{t}"
+        for t in range(1, _S16_N + 1)
+    )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(ctes)
+        + "\n    "
+        + sel
+        + "\n    ORDER BY sel_rank\n    "
+    )
+
+
+@_register(
+    "s16_mmr_diverse_topk",
+    _s16_oracle(),
+    survey="north-star curation completion: DIVERSE selection — "
+    "maximal marginal relevance (Carbonell & Goldstein, SIGIR 1998) "
+    "over the top-30 cosine candidates of query vec 0: round t picks "
+    "argmax of λ·relevance − (1−λ)·max-similarity-to-already-selected "
+    "(λ=1/2), so the 10-exemplar budget spreads across embedding "
+    "modes instead of returning near-duplicates of one mode — the "
+    "pass RAG/exemplar-curation pipelines run AFTER retrieval (s01/"
+    "s13/s14/s15 rank; s16 diversifies). Tolerance-free by "
+    "construction: relevance and pairwise similarity live on the "
+    "round(·1e9) int64 cosine grid (sequential-fold dots, the s13/s14 "
+    "discipline) and at λ=1/2 the objective is ALREADY pure integer "
+    "(mmr_nanos = rel_nanos − max_sim_nanos; the common ×2 cancels in "
+    "an argmax — a 2·rel−sim form is λ=2/3 and was rejected by its "
+    "own fixture: at 2:1 weighting an exact clone of the top pick "
+    "still beats every diverse candidate); ties break to the smaller "
+    "vec_id everywhere. Scale: the only corpus-scale stage is the "
+    "candidate top-k scan (TakeOrderedAndProject — at 100 TB the "
+    "candidates come from the s14 index probe instead); the "
+    "inherently sequential selection is driver arithmetic over the "
+    "quota-seed-sized collected candidates (the s13/s14 seed/LUT "
+    "class — a lazy per-round DataFrame loop was measured first: 35s "
+    "of Catalyst recompiles for a 30-row selection), with one int of "
+    "running-max state per survivor — never a pairwise matrix.",
+    note="Output (sel_rank, vec_id, rel_nanos, max_sim_nanos, "
+    "mmr_nanos) exposes the full selection trace, so the oracle "
+    "re-proves WHY each pick won its round, not just which ids "
+    "survived. Oracle CTEs are AS MATERIALIZED — each level is "
+    "referenced twice, and default inlining re-evaluates the chain "
+    "2^rounds times (measured 29.6s → ms at sf0.001).",
+)
+def s16_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diverse 10-of-30 selection trace for query vec 0 (see
+    functions.similarity.mmr_diverse_topk)."""
+    from ..functions.similarity import mmr_diverse_topk
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    return mmr_diverse_topk(
+        emb,
+        query_vec_id=_S16_QID,
+        n_candidates=_S16_CAND,
+        n_select=_S16_N,
+    )
+
+
+# ---------------------------------------------------------------------------
+# o19: deterministic fractional epoch upsampling
+# ---------------------------------------------------------------------------
+
+_O19_CAP = 4
+
+
+@_register(
+    "o19_epoch_upsample",
+    f"""
+    WITH cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g
+                 FROM documents GROUP BY lang),
+    mx AS (SELECT max(n_g) AS m FROM cnt),
+    fac AS (SELECT lang, n_g,
+                   CASE WHEN m >= {_O19_CAP} * n_g
+                        THEN CAST({_O19_CAP} AS BIGINT)
+                        ELSE m // n_g END AS whole,
+                   CASE WHEN m >= {_O19_CAP} * n_g THEN CAST(0 AS BIGINT)
+                        ELSE ((m % n_g) * 4294967296) // n_g END AS thresh
+            FROM cnt, mx),
+    u AS (SELECT d.doc_id, d.lang,
+                 ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS u32
+          FROM documents d),
+    r AS (SELECT u.doc_id, u.lang,
+                 f.whole + CASE WHEN u.u32 < f.thresh THEN 1 ELSE 0 END AS reps
+          FROM u JOIN fac f USING (lang)),
+    em AS (SELECT r.doc_id, r.lang, g.copy_idx
+           FROM r, LATERAL (SELECT unnest(generate_series(1, r.reps))
+                            AS copy_idx) g)
+    SELECT f.lang, f.n_g AS n_before,
+           f.whole AS whole_epochs, f.thresh AS extra_thresh,
+           CAST(count(*) AS BIGINT) AS n_emitted,
+           CAST(sum(em.doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(em.doc_id * em.copy_idx) AS BIGINT) AS emit_sig
+    FROM fac f JOIN em ON em.lang = f.lang
+    GROUP BY f.lang, f.n_g, f.whole, f.thresh
+    """,
+    survey="north-star mixture completion: fractional EPOCH upsampling "
+    "— o16 downsamples toward the rarest group; this is the other "
+    "half of mixture construction (repeat small high-quality sources "
+    "~f epochs, f non-integer, the way LLM pretrain mixtures run "
+    "books at 2.x epochs while crawl runs <1): every group (lang "
+    "here — the generator's sources are uniform, languages are "
+    "skewed) repeats toward the LARGEST group's count with factor "
+    "f = min(4, M/n) "
+    "realized per row as whole = M div n epochs for everyone plus one "
+    "extra copy iff the row's md5-uniform u32 < ((M mod n)·2³²) div n "
+    "— ALL int64 arithmetic, no float rate anywhere, so the realized "
+    "multiset (not just its size) is stable across runs, engines, and "
+    "partition layouts. The audit row pins that multiset: emit_sig = "
+    "Σ doc_id·copy_idx changes if any copy of any document appears or "
+    "vanishes. Plan: O(#sources) count aggregate broadcast back over "
+    "one corpus scan → explode(sequence(1, reps)) — linear in OUTPUT "
+    "rows, the inherent cost of upsampling — → per-source rollup.",
+    note="reps ≥ 1 always (M ≥ n ⇒ whole ≥ 1): upsampling never drops "
+    "a row, so the audit join is inner. The binomial-in-count trade "
+    "vs exact-n is o16's documented one; o06/o18 are the exact-quota "
+    "paths when hard counts are required.",
+)
+def o19_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language epoch-upsampling audit (see
+    functions.sampling.epoch_upsample). Grouped by lang, not source:
+    the generator's sources are uniform-25 (every factor would be
+    exactly 1 — the fractional path dead), while languages are skewed
+    (en dominates), so whole-epoch, fractional-threshold and
+    realized-extra-copy paths all exercise on the driver data."""
+    from ..functions.sampling import epoch_upsample
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    return epoch_upsample(docs, key="doc_id", group="lang", cap=_O19_CAP)

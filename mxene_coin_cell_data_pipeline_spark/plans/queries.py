@@ -52,6 +52,7 @@ from . import q_extensions7  # noqa: E402,F401
 from . import q_extensions8  # noqa: E402,F401
 from . import q_extensions9  # noqa: E402,F401
 from . import q_extensions10  # noqa: E402,F401
+from . import q_extensions11  # noqa: E402,F401
 
 # kept re-exports (tests and family modules historically reached these
 # through plans.queries)

@@ -446,3 +446,30 @@ def test_p07_trained_capstone_keeps_p06_shape(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_src07_probe_is_partition_pruning(spark, sf_dir):
+    """The materialized-index search must read the codes through
+    DIRECTORY pruning: the probe predicate appears as PartitionFilters
+    on the index scan (list_id is the hive partition key — non-probed
+    lists are never listed), keeping s14's no-wide-join discipline."""
+    plan = _plan("src07_ivf_index_layout", spark, sf_dir)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan[:2000]
+    assert "list_id" in m.group(1)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_o19_upsample_is_broadcast_plus_explode(spark, sf_dir):
+    """Epoch upsampling must broadcast the O(#sources) factor table
+    onto the corpus scan (never shuffle the corpus against it) and
+    emit copies via a generator (explode of sequence) — linear in
+    output rows, with no wide join anywhere."""
+    plan = _plan("o19_epoch_upsample", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "Generate" in plan  # explode(sequence(1, reps))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -1,0 +1,288 @@
+"""Wave-13 operator tests (round 11, second half): src07 materialized
+IVF index layout, s16 MMR diverse selection, o19 fractional epoch
+upsampling. Differentials are pure-Python re-implementations, the
+wave-10/11/12 discipline."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import tempfile
+
+import pytest
+
+
+def _dot_seq(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cosn(a, b):
+    # half-away-from-zero, the Spark/DuckDB round (not banker's)
+    x = (
+        _dot_seq(a, b)
+        / (math.sqrt(_dot_seq(a, a)) * math.sqrt(_dot_seq(b, b)))
+        * 1e9
+    )
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+# ---------------------------------------------------------------------------
+# src07: materialized index == fused form, probed via PartitionFilters
+# ---------------------------------------------------------------------------
+
+
+def test_src07_materialized_matches_fused(spark, sf_dir):
+    """The written-index path must return EXACTLY the fused in-query
+    rows — same codes, same LUTs, same grid — under the src07
+    constants (kc=8, nprobe=3)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        ivfpq_residual_topk,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kw = dict(query_vec_id=0, kc=8, m=4, k=4, nprobe=3, topk=10)
+    fused = [tuple(r) for r in ivfpq_residual_topk(emb, **kw).collect()]
+    idx = os.path.join(tempfile.mkdtemp(prefix="t_src07_"), "ivf")
+    mat = [
+        tuple(r)
+        for r in ivfpq_residual_topk(emb, materialize_dir=idx, **kw).collect()
+    ]
+    assert mat == fused
+    # the index stores EVERY list (8 directories), not just the probed
+    parts = sorted(
+        d for d in os.listdir(idx) if d.startswith("list_id=")
+    )
+    assert len(parts) == 8
+
+
+def test_src07_index_write_is_full_and_idempotent(spark, sf_dir):
+    """Re-running the materialized search overwrites in place (same
+    rows twice) and the index itself holds every corpus vector exactly
+    once."""
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        ivfpq_residual_topk,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = os.path.join(tempfile.mkdtemp(prefix="t_src07b_"), "ivf")
+    kw = dict(query_vec_id=0, kc=8, m=4, k=4, nprobe=3, topk=10)
+    first = [tuple(r) for r in ivfpq_residual_topk(emb, materialize_dir=idx, **kw).collect()]
+    again = [tuple(r) for r in ivfpq_residual_topk(emb, materialize_dir=idx, **kw).collect()]
+    assert first == again
+    n_index = spark.read.parquet(idx).count()
+    assert n_index == emb.count() - 1  # every vector except the query
+
+
+# ---------------------------------------------------------------------------
+# s16: MMR diverse selection
+# ---------------------------------------------------------------------------
+
+
+def _py_mmr(vecs_by_id, qid, n_cand, n_sel):
+    """Pure-Python MMR on the int64 cosine-nanos grid: candidates =
+    top-n_cand by (rel desc, id asc); round t picks argmax of
+    rel - msim (λ=1/2; ties -> smaller id) and folds its similarity
+    into every survivor's running max."""
+    qv = vecs_by_id[qid]
+    rel = {
+        i: _cosn(v, qv) for i, v in vecs_by_id.items() if i != qid
+    }
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:n_cand]
+    msim = {i: 0 for i in cand}
+    out = []
+    remaining = list(cand)
+    for t in range(1, n_sel + 1):
+        if not remaining:
+            break
+        pick = min(remaining, key=lambda i: (-(rel[i] - msim[i]), i))
+        out.append((t, pick, rel[pick], msim[pick], rel[pick] - msim[pick]))
+        remaining = [i for i in remaining if i != pick]
+        for i in remaining:
+            msim[i] = max(msim[i], _cosn(vecs_by_id[i], vecs_by_id[pick]))
+    return out
+
+
+def test_s16_diversifies_past_near_duplicates(spark):
+    """Hand fixture: pure top-2 by relevance returns a near-duplicate
+    pair; MMR's second pick must skip the duplicate for the candidate
+    whose relevance comes from a direction ORTHOGONAL to pick 1 (in
+    2D everything correlates — diversity needs the extra axis)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        mmr_diverse_topk,
+    )
+
+    vecs = {
+        0: [1.0, 0.0, 0.0, 0.0],  # query
+        1: [0.9999, 0.01, 0.0, 0.0],  # best match
+        2: [0.9998, 0.012, 0.0, 0.0],  # near-dup of 1
+        3: [0.6, 0.0, 0.8, 0.0],  # diverse: relevant + orthogonal part
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = [
+        tuple(r)
+        for r in mmr_diverse_topk(
+            emb, query_vec_id=0, n_candidates=3, n_select=2
+        ).collect()
+    ]
+    # relevance alone would rank 1 then 2; diversity must pick 3
+    assert [g[1] for g in got] == [1, 3]
+    assert got == _py_mmr(vecs, 0, 3, 2)
+
+
+def test_s16_differential_random(spark):
+    """Seeded random 16-dim vectors: the engine's selection trace must
+    equal the pure-Python MMR bit-for-bit (grid ints, tie rules,
+    running max)."""
+    import random
+
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        mmr_diverse_topk,
+    )
+
+    rng = random.Random(1311)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(16)] for i in range(40)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = [
+        tuple(r)
+        for r in mmr_diverse_topk(
+            emb, query_vec_id=0, n_candidates=12, n_select=6
+        ).collect()
+    ]
+    assert got == _py_mmr(vecs, 0, 12, 6)
+
+
+def test_s16_first_pick_is_pure_relevance(spark):
+    """Round 1 (max_sim = 0) must equal the plain cosine argmax —
+    MMR with an empty selected set IS retrieval."""
+    import random
+
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        mmr_diverse_topk,
+    )
+
+    rng = random.Random(7)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(20)}
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = mmr_diverse_topk(emb, 0, n_candidates=10, n_select=3).collect()
+    rel = {i: _cosn(v, vecs[0]) for i, v in vecs.items() if i != 0}
+    best = min(rel, key=lambda i: (-rel[i], i))
+    assert got[0]["vec_id"] == best
+    assert got[0]["max_sim_nanos"] == 0
+    assert got[0]["mmr_nanos"] == rel[best]
+
+
+# ---------------------------------------------------------------------------
+# o19: fractional epoch upsampling
+# ---------------------------------------------------------------------------
+
+
+def _u32(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+
+
+def test_o19_exact_integer_factors(spark):
+    """Fixture with known counts: M=6 → source a (6 docs) runs 1
+    epoch exactly, b (4 docs) runs 1 + rem-2/4 fractional epochs, c
+    (1 doc) hits the cap at 4 — thresholds and realized counts all
+    reproduced by the pure-Python hash arithmetic."""
+    from mxene_coin_cell_data_pipeline_spark.functions.sampling import (
+        epoch_upsample,
+    )
+
+    rows = (
+        [(i, "a") for i in range(6)]
+        + [(100 + i, "b") for i in range(4)]
+        + [(200, "c")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["source"]: r for r in epoch_upsample(docs, cap=4).collect()}
+
+    assert got["a"]["whole_epochs"] == 1 and got["a"]["extra_thresh"] == 0
+    assert got["a"]["n_emitted"] == 6
+    assert got["c"]["whole_epochs"] == 4 and got["c"]["extra_thresh"] == 0
+    assert got["c"]["n_emitted"] == 4
+
+    thresh_b = ((6 % 4) * (1 << 32)) // 4
+    assert got["b"]["whole_epochs"] == 1
+    assert got["b"]["extra_thresh"] == thresh_b
+    extra = sum(1 for i in range(4) if _u32(100 + i) < thresh_b)
+    assert got["b"]["n_emitted"] == 4 + extra
+
+    # emit_sig pins the multiset: doc d with r copies contributes
+    # d * (1 + 2 + ... + r)
+    def sig(ids, whole, thresh):
+        s = 0
+        for d in ids:
+            r = whole + (1 if _u32(d) < thresh else 0)
+            s += d * r * (r + 1) // 2
+        return s
+
+    assert got["b"]["emit_sig"] == sig(range(100, 104), 1, thresh_b)
+    assert got["c"]["emit_sig"] == sig([200], 4, 0)
+
+
+def test_o19_never_drops_and_fractional_path_fires(spark, sf_dir):
+    """Over the real documents table grouped by lang (skewed — the
+    registered o19 grouping): every group emits at least its input
+    count, the max group runs exactly 1 epoch, realized counts stay in
+    the fractional band, and at least one group actually exercises the
+    fractional threshold (the reason o19 groups by lang, not the
+    generator's uniform sources)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.sampling import (
+        epoch_upsample,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = epoch_upsample(docs, group="lang", cap=4).collect()
+    assert got, "documents table must have languages"
+    mx = max(r["n_before"] for r in got)
+    for r in got:
+        assert r["n_emitted"] >= r["n_before"]
+        assert 1 <= r["whole_epochs"] <= 4
+        if r["n_before"] == mx:
+            assert r["whole_epochs"] == 1 and r["extra_thresh"] == 0
+            assert r["n_emitted"] == r["n_before"]
+        # realized count is within the fractional band
+        assert (
+            r["n_before"] * r["whole_epochs"]
+            <= r["n_emitted"]
+            <= r["n_before"] * (r["whole_epochs"] + 1)
+        )
+    assert any(r["extra_thresh"] > 0 for r in got)
+
+    # full pure-Python differential of every audit column
+    rows = docs.select("doc_id", "lang").collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    m = max(len(v) for v in by_lang.values())
+    for r in got:
+        ids = by_lang[r["lang"]]
+        n = len(ids)
+        if m >= 4 * n:
+            whole, thresh = 4, 0
+        else:
+            whole, thresh = m // n, ((m % n) * (1 << 32)) // n
+        reps = {d: whole + (1 if _u32(d) < thresh else 0) for d in ids}
+        assert r["whole_epochs"] == whole
+        assert r["extra_thresh"] == thresh
+        assert r["n_emitted"] == sum(reps.values())
+        assert r["sum_ids"] == sum(d * c for d, c in reps.items())
+        assert r["emit_sig"] == sum(
+            d * c * (c + 1) // 2 for d, c in reps.items()
+        )

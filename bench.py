@@ -164,6 +164,7 @@ EXTENDED = [
     "src07_ivf_index_layout",
     "s16_mmr_diverse_topk",
     "o19_epoch_upsample",
+    "o20_epoch_shard_shuffle",
 ]
 
 

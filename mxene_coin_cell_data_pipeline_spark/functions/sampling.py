@@ -335,3 +335,67 @@ def epoch_upsample(
             "emit_sig",
         )
     )
+
+
+def epoch_shard_shuffle(
+    df: DataFrame,
+    key: str = "doc_id",
+    n_shards: int = 8,
+    epochs: tuple[int, ...] = (1,),
+) -> DataFrame:
+    """Deterministic epoch-varying shard-and-shuffle — the dataloader
+    prep pass every training pipeline runs: each epoch needs a
+    DIFFERENT pseudo-random permutation of the corpus, materialized as
+    n_shards ordered shards, and the permutation must be reproducible
+    (resume a crashed epoch, re-derive what batch N contained) and
+    engine/layout-independent. rand() gives none of that; a per-epoch
+    keyed hash gives all of it: ``u32 = md5_u32(epoch || ':' || key)``
+    drives BOTH the shard (u32 mod n_shards) and the within-shard
+    order (u32, key) — change the epoch and every row draws a fresh
+    uniform, so shard membership and order reshuffle; keep the epoch
+    and the permutation is bit-stable forever.
+
+    Returns one row per (epoch, input row): ``(epoch, shard, key,
+    u32, rank)`` with rank the 1-based position in the shard's order —
+    exactly the layout a writer would ``partitionBy(epoch, shard)``
+    + sortWithinPartitions. Multiple epochs ride ONE corpus scan (the
+    epoch axis is an explode, not a re-read).
+
+    Scale: the per-epoch hash and shard are map-side; the within-shard
+    rank is the one genuine shuffle (hash-partition by (epoch, shard),
+    sort inside) — which is not overhead but the OUTPUT: materializing
+    shuffled shards IS a repartition+sort, and expressing it this way
+    lets Spark do it as one exchange instead of a global orderBy (the
+    per-shard sorts are independent, n_shards-way parallel).
+    """
+    k = F.col(key)
+    e = F.explode(
+        F.array(*[F.lit(int(x)).cast("int") for x in epochs])
+    ).alias("epoch")
+    rows = df.select(k.alias(key), e)
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("epoch").cast("string"), F.lit(":"), k.cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch", "shard").orderBy("u32", key)
+    return (
+        rows.select(
+            "epoch",
+            k,
+            u32.alias("u32"),
+        )
+        .withColumn("shard", (F.col("u32") % n_shards).cast("int"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("epoch", "shard", key, "u32", "rank")
+    )

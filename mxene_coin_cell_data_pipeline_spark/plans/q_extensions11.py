@@ -6,12 +6,16 @@
   (PartitionFilters on the index scan), not a docstring claim
 - s16: maximal-marginal-relevance diverse top-k (Carbonell &
   Goldstein, SIGIR 1998) — the diversity-aware selection pass real
-  curation pipelines run after retrieval, made tolerance-free by
-  doubling the λ=1/2 objective onto the int64 cosine-nanos grid
+  curation pipelines run after retrieval; at λ=1/2 the objective is
+  already pure int64 on the cosine-nanos grid (rel − max_sim)
 - o19: deterministic fractional epoch upsampling — the "repeat small
   high-quality sources ~2.7×" half of LLM mixture construction (o16
   covers the downsample half), realized with pure int64 hash
   thresholds so the emitted multiset is engine- and layout-stable
+- o20 (wave 14): deterministic epoch shard shuffle — the dataloader
+  shard-and-shuffle pass, per-epoch keyed-hash permutations
+  materialized as ordered shards with the full permutation pinned by
+  an integer order signature
 
 Importing this module REGISTERS its queries (oracle SQL inline);
 plans/queries.py imports it after q_extensions10.
@@ -267,3 +271,75 @@ def o19_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (docs,) = _ctx(spark, sf_dir, "documents")
     return epoch_upsample(docs, key="doc_id", group="lang", cap=_O19_CAP)
+
+
+# ---------------------------------------------------------------------------
+# o20: deterministic epoch shard shuffle
+# ---------------------------------------------------------------------------
+
+_O20_SHARDS = 8
+_O20_EPOCHS = (1, 2)
+
+
+@_register(
+    "o20_epoch_shard_shuffle",
+    f"""
+    WITH x AS (
+      SELECT e.epoch, d.doc_id,
+             ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':'
+                || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+      FROM documents d,
+           (SELECT unnest([{", ".join(str(x) for x in _O20_EPOCHS)}])
+            AS epoch) e),
+    s AS (SELECT epoch, doc_id, u32,
+                 CAST(u32 % {_O20_SHARDS} AS INTEGER) AS shard FROM x),
+    r AS (SELECT epoch, shard, doc_id, u32,
+                 row_number() OVER (PARTITION BY epoch, shard
+                                    ORDER BY u32, doc_id) AS rnk
+          FROM s)
+    SELECT epoch, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id * rnk) AS BIGINT) AS order_sig,
+           CAST(min(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS head_id
+    FROM r GROUP BY epoch, shard
+    """,
+    survey="north-star training-prep completion: deterministic EPOCH "
+    "shard shuffle — the dataloader pass every LLM training pipeline "
+    "runs between curation and consumption: each epoch needs a "
+    "DIFFERENT pseudo-random permutation of the corpus materialized "
+    "as ordered shards, reproducible enough to resume a crashed epoch "
+    "or re-derive what batch N contained. rand() gives neither; a "
+    "per-epoch keyed hash gives both: u32 = md5_u32(epoch||':'||key) "
+    "drives BOTH shard (u32 mod 8) and within-shard order (u32, key), "
+    "so a new epoch reshuffles membership AND order while the same "
+    "epoch is bit-stable across runs, engines, partition layouts. The "
+    "audit row per (epoch, shard) pins the full permutation: "
+    "order_sig = Σ doc_id·rank changes if ANY row moves position; "
+    "head_id pins the shard's first element; both epochs' audits come "
+    "from ONE corpus scan (the epoch axis is an explode). Scale: hash "
+    "and shard are map-side; the within-shard rank is the one genuine "
+    "shuffle — which IS the output (materializing shuffled shards is "
+    "a repartition+sort by construction), expressed as one exchange "
+    "with n_shards-way independent sorts instead of a global orderBy.",
+    note="Epoch-variation is part of the contract: "
+    "tests/test_wave13.py pins that epoch 1 and epoch 2 produce "
+    "different order_sigs (different permutations) with identical "
+    "corpus totals, and a pure-Python differential re-derives every "
+    "audit column.",
+)
+def o20_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(epoch, shard) permutation audit over two epochs (see
+    functions.sampling.epoch_shard_shuffle)."""
+    from ..functions.sampling import epoch_shard_shuffle
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    sh = epoch_shard_shuffle(
+        docs, key="doc_id", n_shards=_O20_SHARDS, epochs=_O20_EPOCHS
+    )
+    return sh.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("doc_id") * F.col("rank")).cast("long").alias("order_sig"),
+        F.min(F.when(F.col("rank") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("head_id"),
+    )

@@ -473,3 +473,16 @@ def test_o19_upsample_is_broadcast_plus_explode(spark, sf_dir):
     assert "Generate" in plan  # explode(sequence(1, reps))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_o20_shuffle_is_single_exchange(spark, sf_dir):
+    """The epoch shard shuffle must pay exactly ONE shuffle — the
+    (epoch, shard) hash exchange that IS the output layout: the
+    within-shard rank window and the audit groupBy both run on that
+    same partitioning (no second exchange), the epoch axis is a
+    generator (explode), and no wide join exists."""
+    plan = _plan("o20_epoch_shard_shuffle", spark, sf_dir)
+    assert "Generate" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -286,3 +286,55 @@ def test_o19_never_drops_and_fractional_path_fires(spark, sf_dir):
         assert r["emit_sig"] == sum(
             d * c * (c + 1) // 2 for d, c in reps.items()
         )
+
+
+# ---------------------------------------------------------------------------
+# o20: deterministic epoch shard shuffle
+# ---------------------------------------------------------------------------
+
+
+def _u32e(epoch, key) -> int:
+    return int(hashlib.md5(f"{epoch}:{key}".encode()).hexdigest()[:8], 16)
+
+
+def test_o20_differential_and_epoch_variation(spark, sf_dir):
+    """Pure-Python re-derivation of every audit column for both
+    epochs, plus the epoch contract: different epochs permute
+    differently (some order_sig moves) while each epoch covers the
+    whole corpus exactly once."""
+    from mxene_coin_cell_data_pipeline_spark.functions.sampling import (
+        epoch_shard_shuffle,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    sh = epoch_shard_shuffle(docs, key="doc_id", n_shards=8, epochs=(1, 2))
+
+    rows = sh.collect()
+    # exact per-row differential
+    for r in rows:
+        u = _u32e(r["epoch"], r["doc_id"])
+        assert r["u32"] == u
+        assert r["shard"] == u % 8
+    # rank = position in (u32, doc_id) order within (epoch, shard)
+    by_es: dict[tuple, list] = {}
+    for r in rows:
+        by_es.setdefault((r["epoch"], r["shard"]), []).append(r)
+    sig = {}
+    for (e, s), grp in by_es.items():
+        grp_sorted = sorted(grp, key=lambda r: (r["u32"], r["doc_id"]))
+        ranks = {r["doc_id"]: r["rank"] for r in grp}
+        expect = {
+            r["doc_id"]: i for i, r in enumerate(grp_sorted, 1)
+        }
+        assert ranks == expect, (e, s)
+        sig[(e, s)] = sum(d * i for d, i in expect.items())
+    # each epoch covers the corpus exactly once
+    for e in (1, 2):
+        n = sum(len(g) for (ee, _s), g in by_es.items() if ee == e)
+        assert n == len(ids)
+    # different epochs -> different permutation (overwhelmingly)
+    sig1 = sorted(v for (e, _s), v in sig.items() if e == 1)
+    sig2 = sorted(v for (e, _s), v in sig.items() if e == 2)
+    assert sig1 != sig2

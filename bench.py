@@ -165,6 +165,7 @@ EXTENDED = [
     "s16_mmr_diverse_topk",
     "o19_epoch_upsample",
     "o20_epoch_shard_shuffle",
+    "d21_quality_keeper_groups",
 ]
 
 

@@ -1378,3 +1378,52 @@ def crossdoc_kept_tokens(
             dw.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+def quality_keeper_audit(
+    groups: DataFrame,
+    docs: DataFrame,
+    quality_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keeper-by-QUALITY selection over a ``(doc_id, group_id)``
+    closure relation — what production dedup actually ships:
+    :func:`near_dup_groups` labels every group by its min doc_id
+    (the hash-min invariant the closure needs), but the member a
+    pipeline KEEPS should be the best one, not the first one. This
+    pass picks argmax(quality, tie → smaller id) per group and emits
+    one bounded audit row: ``(group_id, n_docs, keeper_id,
+    keeper_quality, drop_sig)`` where drop_sig is the closure_audit
+    int64 mixer summed over exactly the DROPPED members — the
+    reproducible kill-list checksum a curation run logs.
+
+    Scale shape: one equi-join of the closure relation onto the docs'
+    quality column (id-keyed, co-partitionable) and ONE groupBy with
+    map-side partials — the argmax travels as ``max(struct(quality,
+    −id))`` so no per-group window/sort exists, and drop_sig is
+    derived as (Σ mixer over ALL members) − mixer(keeper) after the
+    aggregate, exact in int64. State is O(#groups) end to end.
+    """
+    q = groups.join(
+        docs.select(F.col(id_col).alias("doc_id"), quality_col), "doc_id"
+    )
+    mix = ((F.col("doc_id") % F.lit(_MOD31)) * F.lit(_KNUTH)) % F.lit(_MOD31)
+    best = F.max(
+        F.struct(
+            F.col(quality_col).alias("q"), (-F.col("doc_id")).alias("nid")
+        )
+    )
+    agg = q.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        best.alias("_best"),
+        F.sum(mix).alias("_sig_all"),
+    )
+    keeper_id = -F.col("_best.nid")
+    keeper_mix = ((keeper_id % F.lit(_MOD31)) * F.lit(_KNUTH)) % F.lit(_MOD31)
+    return agg.select(
+        "group_id",
+        "n_docs",
+        keeper_id.cast("long").alias("keeper_id"),
+        F.col("_best.q").cast("long").alias("keeper_quality"),
+        (F.col("_sig_all") - keeper_mix).cast("long").alias("drop_sig"),
+    )

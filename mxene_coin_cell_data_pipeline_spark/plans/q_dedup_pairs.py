@@ -59,6 +59,33 @@ _D02_PAIRS_LIST_SQL = f"""
     """
 
 
+def _label_chain_ctes(pair_sql: str, rounds: int) -> tuple[list[str], str]:
+    """The shared hash-min label-propagation CTE chain (pairs → sym →
+    l0..l{rounds}) behind the closure oracles — extracted so d21's
+    quality-keeper oracle reuses the exact certified chain d06/d14 use
+    (the refactor is string-identity-verified against the pre-split
+    oracles). Returns (ctes, name-of-last-label-CTE)."""
+    ctes = [
+        f"pairs AS MATERIALIZED ({pair_sql})",
+        "sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs "
+        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS lbl FROM sym)",
+    ]
+    for k in range(1, rounds + 1):
+        p = f"l{k - 1}"
+        ctes.append(
+            f"l{k} AS MATERIALIZED (\n"
+            f"  SELECT n.doc_id, least(n.lbl, coalesce(nb.mn, n.lbl),\n"
+            f"                         coalesce(pj.lbl, n.lbl)) AS lbl\n"
+            f"  FROM {p} n\n"
+            f"  LEFT JOIN (SELECT s.src AS doc_id, min(x.lbl) AS mn\n"
+            f"             FROM sym s JOIN {p} x ON x.doc_id = s.dst\n"
+            f"             GROUP BY s.src) nb ON nb.doc_id = n.doc_id\n"
+            f"  LEFT JOIN {p} pj ON pj.doc_id = n.lbl)"
+        )
+    return ctes, f"l{rounds}"
+
+
 def _closure_audit_oracle(pair_sql: str, rounds: int = 12) -> str:
     """DuckDB closure-audit oracle with LINEAR state: ``rounds``
     unrolled rounds of hash-min label propagation with pointer
@@ -99,25 +126,7 @@ def _closure_audit_oracle(pair_sql: str, rounds: int = 12) -> str:
     row (group_id = -1) when any remain, so an unconverged oracle
     fails the driver hash loudly instead of passing wrongly.
     """
-    ctes = [
-        f"pairs AS MATERIALIZED ({pair_sql})",
-        "sym AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs "
-        "UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs)",
-        "l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS lbl FROM sym)",
-    ]
-    for k in range(1, rounds + 1):
-        p = f"l{k - 1}"
-        ctes.append(
-            f"l{k} AS MATERIALIZED (\n"
-            f"  SELECT n.doc_id, least(n.lbl, coalesce(nb.mn, n.lbl),\n"
-            f"                         coalesce(pj.lbl, n.lbl)) AS lbl\n"
-            f"  FROM {p} n\n"
-            f"  LEFT JOIN (SELECT s.src AS doc_id, min(x.lbl) AS mn\n"
-            f"             FROM sym s JOIN {p} x ON x.doc_id = s.dst\n"
-            f"             GROUP BY s.src) nb ON nb.doc_id = n.doc_id\n"
-            f"  LEFT JOIN {p} pj ON pj.doc_id = n.lbl)"
-        )
-    last = f"l{rounds}"
+    ctes, last = _label_chain_ctes(pair_sql, rounds)
     ctes.append(
         f"bad AS (SELECT count(*) AS n FROM sym s\n"
         f"        JOIN {last} a ON a.doc_id = s.src\n"

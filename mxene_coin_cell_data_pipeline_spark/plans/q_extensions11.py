@@ -343,3 +343,105 @@ def o20_epoch_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("head_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d21: quality-keeper dedup (argmax-quality keeper per closure group)
+# ---------------------------------------------------------------------------
+
+from ._registry import QUERIES  # noqa: E402
+from .q_dedup_pairs import _D12_CAP, _label_chain_ctes  # noqa: E402
+
+
+def _d21_oracle(pair_sql: str, rounds: int = 12) -> str:
+    """d14's certified hash-min label chain (shared via
+    _label_chain_ctes — string-identical to the d06/d14 oracles'
+    chain) with a quality-keeper final: join the labels onto
+    documents.n_chars, pick rn=1 of (n_chars DESC, doc_id ASC) per
+    group — exactly argmax(quality, tie → smaller id), the window
+    form of the engine's max(struct(quality, −id)) aggregate — and
+    emit the bounded audit with drop_sig over the DROPPED members.
+    Same poison-sentinel convergence certificate as d06/d14."""
+    ctes, last = _label_chain_ctes(pair_sql, rounds)
+    ctes.append(
+        f"bad AS (SELECT count(*) AS n FROM sym s\n"
+        f"        JOIN {last} a ON a.doc_id = s.src\n"
+        f"        JOIN {last} b ON b.doc_id = s.dst\n"
+        f"        WHERE a.lbl <> b.lbl)"
+    )
+    ctes.append(
+        f"q AS (SELECT l.lbl AS group_id, l.doc_id, d.n_chars,\n"
+        f"             row_number() OVER (PARTITION BY l.lbl\n"
+        f"                                ORDER BY d.n_chars DESC, l.doc_id)\n"
+        f"               AS rn,\n"
+        f"             ((l.doc_id % 2147483647) * 2654435761) % 2147483647\n"
+        f"               AS mix\n"
+        f"      FROM {last} l JOIN documents d ON d.doc_id = l.doc_id)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+    SELECT group_id, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS keeper_id,
+           CAST(min(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS keeper_quality,
+           CAST(sum(CASE WHEN rn > 1 THEN mix ELSE 0 END) AS BIGINT)
+             AS drop_sig
+    FROM q GROUP BY group_id
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS group_id, n AS n_docs,
+           CAST(NULL AS BIGINT) AS keeper_id,
+           CAST(NULL AS BIGINT) AS keeper_quality,
+           CAST(NULL AS BIGINT) AS drop_sig
+    FROM bad WHERE n > 0
+    """
+    )
+
+
+@_register(
+    "d21_quality_keeper_groups",
+    None,  # assigned below from d12's registered capped-pair oracle
+    survey="north-star dedup completion: keeper-by-QUALITY selection — "
+    "near_dup_groups labels groups by min doc_id (the hash-min "
+    "invariant the closure needs), but the member a production "
+    "pipeline KEEPS is the BEST one: d21 runs the full capped chain "
+    "(d12 star-capped LSH emission → jaccard refine → hash-min "
+    "closure) and then picks argmax(n_chars, tie → smaller id) per "
+    "group, emitting (group_id, n_docs, keeper_id, keeper_quality, "
+    "drop_sig) where drop_sig checksums exactly the DROPPED members — "
+    "the reproducible kill-list a curation run logs. Engine shape: "
+    "one id-keyed equi-join of the closure relation onto the quality "
+    "column and ONE groupBy with map-side partials (argmax travels as "
+    "max(struct(quality, −id)); drop_sig derives post-agg as "
+    "Σmix − mix(keeper)) — no per-group window/sort anywhere; state "
+    "O(#groups). Oracle: the d06/d14 certified label chain (shared "
+    "builder, string-identity-verified) + a row_number keeper pick — "
+    "the window form of the same argmax, identical on the int grid.",
+    note="Keeper ≠ group label by construction wherever a longer "
+    "member exists: tests/test_wave13.py pins a fixture where the "
+    "min-id member is NOT the keeper, plus full pure-Python "
+    "differential of all five columns over the real corpus.",
+)
+def d21_quality_keeper_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-keeper audit over the capped near-dup closure (see
+    functions.dedup.quality_keeper_audit)."""
+    from ..functions.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_groups,
+        quality_keeper_audit,
+    )
+
+    (docs,) = _ctx(spark, sf_dir, "documents")
+    groups = near_dup_groups(
+        minhash_near_dup_pairs(
+            docs, threshold=0.8, bucket_cap=_D12_CAP, hash_fn="md5"
+        )
+    )
+    return quality_keeper_audit(groups, docs, quality_col="n_chars")
+
+
+QUERIES["d21_quality_keeper_groups"].oracle = _d21_oracle(
+    QUERIES["d12_lsh_star_cap"].oracle
+)

@@ -486,3 +486,13 @@ def test_o20_shuffle_is_single_exchange(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:3000]
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_d21_keeper_is_aggregate_not_window(spark, sf_dir):
+    """The quality-keeper audit must plan as ONE groupBy with map-side
+    partials (argmax travels as max(struct)) — no per-group Window
+    operator, no sort, no cartesian; drop_sig derives post-agg."""
+    plan = _plan("d21_quality_keeper_groups", spark, sf_dir)
+    assert "Window" not in plan, plan[:3000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -338,3 +338,79 @@ def test_o20_differential_and_epoch_variation(spark, sf_dir):
     sig1 = sorted(v for (e, _s), v in sig.items() if e == 1)
     sig2 = sorted(v for (e, _s), v in sig.items() if e == 2)
     assert sig1 != sig2
+
+
+# ---------------------------------------------------------------------------
+# d21: quality-keeper dedup
+# ---------------------------------------------------------------------------
+
+_MOD31, _KNUTH = 2147483647, 2654435761
+
+
+def _mix(d: int) -> int:
+    return ((d % _MOD31) * _KNUTH) % _MOD31
+
+
+def test_d21_keeper_is_quality_not_min_id(spark):
+    """The group LABEL is the hash-min (min id) — the KEEPER must be
+    the argmax-quality member (ties -> smaller id), which here is NOT
+    the min-id doc."""
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        quality_keeper_audit,
+    )
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, group_id long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (9, 7)], "doc_id long, n_chars long"
+    )
+    got = {r["group_id"]: r for r in quality_keeper_audit(groups, docs).collect()}
+    g = got[1]
+    assert g["n_docs"] == 3
+    assert g["keeper_id"] == 2          # max quality, tie -> smaller id
+    assert g["keeper_quality"] == 50
+    assert g["drop_sig"] == _mix(1) + _mix(3)
+    s = got[9]                          # singleton keeps itself, drops none
+    assert (s["keeper_id"], s["keeper_quality"], s["drop_sig"]) == (9, 7, 0)
+
+
+def test_d21_audit_differential_real_corpus(spark, sf_dir):
+    """Over the real capped closure: every audit column re-derived in
+    pure Python from the raw (doc_id, group_id) relation + n_chars."""
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        minhash_near_dup_pairs,
+        near_dup_groups,
+        quality_keeper_audit,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = near_dup_groups(
+        minhash_near_dup_pairs(docs, threshold=0.8, bucket_cap=2, hash_fn="md5")
+    )
+    raw = [(r["doc_id"], r["group_id"]) for r in groups.collect()]
+    assert raw, "corpus must have near-dup groups"
+    nchars = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+    }
+    by_g: dict[int, list[int]] = {}
+    for d, g in raw:
+        by_g.setdefault(g, []).append(d)
+    got = {
+        r["group_id"]: r
+        for r in quality_keeper_audit(groups, docs).collect()
+    }
+    assert set(got) == set(by_g)
+    for g, members in by_g.items():
+        keeper = min(members, key=lambda d: (-nchars[d], d))
+        r = got[g]
+        assert r["n_docs"] == len(members)
+        assert r["keeper_id"] == keeper
+        assert r["keeper_quality"] == nchars[keeper]
+        assert r["drop_sig"] == sum(_mix(d) for d in members if d != keeper)
+    # at least one group's keeper must differ from its min-id label
+    assert any(
+        got[g]["keeper_id"] != min(ms) for g, ms in by_g.items() if len(ms) > 1
+    )

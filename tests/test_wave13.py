@@ -1,7 +1,8 @@
-"""Wave-13 operator tests (round 11, second half): src07 materialized
-IVF index layout, s16 MMR diverse selection, o19 fractional epoch
-upsampling. Differentials are pure-Python re-implementations, the
-wave-10/11/12 discipline."""
+"""Wave-13/14 operator tests (round 11, second half): src07
+materialized IVF index layout, s16 MMR diverse selection, o19
+fractional epoch upsampling, o20 epoch shard shuffle, d21
+quality-keeper dedup. Differentials are pure-Python
+re-implementations, the wave-10/11/12 discipline."""
 
 from __future__ import annotations
 

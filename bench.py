@@ -166,6 +166,7 @@ EXTENDED = [
     "o19_epoch_upsample",
     "o20_epoch_shard_shuffle",
     "d21_quality_keeper_groups",
+    "s17_mmr_over_ivfadc",
 ]
 
 

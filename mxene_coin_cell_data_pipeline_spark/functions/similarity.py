@@ -1282,6 +1282,7 @@ def mmr_diverse_topk(
     n_candidates: int = 30,
     n_select: int = 10,
     vec_col: str = "embedding",
+    candidate_ids: list[int] | None = None,
 ) -> DataFrame:
     """Maximal-marginal-relevance selection (Carbonell & Goldstein,
     SIGIR 1998): pick ``n_select`` vectors that are RELEVANT to the
@@ -1299,7 +1300,12 @@ def mmr_diverse_topk(
     (the common ×2 of λ=(1−λ)=1/2 cancels in an argmax). The first
     pick maximizes relevance (max_sim starts at 0), ties break to the
     smaller vec_id everywhere — so engine and oracle agree
-    bit-for-bit and the driver compare is tolerance-free. (A 2·rel−sim
+    bit-for-bit and the driver compare is tolerance-free.
+
+    ``candidate_ids`` swaps the exact top-k candidate generation for a
+    caller-provided set — the s17 path, where the candidates come from
+    the IVFADC index probe (:func:`ivfpq_residual_topk`) so generation
+    is sub-scan while selection stays exact-cosine MMR. (A 2·rel−sim
     form was tried first and rejected by its own fixture: that is
     λ=2/3, and at 2:1 relevance weighting an exact clone of the top
     pick — penalty rel−1 ≈ −5e−5 — still beats any genuinely diverse
@@ -1343,14 +1349,25 @@ def mmr_diverse_topk(
         lambda acc, v: acc + v,
     )
     rel = F.round((dxq / (F.sqrt(dxx) * F.lit(nq))) * 1e9).cast("long")
-    cand = (
-        e.filter(F.col("vec_id") != query_vec_id)
-        .select("vec_id", "e", rel.alias("rel_nanos"))
-        .orderBy(F.desc("rel_nanos"), F.asc("vec_id"))
-        .limit(n_candidates)
-        .collect()  # quota-seed sized by construction (the s13/s14
-        # seed/LUT class): n_candidates rows · dim doubles
-    )
+    if candidate_ids is not None:
+        # the ANN-prefiltered path (s17): the candidate set comes from
+        # an index probe (e.g. ivfpq_residual_topk) instead of the
+        # exact top-k scan — sub-scan generation, same exact selection
+        cand = (
+            e.filter(F.col("vec_id").isin([int(x) for x in candidate_ids]))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "e", rel.alias("rel_nanos"))
+            .collect()
+        )
+    else:
+        cand = (
+            e.filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", "e", rel.alias("rel_nanos"))
+            .orderBy(F.desc("rel_nanos"), F.asc("vec_id"))
+            .limit(n_candidates)
+            .collect()  # quota-seed sized by construction (the s13/s14
+            # seed/LUT class): n_candidates rows · dim doubles
+        )
 
     vecs = {int(r["vec_id"]): list(r["e"]) for r in cand}
     relv = {int(r["vec_id"]): int(r["rel_nanos"]) for r in cand}

@@ -127,12 +127,30 @@ def _s16_oracle() -> str:
         " CAST(0 AS BIGINT) AS msim\n"
         f"       FROM rel ORDER BY rel_nanos DESC, vec_id LIMIT {_S16_CAND})",
     ]
-    for t in range(1, _S16_N + 1):
+    return _mmr_rounds_sql(ctes, _S16_N)
+
+
+def _mmr_rounds_sql(prefix_ctes: list[str], n: int) -> str:
+    """The unrolled MMR round CTEs + final trace select over an
+    existing ``c0(vec_id, e, rel_nanos, msim)`` candidate CTE — shared
+    by s16 (exact top-k candidates) and s17 (IVFADC-probed
+    candidates); the s16 output is string-identity-pinned across this
+    refactor."""
+
+    def _cosn(a: str, b: str) -> str:
+        return (
+            f"CAST(round((list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))) * 1e9) AS BIGINT)"
+        )
+
+    ctes = list(prefix_ctes)
+    for t in range(1, n + 1):
         ctes.append(
             f"p{t} AS MATERIALIZED (SELECT * FROM c{t - 1}\n"
             f"        ORDER BY rel_nanos - msim DESC, vec_id LIMIT 1)"
         )
-        if t < _S16_N:
+        if t < n:
             ctes.append(
                 f"c{t} AS MATERIALIZED (SELECT c.vec_id, c.e, c.rel_nanos,\n"
                 f"               greatest(c.msim, {_cosn('c.e', 'p.e')}) AS msim\n"
@@ -142,7 +160,7 @@ def _s16_oracle() -> str:
         f"SELECT CAST({t} AS BIGINT) AS sel_rank, vec_id, rel_nanos,\n"
         f"           msim AS max_sim_nanos,\n"
         f"           rel_nanos - msim AS mmr_nanos FROM p{t}"
-        for t in range(1, _S16_N + 1)
+        for t in range(1, n + 1)
     )
     return (
         "\n    WITH "
@@ -445,3 +463,88 @@ def d21_quality_keeper_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["d21_quality_keeper_groups"].oracle = _d21_oracle(
     QUERIES["d12_lsh_star_cap"].oracle
 )
+
+
+# ---------------------------------------------------------------------------
+# s17: MMR diversification over the IVFADC index probe
+# ---------------------------------------------------------------------------
+
+_S17_CAND, _S17_N = 30, 10
+
+
+def _s17_oracle() -> str:
+    """s16's MMR round chain over candidates produced by the IVFADC
+    probe instead of the exact top-k: the s14 oracle SQL (src07
+    constants, topk widened to 30) nests as a subquery — DuckDB scopes
+    its inner WITH locally — and its vec_ids become c0. Relevance and
+    diversity stay exact cosine over the probed set, so the selection
+    layer is shared verbatim (_mmr_rounds_sql)."""
+
+    def _cosn(a: str, b: str) -> str:
+        return (
+            f"CAST(round((list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))) * 1e9) AS BIGINT)"
+        )
+
+    inner = ivfadc_oracle_sql(
+        kc=_SRC07_KC,
+        m=_SRC07_M,
+        k=_SRC07_K,
+        nprobe=_SRC07_NPROBE,
+        topk=_S17_CAND,
+    )
+    prefix = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "q AS (SELECT e AS qv FROM e WHERE vec_id = 0)",
+        f"cand AS MATERIALIZED (SELECT vec_id FROM ({inner}) t)",
+        "rel AS (SELECT e.vec_id, e.e,\n"
+        f"             {_cosn('e.e', 'q.qv')} AS rel_nanos\n"
+        "      FROM e JOIN cand USING (vec_id), q WHERE e.vec_id <> 0)",
+        "c0 AS MATERIALIZED (SELECT vec_id, e, rel_nanos,"
+        " CAST(0 AS BIGINT) AS msim\n       FROM rel)",
+    ]
+    return _mmr_rounds_sql(prefix, _S17_N)
+
+
+@_register(
+    "s17_mmr_over_ivfadc",
+    _s17_oracle(),
+    survey="north-star retrieval capstone: ANN-prefiltered "
+    "diversification — s16's survey line claims 'at 100 TB the "
+    "candidates come from the s14 index probe instead'; s17 IS that "
+    "composition, registered: candidate GENERATION is the IVFADC "
+    "probe (src07 constants kc=8/nprobe=3, top-30 by ADC distance — "
+    "sub-scan: only probed lists are read), and the SELECTION is "
+    "exact-cosine λ=1/2 MMR over those 30 (the s16 machinery, shared "
+    "verbatim — engine via candidate_ids, oracle via the shared "
+    "_mmr_rounds_sql builder with the s14 SQL nested as the candidate "
+    "subquery). The full modern retrieval stack in one oracle-backed "
+    "query: compressed index probe → exact re-rank → diversity "
+    "selection, each stage exact-integer-pinned.",
+    note="The selection trace differs from s16's wherever the probe's "
+    "top-30 differs from the exact top-30 (quantization loss surfaces "
+    "as candidate-set drift — tests pin both the equality of the "
+    "shared machinery and the existence of drift on the real corpus).",
+)
+def s17_mmr_over_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diverse 10 over the IVFADC probe's top-30 (see
+    functions.similarity.mmr_diverse_topk, candidate_ids path)."""
+    from ..functions.similarity import ivfpq_residual_topk, mmr_diverse_topk
+
+    (emb,) = _ctx(spark, sf_dir, "embeddings")
+    hits = ivfpq_residual_topk(
+        emb,
+        query_vec_id=0,
+        kc=_SRC07_KC,
+        m=_SRC07_M,
+        k=_SRC07_K,
+        nprobe=_SRC07_NPROBE,
+        topk=_S17_CAND,
+    ).collect()
+    return mmr_diverse_topk(
+        emb,
+        query_vec_id=0,
+        n_select=_S17_N,
+        candidate_ids=[int(r["vec_id"]) for r in hits],
+    )

@@ -415,3 +415,48 @@ def test_d21_audit_differential_real_corpus(spark, sf_dir):
     assert any(
         got[g]["keeper_id"] != min(ms) for g, ms in by_g.items() if len(ms) > 1
     )
+
+
+# ---------------------------------------------------------------------------
+# s17: MMR over the IVFADC probe
+# ---------------------------------------------------------------------------
+
+
+def test_s17_selection_machinery_shared_and_drift_exists(spark, sf_dir):
+    """The candidate_ids path must run the identical MMR selection
+    (pure-Python differential restricted to the probed set), and on
+    the real corpus the probe's top-30 must DIFFER from the exact
+    top-30 somewhere (quantization loss surfaces as candidate drift —
+    the reason s17 exists as its own verdict)."""
+    from mxene_coin_cell_data_pipeline_spark.functions.similarity import (
+        ivfpq_residual_topk,
+        mmr_diverse_topk,
+    )
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann_ids = [
+        int(r["vec_id"])
+        for r in ivfpq_residual_topk(
+            emb, query_vec_id=0, kc=8, m=4, k=4, nprobe=3, topk=30
+        ).collect()
+    ]
+    assert len(ann_ids) == 30
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["e"]]
+        for r in emb.selectExpr(
+            "vec_id", "cast(embedding as array<double>) as e"
+        ).collect()
+    }
+    got = [
+        tuple(r)
+        for r in mmr_diverse_topk(
+            emb, query_vec_id=0, n_select=10, candidate_ids=ann_ids
+        ).collect()
+    ]
+    sub = {i: vecs[i] for i in ann_ids + [0]}
+    assert got == _py_mmr(sub, 0, len(ann_ids), 10)
+
+    rel = {i: _cosn(v, vecs[0]) for i, v in vecs.items() if i != 0}
+    exact30 = set(sorted(rel, key=lambda i: (-rel[i], i))[:30])
+    assert set(ann_ids) != exact30  # quantized probe drifts

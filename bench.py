@@ -167,6 +167,7 @@ EXTENDED = [
     "o20_epoch_shard_shuffle",
     "d21_quality_keeper_groups",
     "s17_mmr_over_ivfadc",
+    "g04_label_propagation",
 ]
 
 

@@ -132,8 +132,9 @@ def _fsum6_micro(col) -> F.Column:
 #: full driver_check sweep. Everything not listed follows in
 #: definition order, so the full registry is always exported.
 #: Round-11 rotation (VERDICT r10 task 5): union of the r01-r10
-#: windows = 199/199 green, so this window leads with the TEN
-#: round-11 additions (wave 13/14: s17 ANN-prefiltered MMR, d21
+#: windows = 199/199 green, so this window leads with the ELEVEN
+#: round-11 additions (wave 13/14: g04 LPA communities, s17
+#: ANN-prefiltered MMR, d21
 #: quality-keeper dedup, o20
 #: epoch shard shuffle, src07
 #: materialized IVF index, s16 MMR, o19 epoch upsampling; wave 12:
@@ -147,7 +148,7 @@ def _fsum6_micro(col) -> F.Column:
 #: re-verified first-hand in r10 (a16_stats_agg, g01_pagerank,
 #: e05_ewma, o09_zorder_layout). The wave-13/14 inserts push the
 #: prefix tail past position 50; left for r12: that tail
-#: (j08_salted_skew_agg, s05_kmeans_iteration,
+#: (m04_byte_features, j08_salted_skew_agg, s05_kmeans_iteration,
 #: st05_stream_stream_join, c13_variant_shred,
 #: u03_udtf_sentences,
 #: a18_promo_ratio, a19_priority_counts, t09_pii_redact), the rest of
@@ -156,6 +157,7 @@ def _fsum6_micro(col) -> F.Column:
 #: a20_approx_distinct_bound), and the four judge-covered names.
 _DRIVER_PREFIX = [
     # — NEW this round (waves 13/14): never driver-verified, so they lead —
+    "g04_label_propagation",
     "s17_mmr_over_ivfadc",
     "d21_quality_keeper_groups",
     "o20_epoch_shard_shuffle",

@@ -548,3 +548,114 @@ def s17_mmr_over_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_select=_S17_N,
         candidate_ids=[int(r["vec_id"]) for r in hits],
     )
+
+
+# ---------------------------------------------------------------------------
+# g04: label-propagation communities (synchronous, mode-based)
+# ---------------------------------------------------------------------------
+
+from .q_extensions2 import _g01_edges_sql  # noqa: E402
+
+_G04_ROUNDS = 3
+
+
+def _g04_oracle() -> str:
+    """Unrolled synchronous LPA: each round counts NEIGHBOR labels per
+    node and adopts argmax(count DESC, label ASC) — the mode-based
+    sibling of g02's hash-min (min-based) propagation; communities are
+    dense mode-basins, not connectivity classes. Shares the
+    MATERIALIZED edge CTEs with g01/g02/g03."""
+    ctes = [f"l0 AS (SELECT v, v AS lbl FROM verts)"]
+    for k in range(1, _G04_ROUNDS + 1):
+        p = k - 1
+        ctes.append(
+            f"c{k} AS (SELECT g.dst AS v, l{p}.lbl, count(*) AS c\n"
+            f"        FROM g JOIN l{p} ON l{p}.v = g.src\n"
+            f"        GROUP BY g.dst, l{p}.lbl)"
+        )
+        ctes.append(
+            f"l{k} AS (SELECT v, lbl FROM (\n"
+            f"          SELECT v, lbl,\n"
+            f"                 row_number() OVER (PARTITION BY v\n"
+            f"                                    ORDER BY c DESC, lbl) AS rn\n"
+            f"          FROM c{k}) WHERE rn = 1)"
+        )
+    return (
+        "\n    WITH "
+        + _g01_edges_sql().strip().rstrip()
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(v) AS BIGINT) AS min_node,
+           CAST(max(v) AS BIGINT) AS max_node,
+           CAST(sum(((v % 2147483647) * 2654435761) % 2147483647)
+                AS BIGINT) AS member_sig
+    FROM l{_G04_ROUNDS} GROUP BY lbl
+    """
+    )
+
+
+@_register(
+    "g04_label_propagation",
+    _g04_oracle(),
+    survey="graph-family completion: community detection by synchronous "
+    "label propagation (Raghavan et al. 2007, the near-linear-time "
+    "community algorithm) over the symmetrized customer–supplier trade "
+    "graph — the MODE-based sibling of g02's hash-min components: each "
+    "of 3 unrolled rounds every node adopts its neighbors' most "
+    "frequent label (ties → smaller label), so labels pool in DENSE "
+    "basins rather than flooding whole connectivity classes — the "
+    "structure marketplace/fraud analyses actually segment on. "
+    "Deterministic by construction (integer counts, total tie order, "
+    "synchronous update from the PREVIOUS round's labels), so the "
+    "driver compare is tolerance-free where textbook async LPA is "
+    "run-order dependent. Registered as bounded per-community audit "
+    "rows (size, node range, the closure_audit int64 mixer — the "
+    "d06/d14 audit-output contract). Scale: per round ONE edges⋈labels "
+    "shuffle + a (node,label) count + a per-node argmax (max_by "
+    "struct, map-side partials); the persisted distinct edge list is "
+    "the g01/g02/g03 pattern; rounds are fixed (3, oracle-pinned).",
+    note="Engine argmax travels as max(struct(c, −lbl)) — no per-node "
+    "window; the oracle's row_number pick is the identical total "
+    "order. Edge relation is the SHARED _g01_edges_sql CTEs "
+    "(MATERIALIZED — referenced 2× per round).",
+)
+def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round synchronous LPA communities on the trade graph,
+    audited per community (size, range, member mixer)."""
+    li, orders = _ctx(spark, sf_dir, "lineitem", "orders")
+    raw = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    g = (
+        raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = g.select(F.col("src").alias("v")).distinct().withColumn(
+        "lbl", F.col("v")
+    )
+    for _ in range(_G04_ROUNDS):
+        cnt = (
+            g.join(labels, g["src"] == labels["v"])
+            .groupBy(F.col("dst"), F.col("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.groupBy(F.col("dst").alias("v"))
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("_b"))
+            .select("v", (-F.col("_b.nl")).alias("lbl"))
+        )
+    mix = ((F.col("v") % F.lit(2147483647)) * F.lit(2654435761)) % F.lit(
+        2147483647
+    )
+    out = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("v").alias("min_node"),
+        F.max("v").alias("max_node"),
+        F.sum(mix).alias("member_sig"),
+    )
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    return out

@@ -460,3 +460,100 @@ def test_s17_selection_machinery_shared_and_drift_exists(spark, sf_dir):
     rel = {i: _cosn(v, vecs[0]) for i, v in vecs.items() if i != 0}
     exact30 = set(sorted(rel, key=lambda i: (-rel[i], i))[:30])
     assert set(ann_ids) != exact30  # quantized probe drifts
+
+
+# ---------------------------------------------------------------------------
+# g04: label-propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _py_lpa(edges, rounds=3):
+    """Synchronous LPA differential: per round every node adopts its
+    neighbors' most frequent PREVIOUS-round label (count desc, label
+    asc); edges are the distinct symmetrized simple graph."""
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b)); sym.add((b, a))
+    nbrs: dict[int, list[int]] = {}
+    for s, d in sym:
+        nbrs.setdefault(d, []).append(s)
+    lbl = {v: v for v in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for v, ns in nbrs.items():
+            cnt: dict[int, int] = {}
+            for n in ns:
+                cnt[lbl[n]] = cnt.get(lbl[n], 0) + 1
+            new[v] = min(cnt, key=lambda l: (-cnt[l], l))
+        lbl = new
+    return lbl
+
+
+def test_g04_mode_basin_differs_from_hash_min(spark):
+    """A barbell graph (two triangles bridged by one edge): hash-min
+    CC floods everything to one label; mode-based LPA keeps TWO
+    communities (each triangle pools on its own min) — the semantic
+    the operator exists for. Engine audit == pure-Python LPA."""
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (4, 6), (5, 6)]
+    lbl = _py_lpa(edges, rounds=3)
+    comm = {}
+    for v, l in lbl.items():
+        comm.setdefault(l, []).append(v)
+    assert len(comm) == 2  # LPA keeps the basins apart; CC would merge
+
+    # engine on the same graph via a temp parquet pair table is heavy;
+    # instead run the exact engine aggregation steps in-memory
+    raw = spark.createDataFrame(edges, "src long, dst long")
+    g = raw.union(raw.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct()
+    labels = g.select(F.col("src").alias("v")).distinct().withColumn(
+        "lbl", F.col("v"))
+    for _ in range(3):
+        cnt = (g.join(labels, g["src"] == labels["v"])
+               .groupBy(F.col("dst"), F.col("lbl"))
+               .agg(F.count(F.lit(1)).alias("c")))
+        labels = (cnt.groupBy(F.col("dst").alias("v"))
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("lbl")).alias("nl"))).alias("b"))
+                  .select("v", (-F.col("b.nl")).alias("lbl")))
+    got = {r["v"]: r["lbl"] for r in labels.collect()}
+    assert got == lbl
+
+
+def test_g04_registered_audit_reconciles(spark, sf_dir):
+    """The registered per-community audit must reconcile with a raw
+    pure-Python LPA over the real trade graph."""
+    from mxene_coin_cell_data_pipeline_spark.plans.queries import QUERIES
+    from mxene_coin_cell_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    raw = [
+        (r["o_custkey"], r["l_suppkey"])
+        for r in li.join(
+            orders, F.col("o_orderkey") == F.col("l_orderkey")
+        ).select("o_custkey", "l_suppkey").distinct().collect()
+    ]
+    lbl = _py_lpa(raw, rounds=3)
+    by_c: dict[int, list[int]] = {}
+    for v, l in lbl.items():
+        by_c.setdefault(l, []).append(v)
+    got = {
+        r["community"]: r
+        for r in QUERIES["g04_label_propagation"].spark(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_c)
+    M, K = 2147483647, 2654435761
+    for c, vs in by_c.items():
+        r = got[c]
+        assert r["n_nodes"] == len(vs)
+        assert r["min_node"] == min(vs) and r["max_node"] == max(vs)
+        assert r["member_sig"] == sum(((v % M) * K) % M for v in vs)
+    # NOTE: community COUNT is density-dependent — the sf0.001 trade
+    # graph is dense enough that 3 rounds flood to one basin, which is
+    # correct LPA behavior (the barbell fixture above pins the
+    # multi-basin case); the reconciliation above is the contract.

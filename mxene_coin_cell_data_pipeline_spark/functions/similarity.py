@@ -753,6 +753,7 @@ def pq_assign(
     m: int = 4,
     k: int = 4,
     vec_col: str = "embedding",
+    seeds: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """Product-quantization code assignment (Jégou et al., "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): the vector
@@ -779,16 +780,20 @@ def pq_assign(
     movement is the written codes.
     """
     e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
-    dim = len(e.select("e").first()["e"])
+    # ONE seed-collect job (optimization r11): dim derives from the
+    # collected seeds instead of a separate first() job, and a caller
+    # that already holds the seeds (pq_adc_topk) passes them through
+    if seeds is None:
+        seeds = {
+            int(r["vec_id"]): list(r["e"])
+            for r in e.filter(F.col("vec_id") < k).collect()
+        }
+    if len(seeds) < k:
+        raise ValueError(f"need vec_id 0..{k-1} present as codebook seeds")
+    dim = len(seeds[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    seeds = {
-        int(r["vec_id"]): list(r["e"])
-        for r in e.filter(F.col("vec_id") < k).collect()
-    }
-    if len(seeds) < k:
-        raise ValueError(f"need vec_id 0..{k-1} present as codebook seeds")
 
     cols = [F.col("vec_id")]
     err_terms = []
@@ -908,20 +913,26 @@ def pq_adc_topk(
     list_dot_product, final ordering on the round(·1e9) int64 grid.
     """
     e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
-    dim = len(e.select("e").first()["e"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
+    # ONE driver job collects seeds + query together (optimization
+    # r11: was first() + seeds collect + query collect + pq_assign's
+    # own seeds collect — four jobs per invocation); dim derives from
+    # the collected rows
+    rows = e.filter(
+        (F.col("vec_id") < k) | (F.col("vec_id") == query_vec_id)
+    ).collect()
     seeds = {
-        int(r["vec_id"]): list(r["e"])
-        for r in e.filter(F.col("vec_id") < k).collect()
+        int(r["vec_id"]): list(r["e"]) for r in rows if int(r["vec_id"]) < k
     }
     if len(seeds) < k:
         raise ValueError(f"need vec_id 0..{k-1} present as codebook seeds")
-    qrow = e.filter(F.col("vec_id") == query_vec_id).collect()
-    if not qrow:
+    qrows = [r for r in rows if int(r["vec_id"]) == query_vec_id]
+    if not qrows:
         raise ValueError(f"query vec_id {query_vec_id} not present")
-    qv = list(qrow[0]["e"])
+    qv = list(qrows[0]["e"])
+    dim = len(qv)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
 
     def _dot_seq(a: list, b: list) -> float:
         # same left-to-right fold as DuckDB list_dot_product / the
@@ -943,7 +954,7 @@ def pq_adc_topk(
             row.append(dqq - 2 * _dot_seq(qs, cs) + _dot_seq(cs, cs))
         lut.append(row)
 
-    codes = pq_assign(emb, m=m, k=k, vec_col=vec_col).filter(
+    codes = pq_assign(emb, m=m, k=k, vec_col=vec_col, seeds=seeds).filter(
         F.col("vec_id") != query_vec_id
     )
     terms = [
@@ -1077,21 +1088,27 @@ def ivfpq_residual_topk(
     is exactly the claim worth proving.
     """
     e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
-    dim = len(e.select("e").first()["e"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
     n_seed = kc + k
+    # ONE driver job collects seeds + query together (optimization
+    # r11: was first() + seeds collect + query collect — three jobs)
+    rows = e.filter(
+        (F.col("vec_id") < n_seed) | (F.col("vec_id") == query_vec_id)
+    ).collect()
     seeds = {
         int(r["vec_id"]): list(r["e"])
-        for r in e.filter(F.col("vec_id") < n_seed).collect()
+        for r in rows
+        if int(r["vec_id"]) < n_seed
     }
     if len(seeds) < n_seed:
         raise ValueError(f"need vec_id 0..{n_seed - 1} present as seeds")
-    qrow = e.filter(F.col("vec_id") == query_vec_id).collect()
-    if not qrow:
+    qrows = [r for r in rows if int(r["vec_id"]) == query_vec_id]
+    if not qrows:
         raise ValueError(f"query vec_id {query_vec_id} not present")
-    qv = list(qrow[0]["e"])
+    qv = list(qrows[0]["e"])
+    dim = len(qv)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
 
     def _dot_seq(a: list, b: list) -> float:
         # left-to-right fold == DuckDB list_dot_product == F.aggregate
@@ -1329,10 +1346,6 @@ def mmr_diverse_topk(
     pairwise matrix.
     """
     e = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e"))
-    qrow = e.filter(F.col("vec_id") == query_vec_id).collect()
-    if not qrow:
-        raise ValueError(f"query vec_id {query_vec_id} not present")
-    qv = list(qrow[0]["e"])
 
     def _dot_seq(a: list, b: list) -> float:
         acc = 0.0
@@ -1340,27 +1353,58 @@ def mmr_diverse_topk(
             acc = acc + x * y
         return acc
 
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
-    nq = math.sqrt(_dot_seq(qv, qv))
-    dxx = F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
-    dxq = F.aggregate(
-        F.zip_with(F.col("e"), qlit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    rel = F.round((dxq / (F.sqrt(dxx) * F.lit(nq))) * 1e9).cast("long")
+    def _cosn(a: list, b: list) -> int:
+        # the int64 cosine grid: sequential-fold dots, sqrt, round —
+        # IEEE-identical to the oracle's list_dot_product expression
+        # AND to the JVM rel expression below (same fold order, same
+        # IEEE ops). Round half-AWAY-from-zero (Spark F.round / DuckDB
+        # round), not Python's banker's round
+        x = (
+            _dot_seq(a, b)
+            / (math.sqrt(_dot_seq(a, a)) * math.sqrt(_dot_seq(b, b)))
+            * 1e9
+        )
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
     if candidate_ids is not None:
         # the ANN-prefiltered path (s17): the candidate set comes from
         # an index probe (e.g. ivfpq_residual_topk) instead of the
-        # exact top-k scan — sub-scan generation, same exact selection
-        cand = (
-            e.filter(F.col("vec_id").isin([int(x) for x in candidate_ids]))
-            .filter(F.col("vec_id") != query_vec_id)
-            .select("vec_id", "e", rel.alias("rel_nanos"))
-            .collect()
-        )
+        # exact top-k scan — sub-scan generation, same exact selection.
+        # ONE driver job collects query + candidates together
+        # (optimization r11: was a query collect + a candidate collect);
+        # rel_nanos derives driver-side through _cosn, which is
+        # bit-identical to the JVM expression of the exact path (same
+        # sequential folds, same half-away round).
+        ids = [int(x) for x in candidate_ids]
+        rows = e.filter(
+            F.col("vec_id").isin(ids + [int(query_vec_id)])
+        ).collect()
+        byid = {int(r["vec_id"]): list(r["e"]) for r in rows}
+        if int(query_vec_id) not in byid:
+            raise ValueError(f"query vec_id {query_vec_id} not present")
+        qv = byid[int(query_vec_id)]
+        cand = [
+            (i, byid[i], _cosn(byid[i], qv))
+            for i in sorted(set(ids))
+            if i != int(query_vec_id) and i in byid
+        ]
+        vecs = {i: v for (i, v, _r) in cand}
+        relv = {i: r for (i, _v, r) in cand}
     else:
-        cand = (
+        qrow = e.filter(F.col("vec_id") == query_vec_id).collect()
+        if not qrow:
+            raise ValueError(f"query vec_id {query_vec_id} not present")
+        qv = list(qrow[0]["e"])
+        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        nq = math.sqrt(_dot_seq(qv, qv))
+        dxx = F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
+        dxq = F.aggregate(
+            F.zip_with(F.col("e"), qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        rel = F.round((dxq / (F.sqrt(dxx) * F.lit(nq))) * 1e9).cast("long")
+        rows = (
             e.filter(F.col("vec_id") != query_vec_id)
             .select("vec_id", "e", rel.alias("rel_nanos"))
             .orderBy(F.desc("rel_nanos"), F.asc("vec_id"))
@@ -1368,21 +1412,8 @@ def mmr_diverse_topk(
             .collect()  # quota-seed sized by construction (the s13/s14
             # seed/LUT class): n_candidates rows · dim doubles
         )
-
-    vecs = {int(r["vec_id"]): list(r["e"]) for r in cand}
-    relv = {int(r["vec_id"]): int(r["rel_nanos"]) for r in cand}
-
-    def _cosn(a: list, b: list) -> int:
-        # the int64 cosine grid: sequential-fold dots, sqrt, round —
-        # IEEE-identical to the oracle's list_dot_product expression.
-        # Round half-AWAY-from-zero (Spark F.round / DuckDB round),
-        # not Python's banker's round
-        x = (
-            _dot_seq(a, b)
-            / (math.sqrt(_dot_seq(a, a)) * math.sqrt(_dot_seq(b, b)))
-            * 1e9
-        )
-        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+        vecs = {int(r["vec_id"]): list(r["e"]) for r in rows}
+        relv = {int(r["vec_id"]): int(r["rel_nanos"]) for r in rows}
 
     msim = {i: 0 for i in vecs}
     remaining = sorted(vecs)

@@ -997,10 +997,13 @@ def bpe_train_merges(
     vocabulary (Heaps-law small): pair counts explode vocab-bounded
     adjacent-pair structs, the max-pair is a 1-row TakeOrdered collect
     (the quota/quantile-seed class of legitimately tiny driver
-    collects), and the apply is an Arrow-batched kernel ONCE PER
-    DISTINCT WORD (t23's word-cache discipline — O(vocab) Python per
-    round, the corpus never rescanned). Per-round state is persisted
-    so round r+1 reads round r's vocab, not a recompute chain.
+    collects), and the apply is a pure JVM ``aggregate`` fold ONCE PER
+    DISTINCT WORD (t23's word-cache discipline at zero Python-boundary
+    cost — O(vocab · word_len) codegen per round, the corpus never
+    rescanned; optimization r11, was an Arrow kernel). Per-round state
+    is persisted so round r+1 reads round r's vocab, not a recompute
+    chain, and each round is ONE fused Spark action (see
+    ``bpe_train_rows``).
     """
     words = (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("w"))
@@ -1016,6 +1019,44 @@ def bpe_train_merges(
     )
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (symbols are [a-z0-9]+ by
+    construction, but escape defensively)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _apply_merge_expr(syms_col: str, a: str, b: str) -> Column:
+    """ONE merge (a,b) applied to an ``array<string>`` symbol column at
+    every LEFTMOST NON-OVERLAPPING occurrence — ``apply_one_merge`` as
+    a pure JVM ``aggregate`` fold (guide §4.1: a built-in HOF replaces
+    the per-round Python boundary the r10 trainer paid). The
+    accumulator carries (out, skip): position i appends a+b and sets
+    skip when (syms[i], syms[i+1]) == (a, b) and i was not itself
+    swallowed by the previous position — exactly the single
+    left-to-right pass of the Python reference (differential-pinned by
+    tests/test_wave11.py and tests/test_r11_optimizations.py).
+    ``try_element_at`` keeps the i+1 lookahead NULL-safe (not an
+    error) under the driver's ANSI session. Built as ONE ``F.expr``
+    SQL string: the Column-API form of this fold was ~300 py4j round
+    trips (~0.4s of driver latency) per trainer round."""
+    sa, sb, sab = _sql_str(a), _sql_str(b), _sql_str(a + b)
+    hit = (
+        f"(try_element_at({syms_col}, i) = {sa}"
+        f" AND coalesce(try_element_at({syms_col}, i + 1) = {sb}, false))"
+    )
+    return F.expr(
+        f"""aggregate(
+            sequence(1, size({syms_col})),
+            struct(cast(array() as array<string>) as out, false as skip),
+            (acc, i) -> struct(
+                if(acc.skip, acc.out,
+                   acc.out || array(if({hit}, {sab},
+                                       element_at({syms_col}, i)))) as out,
+                if(acc.skip, false, {hit}) as skip),
+            acc -> acc.out)"""
+    )
+
+
 def bpe_train_rows(
     words: DataFrame, rounds: int = 8
 ) -> list[tuple[int, str, str, int, int, int]]:
@@ -1027,19 +1068,41 @@ def bpe_train_rows(
     quota-seed class of tiny collects) ready to drive
     ``bpe_encode_vocab``. Returns one tuple per round:
     ``(rank, sym_a, sym_b, pair_count, n_merged, n_tokens_after)``.
-    Scale/caching behavior documented on ``bpe_train_merges``."""
+    Scale/caching behavior documented on ``bpe_train_merges``.
+
+    Optimization round r11 (guide §1.2 step 1 + §4.1), identical rows:
+
+    - the per-round merge APPLY is a JVM ``aggregate`` fold
+      (``_apply_merge_expr``) instead of a ``mapInPandas`` kernel —
+      the trainer no longer crosses the Python boundary at all, so
+      each round drops the Arrow round-trip AND the per-round Python
+      task launch (the vocabulary is Heaps-law small, so the fold's
+      O(word_len) work per DISTINCT word is the same arithmetic the
+      kernel did, now inside whole-stage codegen);
+    - ONE Spark action per round instead of two: round r's audit
+      aggregate and round r+1's max-pair TakeOrdered both read the
+      freshly persisted state, so they ship as one 1-row collect (a
+      left join on TRUE of two ≤1-row relations). Measured at sf0.1:
+      t24 17 jobs → 9 jobs.
+
+    At most TWO states are ever cached (r10 ADVICE): the fused collect
+    materializes round r's state, after which round r-1 unpersists.
+    """
     state = words.select(
         "w",
         F.col("cnt").cast("long").alias("cnt"),
         F.expr("filter(split(w, ''), c -> c <> '')").alias("syms"),
     ).persist()
-    rows: list[tuple[int, str, str, int, int, int]] = []
-    # at most TWO states are ever cached (r10 ADVICE): round r reads
-    # only round r-1, so the previous state unpersists as soon as the
-    # round's audit collect has materialized the new one
-    cached = state
-    for r in range(1, rounds + 1):
-        pairs = state.select(
+
+    def _round_stats(df: DataFrame) -> DataFrame:
+        """ONE aggregation subtree per round delivering BOTH the next
+        max-pair and the audit: over the per-pair counts,
+        ``min(struct(-n, a, b))`` is exactly ORDER BY n DESC, a, b
+        LIMIT 1, and ``sum(n)`` gives the weighted token count as
+        nt = Σ_pairs n + W (a word of k symbols holds k−1 pairs, so
+        Σ cnt·(size−1) = Σ_pairs n), with W = Σ cnt constant across
+        rounds. No join/union/broadcast — one plan, ~3 tiny stages."""
+        pairs = df.select(
             "cnt",
             F.explode(
                 F.arrays_zip(
@@ -1048,50 +1111,43 @@ def bpe_train_rows(
                 )
             ).alias("p"),
         )
-        best = (
-            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .agg(F.sum("cnt").cast("long").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b, n_pair = best[0]["a"], best[0]["b"], int(best[0]["n"])
-
-        def apply_batches(it, _a=a, _b=b):
-            import pandas as pd
-
-            for pdf in it:
-                new_syms, n_repl = [], []
-                for syms in pdf["syms"]:
-                    ns, n = apply_one_merge(list(syms), _a, _b)
-                    new_syms.append(ns)
-                    n_repl.append(n)
-                yield pd.DataFrame(
-                    {
-                        "w": pdf["w"],
-                        "cnt": pdf["cnt"],
-                        "syms": new_syms,
-                        "n_repl": n_repl,
-                    }
+        grouped = pairs.groupBy(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b")
+        ).agg(F.sum("cnt").cast("long").alias("n"))
+        return grouped.agg(
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("nn"), F.col("a"), F.col("b")
                 )
-
-        applied = state.mapInPandas(
-            apply_batches,
-            schema="w string, cnt long, syms array<string>, n_repl int",
-        ).persist()
-        audit = applied.agg(
-            F.sum(F.col("cnt") * F.col("n_repl")).cast("long").alias("nm"),
-            F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("nt"),
-        ).collect()[0]
-        rows.append(
-            (r, a, b, n_pair, int(audit["nm"]), int(audit["nt"]))
+            ).alias("best"),
+            F.sum("n").cast("long").alias("tot"),
         )
-        # the audit collect materialized `applied`'s cache — the
-        # previous round's state is no longer read by anything
+
+    rows: list[tuple[int, str, str, int, int, int]] = []
+    cached = state
+    # W (total word occurrences) is round-invariant; this first action
+    # also materializes the persisted state (the only corpus-sized pass)
+    w_total = int(state.agg(F.sum("cnt")).collect()[0][0] or 0)
+    init = _round_stats(state).collect()[0]
+    best, tot_prev = init["best"], int(init["tot"] or 0)
+    for r in range(1, rounds + 1):
+        if best is None or best["a"] is None:
+            break
+        a, b, n_pair = best["a"], best["b"], -int(best["nn"])
+        applied = state.select(
+            "w", "cnt", _apply_merge_expr("syms", a, b).alias("syms")
+        ).persist()
+        # ONE action per round: this collect materializes the new
+        # state's cache and returns round r's audit (via tot) plus
+        # round r+1's max-pair. n_merged = nt_{r-1} − nt_r exactly
+        # (every applied replacement shrinks the weighted count by 1).
+        st = _round_stats(applied).collect()[0]
+        tot = int(st["tot"] or 0)
+        rows.append((r, a, b, n_pair, tot_prev - tot, tot + w_total))
+        best, tot_prev = st["best"], tot
+        # the previous round's state is no longer read by anything
         cached.unpersist()
         cached = applied
-        state = applied.select("w", "cnt", "syms")
+        state = applied
     cached.unpersist()
     return rows

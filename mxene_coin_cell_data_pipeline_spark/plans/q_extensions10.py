@@ -621,7 +621,12 @@ def p07_trained_tokenizer_pipeline(
     from .q_extensions9 import _p06_curation_stages
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    surv, q, sel, pagg, nin = _p06_curation_stages(docs)
+    # materialize the survivors once (optimization r11): the trainer
+    # phase and the final curate+encode plan both consume the d20
+    # chain — see _p06_curation_stages
+    surv, q, sel, pagg, nin = _p06_curation_stages(
+        docs, materialize_surv=True
+    )
     words = (
         surv.select(F.explode("kept_toks").alias("w"))
         .groupBy("w")

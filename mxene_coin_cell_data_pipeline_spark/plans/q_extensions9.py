@@ -674,8 +674,12 @@ from .q_extensions8 import (  # noqa: E402
              LEFT JOIN bagg ON bagg.source = nin.source
     """,
     survey="north-star capstone #3 (the wave-10 chain, VERDICT r09 "
-    "task 7): the tokenizer-ready-corpus pipeline as ONE lazy audited "
-    "plan — d20 cross-document exact-substring REMOVAL (surviving "
+    "task 7): the tokenizer-ready-corpus pipeline — the d20 survivor "
+    "relation materializes once (optimization r11: the fully-lazy "
+    "form's plan replicated the three-shuffle d20 chain under every "
+    "consumer, 44 documents-scans in the physical plan) and the "
+    "curation/encode stages compose lazily on it — d20 cross-document "
+    "exact-substring REMOVAL (surviving "
     "tokens kept in order), o18's integer largest-remainder "
     "quota-exact temperature mixing over the SURVIVORS (per real "
     "source shard, sqrt weighting, Σ quota == survivors DIV 5 an "
@@ -702,7 +706,14 @@ def p06_tokenizer_corpus_pipeline(
     from ..functions.text import bpe_encode_vocab
 
     (docs,) = _ctx(spark, sf_dir, "documents")
-    surv, q, sel, pagg, nin = _p06_curation_stages(docs)
+    # optimization r11: the survivor relation materializes ONCE —
+    # the lazy form's plan replicated the d20 chain under every
+    # consumer (44 documents-scans in the physical plan, only
+    # partially deduped by AQE stage reuse); the curation/encode
+    # stages still compose lazily on the materialized survivors
+    surv, q, sel, pagg, nin = _p06_curation_stages(
+        docs, materialize_surv=True
+    )
     occ = sel.select("source", F.explode("kept_toks").alias("tok"))
     enc = bpe_encode_vocab(occ.select("tok").distinct())
     bagg = occ.join(enc, "tok").groupBy("source").agg(
@@ -738,13 +749,24 @@ def p06_tokenizer_corpus_pipeline(
     )
 
 
-def _p06_curation_stages(docs: DataFrame):
+def _p06_curation_stages(docs: DataFrame, materialize_surv: bool = False):
     """The shared d20-removal → quota-mix → selection → packing stages
     of the p06/p07 capstones: returns ``(surv, q, sel, pagg, nin)``
     (survivors with kept_toks, the quota relation, the selected docs,
     the packing audit aggregate, and the per-source input counts) as
     ONE lazy DAG — p06 encodes under the literal merge table, p07
-    trains on the survivors first and encodes under the trained one."""
+    trains on the survivors first and encodes under the trained one.
+
+    ``materialize_surv`` (p07, optimization r11): the d20 survivor
+    chain (three corpus-wide shuffles) feeds BOTH the eager trainer
+    phase and the final curate+encode plan — without materialization
+    the chain executes once for the trainer and again (partially
+    exchange-reused) for the final plan. ``localCheckpoint`` runs it
+    exactly once and every consumer reads the materialized survivors
+    (guide §3.3: materialize an intermediate referenced across jobs —
+    one write + k reads beats k recomputes of a 3-shuffle chain at any
+    scale). p06 stays fully lazy (single-plan contract, plan-pinned).
+    """
     from pyspark.sql import Window
 
     from ..functions.dedup import crossdoc_kept_tokens
@@ -774,6 +796,8 @@ def _p06_curation_stages(docs: DataFrame):
         )
     )
     surv = kept.join(docs.select("doc_id", "source"), "doc_id")
+    if materialize_surv:
+        surv = surv.localCheckpoint(eager=True)
     counts = surv.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_source")
     )

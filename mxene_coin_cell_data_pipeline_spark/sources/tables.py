@@ -45,6 +45,43 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+#: Metadata caches (optimization round r11, guide §1.2 "per-task work"
+#: applied to the DRIVER): schema inference (`spark.read.parquet(...)
+#: .schema`) and the pyarrow footer sniff cost ~100-180 ms per call,
+#: and every registered query pays them 1-3× per invocation — ~0.2-0.5s
+#: of pure driver-side latency per query, ~15% of the whole bench.
+#: These cache FILE METADATA ONLY (schemas, nano-column lists, scan
+#: split counts), keyed by (path, mtime, size) so a rewritten file
+#: invalidates its entry; query RESULTS are never cached — every
+#: action still computes from the parquet inputs.
+_META_CACHE: dict = {}
+
+#: per-session memo of loaded-table PLAN handles (see load_table) —
+#: weak keys so a stopped/garbage-collected session drops its entries
+import weakref  # noqa: E402
+
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _file_sig(path: str):
+    """Cache key for a parquet file or directory of part files."""
+    try:
+        if os.path.isdir(path):
+            parts = tuple(
+                (f, os.path.getmtime(p), os.path.getsize(p))
+                for f in sorted(os.listdir(path))
+                if f.endswith(".parquet")
+                for p in (os.path.join(path, f),)
+            )
+            return (path, parts)
+        st = os.stat(path)
+        return (path, st.st_mtime, st.st_size)
+    except OSError:
+        return None
+
+
 #: tables available at every scale factor (TESTDATA.md)
 TABLE_NAMES = [
     "region",
@@ -68,14 +105,19 @@ def _nano_timestamp_columns(path: str) -> list[str]:
     single-file tables and directory layouts (first part file's footer
     — parts of one dataset share a schema).
     """
+    sig = _file_sig(path)
+    key = ("nanos", sig)
+    if sig is not None and key in _META_CACHE:
+        return _META_CACHE[key]
     try:
-        if os.path.isdir(path):
-            path = next(
-                os.path.join(path, f)
-                for f in sorted(os.listdir(path))
+        fpath = path
+        if os.path.isdir(fpath):
+            fpath = next(
+                os.path.join(fpath, f)
+                for f in sorted(os.listdir(fpath))
                 if f.endswith(".parquet")
             )
-        schema = pq.read_schema(path)
+        schema = pq.read_schema(fpath)
     except Exception:
         return []
     out = []
@@ -83,6 +125,8 @@ def _nano_timestamp_columns(path: str) -> list[str]:
         t = field.type
         if str(t).startswith("timestamp[ns"):
             out.append(field.name)
+    if sig is not None:
+        _META_CACHE[key] = out
     return out
 
 
@@ -116,8 +160,17 @@ def ntz_free_schema(spark: SparkSession, path: str) -> StructType:
     Supplying this as the *read* schema makes the parquet decoder emit
     the stored int64 micros as the instant — session-tz independent
     (see module docstring). Shared by the batch and streaming loaders.
+    Schema inference is ~100ms of driver latency per call, so the
+    result is memoized per (path, mtime, size) — metadata only.
     """
-    return _ntz_as_ltz(spark.read.parquet(path).schema)
+    sig = _file_sig(path)
+    key = ("schema", sig)
+    if sig is not None and key in _META_CACHE:
+        return _META_CACHE[key]
+    schema = _ntz_as_ltz(spark.read.parquet(path).schema)
+    if sig is not None:
+        _META_CACHE[key] = schema
+    return schema
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -131,6 +184,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # non-UTC session would otherwise shift every day-bucket boundary
     # relative to the DuckDB oracle's naive-UTC calendar.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Memoize the PLAN HANDLE per (session, path, file signature):
+    # DataFrames are immutable lazy plans, so handing the same handle
+    # back is semantically the identity while skipping ~70ms of scan
+    # re-construction per call. Keyed weakly by session (a stopped
+    # session's entries die with it) and by file mtime/size (a
+    # rewritten file invalidates). Results are never cached — every
+    # action on the handle reads the parquet afresh.
+    sig = _file_sig(path)
+    per = _DF_CACHE.setdefault(spark, {})
+    hit = per.get(path)
+    if sig is not None and hit is not None and hit[0] == sig:
+        return hit[1]
     df = spark.read.schema(ntz_free_schema(spark, path)).parquet(path)
     long_cols = {f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"}
     for col in _nano_timestamp_columns(path):
@@ -144,6 +209,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 col, F.expr(f"timestamp_micros(`{col}` div 1000)")
             )
+    if sig is not None:
+        per[path] = (sig, df)
     return df
 
 
@@ -179,6 +246,32 @@ def scale_out(df: DataFrame, *cols: str) -> DataFrame:
     """
     spark = df.sparkSession
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    if df.rdd.getNumPartitions() >= max(target // 2, 1):
+    # The scan-partition probe (df.rdd.getNumPartitions) costs ~150ms
+    # of driver time per call (full plan→RDD translation); the answer
+    # depends only on the input FILES and the split config, so memoize
+    # it per (files, maxPartitionBytes, target). Metadata only — the
+    # probe is re-run whenever the file set (or its mtimes) changes.
+    # semanticHash canonicalizes expression ids, so the same
+    # projection over the same table hashes identically across
+    # invocations (~15ms vs ~150ms for the RDD probe); a hash
+    # collision could only mis-steer the repartition heuristic, never
+    # correctness.
+    key = None
+    try:
+        key = (
+            "scanparts",
+            df.semanticHash(),
+            spark.conf.get("spark.sql.files.maxPartitionBytes"),
+            target,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _META_CACHE:
+        n_in = _META_CACHE[key]
+    else:
+        n_in = df.rdd.getNumPartitions()
+        if key is not None:
+            _META_CACHE[key] = n_in
+    if n_in >= max(target // 2, 1):
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

@@ -524,6 +524,14 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     algorithm pattern on Spark). Near-dup graphs are sparse and
     shallow — diameter is small in practice; ``max_iter`` bounds
     pathological chains.
+
+    Optimization r11 (identical labels): each round is ONE Spark
+    action instead of two — the changed-count rides the label update
+    as an inline flag (the old/new compare needs no self-join: both
+    values are present in the update's own select), and the 1-row
+    ``sum(_chg)`` collect is what materializes the round's
+    checkpoint. Measured: the closure phase of d06/d14/d21 drops
+    half its per-round job count.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (
@@ -549,23 +557,25 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("_nl").alias("_ml"))
             .select(F.col("src").alias("doc_id"), "_ml")
         )
-        new_labels = (
+        new_lbl = F.least(
+            F.col("group_id"), F.coalesce(F.col("_ml"), F.col("group_id"))
+        )
+        stepped = (
             labels.join(nbr_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("group_id"), F.coalesce(F.col("_ml"), F.col("group_id"))
-                ).alias("group_id"),
+                # _chg BEFORE the group_id alias: lateral column alias
+                # resolution would otherwise bind the comparison's
+                # group_id to the just-updated value (always false)
+                (new_lbl != F.col("group_id")).cast("int").alias("_chg"),
+                new_lbl.alias("group_id"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
+        changed = int(
+            stepped.agg(F.sum("_chg")).collect()[0][0] or 0
         )
-        labels = new_labels
+        labels = stepped.select("doc_id", "group_id")
         if changed == 0:
             break
     return labels
@@ -720,7 +730,18 @@ def hamming_pairs_from_bits(
         .alias(word_cols[i])
         for i in range(n_words)
     ]
-    sh = fps.select("doc_id", bits_col, *words)
+    # Persist the COMPACT per-doc fingerprint table (optimization r11,
+    # guide §5 caching rule: reused AND expensive to recompute). The
+    # lazy form replicated the upstream fingerprint derivation under
+    # FIVE plan subtrees (the band window feeds the small-bucket self-
+    # join's two legs plus the star leg, and the word re-attach adds
+    # two more) — for the multimodal callers that is five executions
+    # of the codec kernel per query (measured: m10's kernel 0.84s,
+    # full query 2.7s). One narrow row per doc (id + bits + words), so
+    # the cache is corpus-linear and MEMORY_AND_DISK-safe at scale;
+    # blocks are released by the context cleaner when the plan handle
+    # is garbage-collected.
+    sh = fps.select("doc_id", bits_col, *words).persist()
     bands = sh.select(
         "doc_id",
         *word_cols,
@@ -1179,6 +1200,14 @@ def containment_pairs(
     posting = posting.withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
+    # Persist the annotated posting relation (optimization r11): it
+    # feeds doc_sets, the prefix ranking AND the full-side join — the
+    # lazy form replayed the shingle explode + df-window + n-window
+    # chain (two shuffles of the exploded relation) once per consumer
+    # (4 scan branches in the physical plan). One disk-spillable cache
+    # beats three recomputes of the same two-shuffle chain at any
+    # scale; blocks release via the context cleaner.
+    posting = posting.persist()
     doc_sets = posting.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("_set")
     )

@@ -331,8 +331,10 @@ _M13_BITS = " || ".join(
     "the pair must stay connected) with ONE spliced window (different "
     "content — exactly its windows drop out of the match set).",
     note="REGISTERED CAPPED from birth (bucket_cap=64, the m10/m11/"
-    "m12 lesson). ONE lazy kernel pass — n_win rides the composite id "
-    "like m12's n_kf, so no persist and no second kernel execution. "
+    "m12 lesson). ONE kernel pass — n_win rides the composite id "
+    "like m12's n_kf (no second kernel TYPE), and the shared band "
+    "machinery persists the compact fingerprint table (optimization "
+    "r11: one kernel execution instead of five subtree replays). "
     "Oracle is pure integer arithmetic end to end (closed-form md5 "
     "samples, exact int energies, integer comparisons) — "
     "tolerance-free by construction, no float discipline needed.",

@@ -511,9 +511,12 @@ _M12_BAND_CTES = f"""
     "pHash robustness must keep connected.",
     note="REGISTERED CAPPED from birth (bucket_cap=64, the m10/m11 "
     "lesson — perceptual bands on small frames are low-entropy). The "
-    "codec kernel runs in ONE lazy pass: n_kf is encoded in the low 3 "
-    "bits of the composite frame id, so no persist/checkpoint and no "
-    "second kernel execution (plan-pinned: exactly one MapInPandas).",
+    "codec kernel runs ONCE: n_kf is encoded in the low 3 bits of the "
+    "composite frame id so the audit adds no second kernel TYPE, and "
+    "the shared band machinery persists the compact fingerprint table "
+    "(optimization r11 — the fully-lazy form re-executed the kernel "
+    "under five plan subtrees; plan-pinned: kernel count matches m11, "
+    "single cached fingerprint relation).",
 )
 def m12_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video pairs whose keyframe fingerprint sets mutually match on

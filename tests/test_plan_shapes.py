@@ -371,12 +371,15 @@ def test_s13_adc_is_pure_scan_plus_topk_broadcasts(spark, sf_dir):
 def test_m12_kernel_once_band_join_capped(spark, sf_dir):
     """Video near-dup must ride the SAME band-machinery plan shape as
     m10/m11 (n_kf travels in the composite frame id, so the audit adds
-    NO extra kernel subtree, no persist, no second join leg beyond the
-    family shape) with no cartesian anywhere."""
+    NO extra kernel subtree, no second join leg beyond the family
+    shape) with no cartesian anywhere. The shared machinery persists
+    the compact fingerprint table (optimization r11 — one kernel
+    execution instead of five subtree replays), so InMemoryTableScan
+    IS expected in the plan."""
     plan = _plan("m12_video_phash_neardup", spark, sf_dir)
     m11 = _plan("m11_image_phash_neardup", spark, sf_dir)
     assert plan.count("MapInPandas") == m11.count("MapInPandas")
-    assert "InMemoryTableScan" not in plan
+    assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -415,11 +418,15 @@ def test_s14_ivfpq_is_pruned_scan_plus_topk_broadcasts(spark, sf_dir):
 def test_m13_kernel_once_band_join_capped(spark, sf_dir):
     """Audio near-dup must ride the SAME band-machinery plan shape as
     m10-m12: ONE codec kernel pass (n_win travels in the composite
-    window id — no persist, no second MapInPandas), no cartesian."""
+    window id — no second kernel TYPE), no cartesian. The compact
+    fingerprint table is PERSISTED by the shared band machinery
+    (optimization r11: the lazy form re-executed the codec kernel
+    under five plan subtrees), so every InMemoryTableScan reference
+    must read the same single cached relation."""
     plan = _plan("m13_audio_fingerprint_neardup", spark, sf_dir)
     m11 = _plan("m11_image_phash_neardup", spark, sf_dir)
     assert plan.count("MapInPandas") == m11.count("MapInPandas")
-    assert "InMemoryTableScan" not in plan
+    assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -218,7 +218,13 @@ def lsh_candidate_pairs(
     default; ``bucket_cap=None`` opts out into the fully-exact
     all-pairs shape.
     """
-    bands = band_buckets(sig, num_hashes, band_size, hash_fn)
+    # Persist the band relation (optimization r11): it is COMPACT
+    # (n_bands rows per doc, id + band + bucket) but every reference
+    # downstream re-derives the full shingle → minhash-signature chain
+    # (the per-shingle hashing that dominates this family's per-row
+    # cost) — the uncapped self-join references it twice, the capped
+    # path three times through the bucket window's legs.
+    bands = band_buckets(sig, num_hashes, band_size, hash_fn).persist()
     if bucket_cap is None:
         a = bands.alias("a")
         b = bands.alias("b")
@@ -246,12 +252,16 @@ def _capped_bucket_pairs(
     small-bucket rows — the large buckets never enter a join at all.
     """
     kw = Window.partitionBy(*bucket_keys)
+    # Persist the annotated band relation (optimization r11): the
+    # small-bucket self-join's two legs and the star leg each replayed
+    # the bucket window (and everything beneath it) — three executions
+    # of the same shuffle+window over a compact relation.
     ann = bands.select(
         "doc_id",
         *bucket_keys,
         F.count(F.lit(1)).over(kw).alias("_m"),
         F.min("doc_id").over(kw).alias("_mn"),
-    )
+    ).persist()
     small = ann.filter(F.col("_m") <= bucket_cap)
     a = small.select("doc_id", *bucket_keys).alias("a")
     b = small.select("doc_id", *bucket_keys).alias("b")
@@ -397,11 +407,20 @@ def ngram_jaccard_pairs(
                 "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
             )
             .drop("_df")
+            # persisted (optimization r11): the capped posting feeds
+            # both the recomputed doc_sets and the prefix ranking —
+            # the lazy form replayed the df-window chain per consumer
+            .persist()
         )
         # sets over the SAME capped universe as the postings
         doc_sets = posting.groupBy("doc_id").agg(
             F.collect_set("shingle").alias("_set")
         )
+    # persisted (optimization r11): referenced by the two verify legs
+    # (and in the uncapped branch also by the posting derivation) —
+    # one collect_set shuffle instead of one per reference; one row
+    # per doc, the broadcast side by construction
+    doc_sets = doc_sets.persist()
     # rarest-first canonical order; ties broken by shingle text so the
     # rank — and with it the prefix — is deterministic and reproducible
     # by the SQL oracle (row_number over the identical ORDER BY)
@@ -413,9 +432,16 @@ def ngram_jaccard_pairs(
             Window.partitionBy("doc_id").orderBy("_df", "shingle")
         ),
     )
-    prefix = ranked.filter(
-        F.col("_rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
-    ).select("doc_id", "n", "_rn", "shingle")
+    prefix = (
+        ranked.filter(
+            F.col("_rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        )
+        .select("doc_id", "n", "_rn", "shingle")
+        # persisted (optimization r11): both self-join legs read the
+        # prefix — the lazy form replayed the two ranking windows per
+        # leg; prefix rows are a small slice of the postings
+        .persist()
+    )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("n_a"),

@@ -21,6 +21,40 @@ import math
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _dlit(vals) -> Column:
+    """Literal ``array<double>`` as ONE parsed SQL expression
+    (optimization r11): the Column-API form ``F.array(*[F.lit(x) ...])``
+    costs one py4j round trip per element — measured 672 ms for a
+    64-float array vs 7.6 ms for this form — and the seed/LUT-literal
+    queries (s13/s14/src07/s17) build dozens of them per invocation.
+    ``repr`` emits the shortest round-trip decimal, so the parsed
+    double is bit-identical to the ``F.lit`` it replaces."""
+    return F.expr(
+        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+    )
+
+
+def _dlit_sql(vals) -> str:
+    """The SQL-string form of :func:`_dlit`, for embedding literal
+    arrays inside larger single-parse expressions."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+
+
+def _sq_sql(arr: str) -> str:
+    """Σ v² over an array expression — the same sequential
+    left-to-right fold as the Column-API ``F.aggregate`` form."""
+    return f"aggregate({arr}, 0.0D, (acc, v) -> acc + v * v)"
+
+
+def _dotp_sql(a: str, b: str) -> str:
+    """Sequential-fold dot product of two array expressions —
+    identical op order to the Column-API zip_with/aggregate form."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D,"
+        f" (acc, v) -> acc + v)"
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -732,7 +766,7 @@ def kmeans_lloyd_iteration(
     cand = []
     for c in range(k):
         cvec = seeds[c]
-        clit = F.array(*[F.lit(float(x)) for x in cvec])
+        clit = _dlit(cvec)
         dcc = 0.0
         for x in cvec:  # same left-to-right fold as list_dot_product
             dcc = dcc + float(x) * float(x)
@@ -795,34 +829,34 @@ def pq_assign(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
+    # Whole-column expressions are built as single-parse SQL strings
+    # (optimization r11): the Column-API form cost one py4j round trip
+    # per node — hundreds per invocation for the m·k candidate trees.
+    # The SQL mirrors the previous Column tree exactly (same sequential
+    # folds, same expansion, same tie-break via struct array_min).
     cols = [F.col("vec_id")]
     err_terms = []
     for s in range(m):
-        xs = F.slice(F.col("e"), s * sub + 1, sub)
-        dxx = F.aggregate(
-            xs, F.lit(0.0), lambda acc, v: acc + v * v
-        )
+        xs = f"slice(e, {s * sub + 1}, {sub})"
+        dxx = _sq_sql(xs)
         cand = []
         for c in range(k):
             cvec = seeds[c][s * sub : (s + 1) * sub]
-            clit = F.array(*[F.lit(float(x)) for x in cvec])
             dcc = 0.0
             for x in cvec:  # same left-to-right fold as list_dot_product
                 dcc = dcc + float(x) * float(x)
-            dxc = F.aggregate(
-                F.zip_with(xs, clit, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            dxc = _dotp_sql(xs, _dlit_sql(cvec))
+            cand.append(
+                f"struct(({dxx}) - 2 * ({dxc}) + {repr(dcc)}D AS dist,"
+                f" {c} AS code)"
             )
-            dist = dxx - 2 * dxc + F.lit(dcc)
-            cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("code")))
-        mn = F.array_min(F.array(*cand))
-        cols.append(mn["code"].cast("int").alias(f"code_{s}"))
-        err_terms.append(F.round(mn["dist"] * 1e9).cast("long"))
-    total = err_terms[0]
-    for t in err_terms[1:]:
-        total = total + t
-    cols.append(total.alias("err_nanos"))
+        mn = f"array_min(array({', '.join(cand)}))"
+        cols.append(
+            F.expr(f"CAST(({mn}).code AS INT)").alias(f"code_{s}")
+        )
+        err_terms.append(f"CAST(round(({mn}).dist * 1e9) AS BIGINT)")
+    total = " + ".join(err_terms)
+    cols.append(F.expr(total).alias("err_nanos"))
     return e.select(*cols)
 
 
@@ -862,7 +896,7 @@ def random_projection(
 
     cols = [F.col("vec_id")]
     for j in range(out_dim):
-        slit = F.array(*[F.lit(sign(i, j)) for i in range(1, dim + 1)])
+        slit = _dlit([sign(i, j) for i in range(1, dim + 1)])
         fold = F.aggregate(
             F.zip_with(F.col("e"), slit, lambda x, s: x * s),
             F.lit(0.0),
@@ -959,7 +993,7 @@ def pq_adc_topk(
     )
     terms = [
         F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[s]]),
+            _dlit(lut[s]),
             F.col(f"code_{s}") + 1,
         )
         for s in range(m)
@@ -975,7 +1009,7 @@ def pq_adc_topk(
         .limit(topk)
     )
 
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = _dlit(qv)
     dqq_full = _dot_seq(qv, qv)
     dxx = F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
     dxq = F.aggregate(
@@ -1163,7 +1197,7 @@ def ivfpq_residual_topk(
     da = _dot(F.col("e"), F.col("e"))
     cand = []
     for c in range(kc):
-        clit = F.array(*[F.lit(float(x)) for x in coarse[c]])
+        clit = _dlit(coarse[c])
         dcc = _dot_seq(coarse[c], coarse[c])
         dist = da - 2 * _dot(F.col("e"), clit) + F.lit(dcc)
         cand.append(F.struct(dist.alias("dist"), F.lit(c).alias("list_id")))
@@ -1183,7 +1217,7 @@ def ivfpq_residual_topk(
     # residual of each survivor against its list centroid
     res = F.lit(None).cast("array<double>")
     for li in enc_lists:
-        clit = F.array(*[F.lit(float(x)) for x in coarse[li]])
+        clit = _dlit(coarse[li])
         res = F.when(
             F.col("list_id") == li,
             F.zip_with(F.col("e"), clit, lambda x, y: x - y),
@@ -1198,7 +1232,7 @@ def ivfpq_residual_topk(
         cands = []
         for c in range(k):
             ps = pq[c][s * sub : (s + 1) * sub]
-            plit = F.array(*[F.lit(float(x)) for x in ps])
+            plit = _dlit(ps)
             dpp = _dot_seq(ps, ps)
             drp = F.aggregate(
                 F.zip_with(rs, plit, lambda a, b: a * b),
@@ -1232,7 +1266,7 @@ def ivfpq_residual_topk(
     for s in range(m):
         t = F.lit(None).cast("double")
         for li in probed:
-            llit = F.array(*[F.lit(float(x)) for x in lut[li][s]])
+            llit = _dlit(lut[li][s])
             t = F.when(
                 F.col("list_id") == li, F.element_at(llit, F.col(f"code_{s}") + 1)
             ).otherwise(t)
@@ -1251,7 +1285,7 @@ def ivfpq_residual_topk(
     )
 
     # dual exact audits over the FULL corpus (int64 grid, s13 form)
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = _dlit(qv)
     dqq_full = _dot_seq(qv, qv)
     dxx = F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
     dxq = F.aggregate(
@@ -1395,7 +1429,7 @@ def mmr_diverse_topk(
         if not qrow:
             raise ValueError(f"query vec_id {query_vec_id} not present")
         qv = list(qrow[0]["e"])
-        qlit = F.array(*[F.lit(float(x)) for x in qv])
+        qlit = _dlit(qv)
         nq = math.sqrt(_dot_seq(qv, qv))
         dxx = F.aggregate(F.col("e"), F.lit(0.0), lambda a, v: a + v * v)
         dxq = F.aggregate(

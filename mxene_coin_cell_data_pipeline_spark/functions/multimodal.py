@@ -821,8 +821,10 @@ def with_ppm_pair_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 g = did // 2
                 w = 3 + g % 6
                 h = 2 + g % 4
+                # digest()[0] == int(hexdigest[:2], 16): same first
+                # byte without the hex round trip (optimization r11)
                 vals = [
-                    int(hashlib.md5(f"{g}:{k}".encode()).hexdigest()[:2], 16)
+                    hashlib.md5(f"{g}:{k}".encode()).digest()[0]
                     for k in range(3 * w * h)
                 ]
                 if did % 2 == 1:
@@ -1026,17 +1028,21 @@ def with_avi_ppm_pair_payload(
                 h = 2 + g % 4
                 n_scenes = 2 + g % 2
                 frames = []
-                for k in range(2 * n_scenes):
-                    s, rep = k // 2, k % 2
-                    vals = [
-                        int(
-                            hashlib.md5(
-                                f"{g}:{s}:{j}".encode()
-                            ).hexdigest()[:2],
-                            16,
-                        )
+                # one md5 stream per SCENE (optimization r11: the rep
+                # frame repeats its scene image, so computing the
+                # stream per FRAME doubled the md5 work); digest()[0]
+                # IS int(hexdigest[:2], 16) — same first byte, no hex
+                # round trip. Values unchanged byte for byte.
+                scene_vals = {
+                    s: [
+                        hashlib.md5(f"{g}:{s}:{j}".encode()).digest()[0]
                         for j in range(3 * w * h)
                     ]
+                    for s in range(n_scenes)
+                }
+                for k in range(2 * n_scenes):
+                    s, rep = k // 2, k % 2
+                    vals = list(scene_vals[s])
                     if rep == 1:
                         vals[0] = (vals[0] + 1) % 256
                     if did % 2 == 1 and s == 0:
@@ -1174,9 +1180,10 @@ def with_wav_pair_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         else:
                             key = f"{g}:{w}:{i}"
                             mul = 2
-                        v16 = int(
-                            hashlib.md5(key.encode()).hexdigest()[:4], 16
-                        )
+                        # first two digest bytes == int(hexdigest[:4],
+                        # 16) — same int16, no hex round trip
+                        d = hashlib.md5(key.encode()).digest()
+                        v16 = (d[0] << 8) | d[1]
                         vals.append(mul * (v16 % 32768 - 16384))
                 data = b"".join(struct.pack("<h", v) for v in vals)
                 hdr = (

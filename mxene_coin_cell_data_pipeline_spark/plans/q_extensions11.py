@@ -628,8 +628,20 @@ def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
         F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
     )
+    # both directions from ONE pass via explode (optimization r11: the
+    # union form re-ran the lineitem⋈orders subtree once per branch)
     g = (
-        raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .distinct()
         .persist()
     )

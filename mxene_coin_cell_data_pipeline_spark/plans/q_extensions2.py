@@ -151,8 +151,23 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Symmetrize BEFORE the (single) distinct: one exchange on
     # (src, dst) dedups both directions at once — the earlier
-    # distinct-then-union-then-distinct form paid two.
-    g = raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # distinct-then-union-then-distinct form paid two. Both directions
+    # emit from ONE pass via explode (optimization r11): the union
+    # form re-ran the lineitem⋈orders subtree once per branch.
+    g = (
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
+        .distinct()
+    )
     # Degrees via a window over src, not groupBy+join: the window's
     # exchange on src is the SAME shuffle the degree join would need,
     # but it drops the separate aggregate + join stages (measured

@@ -125,20 +125,34 @@ def g02_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
     )
-    sym = raw.union(
-        raw.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
     # Self-loops fold the "least(own, neighbor-min)" update into ONE
     # join+aggregate per round: min over (neighbors ∪ self) ≡
     # least(l_t(v), min over neighbors) — halves the per-round join
     # count vs the textbook two-step (measured 8.0s → ~5s at sf0.1).
-    # The union runs before the single distinct, so self-loops cost no
-    # extra exchange.
-    g = sym.union(
-        sym.select("src").distinct().select(
-            F.col("src"), F.col("src").alias("dst")
+    # Both directions AND both endpoints' self-loops emit from ONE
+    # pass via explode (optimization r11: the union form re-ran the
+    # lineitem⋈orders subtree once per branch — every vertex appears
+    # as src or dst of raw, so (s,s) ∪ (d,d) over raw rows is exactly
+    # the per-vertex self-loop set), still one distinct exchange.
+    g = (
+        raw.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                    F.struct(F.col("src"), F.col("src").alias("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("dst").alias("dst")
+                    ),
+                )
+            ).alias("_e")
         )
-    ).distinct().persist()
+        .select("_e.src", "_e.dst")
+        .distinct()
+        .persist()
+    )
     labels = g.select(F.col("src").alias("v")).distinct().withColumn(
         "lbl", F.col("v")
     )

@@ -32,6 +32,29 @@ the full query actually took, cold-cache effects are already
 absorbed by the warmup pass. The per-pass headline totals and their
 spread are stamped into the artifact — read any committed headline
 against its own spread before calling a delta a regression.
+
+Round-12 protocol changes (both are measurement-honesty fixes, called
+out per the optimization brief; the OLD numbers live on in the
+committed BENCH_r* series and OPTIMIZATION_r12.md keeps both):
+
+- ``spark.catalog.clearCache()`` runs after EVERY query execution
+  (warmup and timed, outside the timed window). Several operators
+  legitimately ``persist()`` a reused intermediate within one query
+  plan (guide §5); because Spark's CacheManager matches canonicalized
+  plans ACROSS invocations, a timed pass would otherwise read
+  intermediates materialized during the untimed warmup (and one query
+  could read a twin's cache within a pass) — result caching in effect,
+  even though each persist is a within-query optimization. Clearing
+  between executions makes every timed number a full recompute from
+  the parquet inputs, and bounds the session's cache growth.
+- The final stdout JSON line now carries a ``queries`` map (the r01
+  contract) with the 58 headline entries plus a PINNED list of the
+  heaviest extended entries, values rounded to 2 decimals. The r05
+  full-map line blew the driver's ~2000-byte tail capture (parsed:
+  null); this subset is sized to fit with slack, and informational
+  fields are dropped before query entries if the line ever overflows.
+  The full 3-decimal map for all entries stays in BENCH_DETAIL.json
+  and on stderr.
 """
 
 from __future__ import annotations
@@ -168,6 +191,24 @@ EXTENDED = [
     "d21_quality_keeper_groups",
     "s17_mmr_over_ivfadc",
     "g04_label_propagation",
+]
+
+#: Entries whose per-query seconds ride the final STDOUT line (r12,
+#: VERDICT r11 item 2 — driver-visible per-query history): the 58
+#: headline queries plus this PINNED subset of the heaviest extended
+#: entries. Pinned and append-only (the driver diffs names round over
+#: round; removing one reads as a dropped query) and sized so the
+#: whole line stays inside the driver's ~2000-byte tail capture —
+#: the full map for every entry is in BENCH_DETAIL.json.
+STDOUT_EXTRA = [
+    "p07_trained_tokenizer_pipeline",
+    "g04_label_propagation",
+    "g02_connected_components",
+    "st10_stream_histogram",
+    "t24_bpe_train_merges",
+    "p06_tokenizer_corpus_pipeline",
+    "st11_stream_incremental_dedup",
+    "d19_containment_pairs",
 ]
 
 
@@ -316,6 +357,15 @@ def main() -> None:
     def run(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    # Cache honesty (r12, VERDICT r11 item 1): drop every SQL-cached
+    # relation once a query's action completes, so the NEXT execution —
+    # warmup or timed — recomputes from parquet instead of reading
+    # intermediates a previous invocation persisted (CacheManager
+    # matches canonicalized plans across invocations). Called OUTSIDE
+    # the timed window: timers stop before cleanup runs.
+    def clear_cache() -> None:
+        spark.catalog.clearCache()
+
     bench_only = _bench_only()
     fns = {name: QUERIES[name].spark for name in HEADLINE + EXTENDED}
     fns.update(bench_only)
@@ -327,6 +377,7 @@ def main() -> None:
                 run(fn(spark, warm_sf))
             except Exception:
                 pass  # a warmup failure must never sink the bench
+            clear_cache()
 
     # ≥3 interleaved passes, min per query (VERDICT r08 task 4): the
     # committed series was sampling co-tenant weather — four same-day
@@ -379,6 +430,7 @@ def main() -> None:
             except Exception:
                 if name not in warmup_failures:
                     warmup_failures.append(name)
+            clear_cache()
         warmup_pass_secs.append(round(time.perf_counter() - t0, 3))
     if warmup_pass_secs:
         warmup_pass_sec = warmup_pass_secs[0]
@@ -388,6 +440,7 @@ def main() -> None:
             t0 = time.perf_counter()
             run(fn(spark, sf_dir))
             elapsed = round(time.perf_counter() - t0, 3)
+            clear_cache()
             pass_t[name] = elapsed
             if name not in times or elapsed < times[name]:
                 times[name] = elapsed
@@ -433,25 +486,42 @@ def main() -> None:
     with open(detail_file, "w") as f:
         json.dump(detail, f, indent=1)
     print(json.dumps({"per_query_detail": detail_file, "queries": times}), file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_query_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "value_extended_wave34_sec": total_ext,
-                "value_bench_only_xxh_sec": total_xxh,
-                "n_passes": n_passes,
-                "warmup_pass_sec": warmup_pass_sec,
-                "intra_run_spread": round(
-                    max(pass_totals) / min(pass_totals), 3
-                ),
-                "detail": os.path.basename(detail_file),
-                **host,
-            }
-        )
-    )
+    # Final stdout line (r12 protocol): the compact headline JSON the
+    # driver parses from a bounded (~2000 byte) output tail, now
+    # carrying per-query seconds for HEADLINE + STDOUT_EXTRA (2-decimal
+    # — full precision in the detail file). If the line ever outgrows
+    # the budget, informational fields are dropped first; query entries
+    # are never dropped.
+    stdout_obj = {
+        "metric": "total_headline_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "queries": {
+            n: round(times[n], 2) for n in HEADLINE + STDOUT_EXTRA if n in times
+        },
+        "value_extended_wave34_sec": total_ext,
+        "value_bench_only_xxh_sec": total_xxh,
+        "n_passes": n_passes,
+        "warmup_pass_sec": warmup_pass_sec,
+        "intra_run_spread": round(max(pass_totals) / min(pass_totals), 3),
+        "detail": os.path.basename(detail_file),
+        **host,
+    }
+    line = json.dumps(stdout_obj, separators=(",", ":"))
+    for drop in (
+        "host_wait_s",
+        "host_busy_at_start",
+        "host_loadavg_1m_at_start",
+        "warmup_pass_sec",
+        "n_passes",
+        "intra_run_spread",
+    ):
+        if len(line) <= 1900:
+            break
+        stdout_obj.pop(drop, None)
+        line = json.dumps(stdout_obj, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

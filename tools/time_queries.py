@@ -44,6 +44,7 @@ def main() -> int:
     for _ in range(args.warmups):
         for name in names:
             run(name)
+            spark.catalog.clearCache()  # bench.py cache-honesty parity
     times: dict[str, float] = {}
     per_pass: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(args.passes):
@@ -51,6 +52,7 @@ def main() -> int:
             t0 = time.perf_counter()
             run(name)
             el = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()  # outside the timed window
             per_pass[name].append(el)
             if name not in times or el < times[name]:
                 times[name] = el

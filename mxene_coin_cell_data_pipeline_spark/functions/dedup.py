@@ -218,14 +218,18 @@ def lsh_candidate_pairs(
     default; ``bucket_cap=None`` opts out into the fully-exact
     all-pairs shape.
     """
-    # Persist the band relation (optimization r11): it is COMPACT
-    # (n_bands rows per doc, id + band + bucket) but every reference
-    # downstream re-derives the full shingle → minhash-signature chain
-    # (the per-shingle hashing that dominates this family's per-row
-    # cost) — the uncapped self-join references it twice, the capped
-    # path three times through the bucket window's legs.
-    bands = band_buckets(sig, num_hashes, band_size, hash_fn).persist()
+    bands = band_buckets(sig, num_hashes, band_size, hash_fn)
     if bucket_cap is None:
+        # Persist the band relation (optimization r11): it is COMPACT
+        # (n_bands rows per doc, id + band + bucket) but BOTH self-join
+        # legs re-derive the full shingle → minhash-signature chain
+        # (the per-shingle hashing that dominates this family's per-row
+        # cost) without it. Scoped to the uncapped branch only — the
+        # capped path (r12) reads the band relation exactly once.
+        # NOTE: SQL-cached relations live until unpersist()/clearCache()
+        # — a long-lived session running many queries should clear the
+        # cache between them (bench.py does after every execution).
+        bands = bands.persist()
         a = bands.alias("a")
         b = bands.alias("b")
         return (
@@ -247,33 +251,68 @@ def _capped_bucket_pairs(
     bands: DataFrame, bucket_keys: list[str], bucket_cap: int
 ) -> DataFrame:
     """All-pairs within small buckets + star edges (min doc_id → member)
-    within large ones; distinct over both. One window over the bucket
-    partitioning (shared shuffle), then the self-join touches ONLY the
-    small-bucket rows — the large buckets never enter a join at all.
+    within large ones; distinct over both.
+
+    Single-pass form (optimization r12, guide §2.4): ONE groupBy over
+    the bucket keys collects each bucket's (distinct-by-construction)
+    members into a sorted array, and the pair emission is a row-local
+    array expression — all ordered pairs of the array when the bucket
+    is small, star edges from the array's minimum (element 0 after the
+    sort) past the cap. This replaces the r11 shape (a count/min window
+    + a small-bucket SELF-JOIN + a star filter over a persisted window
+    output): the window exchange, both join exchanges and the persist
+    all disappear — the band relation is read exactly once and only the
+    final ``distinct`` shuffles pair rows.
+
+    Memory boundary: one aggregation buffer holds one bucket's member
+    array (8 bytes/id) — 8 MB at m = 10⁶, fine for any real boilerplate
+    cluster; a pathological m ≳ 10⁸ bucket would pressure a single
+    task's buffer, but such a bucket also emits m−1 star rows, so the
+    right guard at that scale is pre-filtering the bucket key upstream,
+    not a streamier pair emitter.
     """
-    kw = Window.partitionBy(*bucket_keys)
-    # Persist the annotated band relation (optimization r11): the
-    # small-bucket self-join's two legs and the star leg each replayed
-    # the bucket window (and everything beneath it) — three executions
-    # of the same shuffle+window over a compact relation.
-    ann = bands.select(
-        "doc_id",
-        *bucket_keys,
-        F.count(F.lit(1)).over(kw).alias("_m"),
-        F.min("doc_id").over(kw).alias("_mn"),
-    ).persist()
-    small = ann.filter(F.col("_m") <= bucket_cap)
-    a = small.select("doc_id", *bucket_keys).alias("a")
-    b = small.select("doc_id", *bucket_keys).alias("b")
-    join_cond = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in bucket_keys]
-    exact = (
-        a.join(b, join_cond + [F.col("a.doc_id") < F.col("b.doc_id")])
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    g = bands.groupBy(*bucket_keys).agg(
+        F.array_sort(F.collect_list("doc_id")).alias("_ds")
     )
-    star = ann.filter(
-        (F.col("_m") > bucket_cap) & (F.col("doc_id") != F.col("_mn"))
-    ).select(F.col("_mn").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-    return exact.unionByName(star).distinct()
+    # all ordered pairs (x at 0-based i, every later y) of the sorted
+    # member array — doc_a < doc_b by construction, exactly the old
+    # self-join's emission; slice() truncates at the array end
+    all_pairs = F.expr(
+        "flatten(transform(_ds, (x, i) ->"
+        " transform(slice(_ds, i + 2, size(_ds)),"
+        "           y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    # star edges: min member (element 0) → every other member
+    star = F.expr(
+        "transform(slice(_ds, 2, size(_ds) - 1),"
+        " y -> struct(_ds[0] AS doc_a, y AS doc_b))"
+    )
+    pairs = F.when(F.size("_ds") <= bucket_cap, all_pairs).otherwise(star)
+    return (
+        g.select(F.explode(pairs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
+        .distinct()
+    )
+
+
+def _thin_buckets(buckets: DataFrame, bucket_cap: int) -> DataFrame:
+    """Keep each (band, bucket)'s ``bucket_cap`` smallest doc_ids —
+    the deterministic corpus-side thinning of the incremental dedup
+    family. Single-pass form (optimization r12, same move as
+    ``_capped_bucket_pairs``): one groupBy collecting the sorted member
+    array and a row-local ``slice`` replaces the r11 row_number window
+    (an exchange + per-partition sort over the full band relation);
+    the hash aggregate needs no sort and its partials combine map-side.
+    Same memory boundary note as ``_capped_bucket_pairs``."""
+    return (
+        buckets.groupBy("band", "bucket")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, bucket_cap
+            ).alias("_ks")
+        )
+        .select("band", "bucket", F.explode("_ks").alias("doc_id"))
+    )
 
 
 def pair_jaccard(sh: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -759,14 +798,16 @@ def hamming_pairs_from_bits(
     # Persist the COMPACT per-doc fingerprint table (optimization r11,
     # guide §5 caching rule: reused AND expensive to recompute). The
     # lazy form replicated the upstream fingerprint derivation under
-    # FIVE plan subtrees (the band window feeds the small-bucket self-
-    # join's two legs plus the star leg, and the word re-attach adds
-    # two more) — for the multimodal callers that is five executions
-    # of the codec kernel per query (measured: m10's kernel 0.84s,
-    # full query 2.7s). One narrow row per doc (id + bits + words), so
-    # the cache is corpus-linear and MEMORY_AND_DISK-safe at scale;
-    # blocks are released by the context cleaner when the plan handle
-    # is garbage-collected.
+    # THREE plan subtrees (r12: the capped path's band groupBy plus the
+    # two word re-attach legs; the r11 window/self-join shape had five)
+    # — for the multimodal callers each replay re-runs the codec kernel
+    # (measured: m10's kernel 0.84s, full query 2.7s). One narrow row
+    # per doc (id + bits + words), so the cache is corpus-linear and
+    # MEMORY_AND_DISK-safe at scale. NOTE (r12, corrected): SQL-cached
+    # blocks live until unpersist()/clearCache() — CacheManager holds
+    # the plan strongly, so GC of this handle does NOT free them; a
+    # long-lived session running many queries should clear its cache
+    # between them (bench.py does after every execution).
     sh = fps.select("doc_id", bits_col, *words).persist()
     bands = sh.select(
         "doc_id",
@@ -1047,12 +1088,7 @@ def incremental_minhash_dedup(
     is_batch = F.col("doc_id") % batch_mod == 0
     corpus_bands = bands.filter(~is_batch)
     if bucket_cap is not None:
-        bw = Window.partitionBy("band", "bucket").orderBy("doc_id")
-        corpus_bands = (
-            corpus_bands.withColumn("_rn", F.row_number().over(bw))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+        corpus_bands = _thin_buckets(corpus_bands, bucket_cap)
     batch_bands = bands.filter(is_batch)
     cand = (
         corpus_bands.alias("c")
@@ -1101,12 +1137,7 @@ def dedup_corpus_state(
     sig = minhash_signatures(sh, num_hashes, hash_fn)
     buckets = band_buckets(sig, num_hashes, band_size, hash_fn)
     if bucket_cap is not None:
-        bw = Window.partitionBy("band", "bucket").orderBy("doc_id")
-        buckets = (
-            buckets.withColumn("_rn", F.row_number().over(bw))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
+        buckets = _thin_buckets(buckets, bucket_cap)
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("_set"))
     return buckets, sets
 
@@ -1232,7 +1263,9 @@ def containment_pairs(
     # chain (two shuffles of the exploded relation) once per consumer
     # (4 scan branches in the physical plan). One disk-spillable cache
     # beats three recomputes of the same two-shuffle chain at any
-    # scale; blocks release via the context cleaner.
+    # scale. NOTE (r12, corrected): SQL-cached blocks live until
+    # unpersist()/clearCache(), not until GC of this handle; bench.py
+    # clears the session cache after every query execution.
     posting = posting.persist()
     doc_sets = posting.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("_set")
@@ -1454,31 +1487,70 @@ def quality_keeper_audit(
 
     Scale shape: one equi-join of the closure relation onto the docs'
     quality column (id-keyed, co-partitionable) and ONE groupBy with
-    map-side partials — the argmax travels as ``max(struct(quality,
-    −id))`` so no per-group window/sort exists, and drop_sig is
-    derived as (Σ mixer over ALL members) − mixer(keeper) after the
-    aggregate, exact in int64. State is O(#groups) end to end.
+    map-side partials; drop_sig is derived as (Σ mixer over ALL
+    members) − mixer(keeper) after the aggregate, exact in int64.
+    State is O(#groups) end to end.
+
+    Argmax encoding (optimization r12, VERDICT r11 item 4): for
+    integral quality columns the argmax travels as ``max`` of ONE
+    DECIMAL(38,0) packing ``q·2⁶³ + (2⁶³−1−id)`` — strictly monotone in
+    the (quality asc, id desc) order for any long q and any
+    non-negative id (the library's id contract), with every value
+    bounded by ~8.6·10³⁷ < 10³⁸, so it never overflows the decimal.
+    A decimal buffer is mutable, so the aggregate plans as
+    HashAggregate with map-side partials; the r11 ``max(struct(q,
+    −id))`` form forced SortAggregate (struct buffers are not mutable),
+    paying an exchange-side sort per round. Non-integral quality
+    columns keep the exact struct form (a decimal cast would truncate).
     """
     q = groups.join(
         docs.select(F.col(id_col).alias("doc_id"), quality_col), "doc_id"
     )
     mix = ((F.col("doc_id") % F.lit(_MOD31)) * F.lit(_KNUTH)) % F.lit(_MOD31)
-    best = F.max(
-        F.struct(
-            F.col(quality_col).alias("q"), (-F.col("doc_id")).alias("nid")
+    integral = dict(q.dtypes).get(quality_col) in (
+        "tinyint",
+        "smallint",
+        "int",
+        "bigint",
+    )
+    if integral:
+        # 2^63 and 2^63−1 as DECIMAL literals (BD suffix): both exceed
+        # int64, so they cannot ride F.lit
+        pack = F.expr(
+            f"CAST(`{quality_col}` AS DECIMAL(20,0)) * 9223372036854775808BD"
+            " + (9223372036854775807BD - CAST(doc_id AS DECIMAL(20,0)))"
         )
-    )
-    agg = q.groupBy("group_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        best.alias("_best"),
-        F.sum(mix).alias("_sig_all"),
-    )
-    keeper_id = -F.col("_best.nid")
+        agg = q.groupBy("group_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.col(quality_col)).alias("_bq"),
+            F.max(pack).alias("_bp"),
+            F.sum(mix).alias("_sig_all"),
+        )
+        # unpack: _bp = bq·2⁶³ + (2⁶³−1 − keeper_id), all exact decimal
+        keeper_id = F.expr(
+            "CAST(9223372036854775807BD"
+            " - (_bp - CAST(_bq AS DECIMAL(20,0)) * 9223372036854775808BD)"
+            " AS BIGINT)"
+        )
+        keeper_q = F.col("_bq")
+    else:
+        best = F.max(
+            F.struct(
+                F.col(quality_col).alias("q"), (-F.col("doc_id")).alias("nid")
+            )
+        )
+        agg = q.groupBy("group_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            best.alias("_best"),
+            F.sum(mix).alias("_sig_all"),
+        )
+        keeper_id = -F.col("_best.nid")
+        keeper_q = F.col("_best.q")
     keeper_mix = ((keeper_id % F.lit(_MOD31)) * F.lit(_KNUTH)) % F.lit(_MOD31)
     return agg.select(
         "group_id",
         "n_docs",
         keeper_id.cast("long").alias("keeper_id"),
-        F.col("_best.q").cast("long").alias("keeper_quality"),
+        keeper_q.cast("long").alias("keeper_quality"),
         (F.col("_sig_all") - keeper_mix).cast("long").alias("drop_sig"),
     )

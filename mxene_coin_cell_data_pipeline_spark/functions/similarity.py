@@ -16,9 +16,24 @@
 
 from __future__ import annotations
 
+import decimal
 import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _d_sql(v) -> str:
+    """One double value as a SQL literal. ``repr`` emits the shortest
+    round-trip decimal, so the parsed double is bit-identical to the
+    ``F.lit`` it replaces; non-finite values (which ``repr`` would
+    render as invalid SQL — 'infD', 'nanD') emit the CAST form Spark
+    parses to the same IEEE specials (r12, ADVICE fix)."""
+    v = float(v)
+    if math.isfinite(v):
+        return repr(v) + "D"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return f"CAST('{'' if v > 0 else '-'}Infinity' AS DOUBLE)"
 
 
 def _dlit(vals) -> Column:
@@ -26,18 +41,14 @@ def _dlit(vals) -> Column:
     (optimization r11): the Column-API form ``F.array(*[F.lit(x) ...])``
     costs one py4j round trip per element — measured 672 ms for a
     64-float array vs 7.6 ms for this form — and the seed/LUT-literal
-    queries (s13/s14/src07/s17) build dozens of them per invocation.
-    ``repr`` emits the shortest round-trip decimal, so the parsed
-    double is bit-identical to the ``F.lit`` it replaces."""
-    return F.expr(
-        "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
-    )
+    queries (s13/s14/src07/s17) build dozens of them per invocation."""
+    return F.expr(_dlit_sql(vals))
 
 
 def _dlit_sql(vals) -> str:
     """The SQL-string form of :func:`_dlit`, for embedding literal
     arrays inside larger single-parse expressions."""
-    return "array(" + ",".join(repr(float(v)) + "D" for v in vals) + ")"
+    return "array(" + ",".join(_d_sql(v) for v in vals) + ")"
 
 
 def _sq_sql(arr: str) -> str:
@@ -1391,14 +1402,21 @@ def mmr_diverse_topk(
         # the int64 cosine grid: sequential-fold dots, sqrt, round —
         # IEEE-identical to the oracle's list_dot_product expression
         # AND to the JVM rel expression below (same fold order, same
-        # IEEE ops). Round half-AWAY-from-zero (Spark F.round / DuckDB
-        # round), not Python's banker's round
+        # IEEE ops). Round half-AWAY-from-zero on the EXACT binary
+        # double via decimal.Decimal (r12, ADVICE fix): Spark F.round
+        # is BigDecimal HALF_UP on the exact double — floor(x+0.5)
+        # disagrees when x+0.5 is inexact at ~1e9 magnitude (the
+        # 0.49999999999999994 class of cases)
         x = (
             _dot_seq(a, b)
             / (math.sqrt(_dot_seq(a, a)) * math.sqrt(_dot_seq(b, b)))
             * 1e9
         )
-        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+        return int(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal(1), rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     if candidate_ids is not None:
         # the ANN-prefiltered path (s17): the candidate set comes from

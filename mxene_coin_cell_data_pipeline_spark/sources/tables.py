@@ -66,18 +66,26 @@ _DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _file_sig(path: str):
-    """Cache key for a parquet file or directory of part files."""
+    """Cache key for a parquet file or directory of part files.
+
+    Signature is (mtime_ns, inode, size) per file (r12, ADVICE fix):
+    float-seconds mtime alone let a same-size rewrite inside the
+    filesystem's timestamp granularity return a stale entry; nanosecond
+    mtime plus the inode (rewrites via rename/replace allocate a new
+    one) closes that window for every realistic rewrite path. A
+    same-inode in-place rewrite within one mtime tick remains
+    undetectable at this layer — documented limit."""
     try:
         if os.path.isdir(path):
             parts = tuple(
-                (f, os.path.getmtime(p), os.path.getsize(p))
+                (f, st.st_mtime_ns, st.st_ino, st.st_size)
                 for f in sorted(os.listdir(path))
                 if f.endswith(".parquet")
-                for p in (os.path.join(path, f),)
+                for st in (os.stat(os.path.join(path, f)),)
             )
             return (path, parts)
         st = os.stat(path)
-        return (path, st.st_mtime, st.st_size)
+        return (path, st.st_mtime_ns, st.st_ino, st.st_size)
     except OSError:
         return None
 
@@ -249,29 +257,39 @@ def scale_out(df: DataFrame, *cols: str) -> DataFrame:
     # The scan-partition probe (df.rdd.getNumPartitions) costs ~150ms
     # of driver time per call (full plan→RDD translation); the answer
     # depends only on the input FILES and the split config, so memoize
-    # it per (files, maxPartitionBytes, target). Metadata only — the
-    # probe is re-run whenever the file set (or its mtimes) changes.
-    # semanticHash canonicalizes expression ids, so the same
-    # projection over the same table hashes identically across
-    # invocations (~15ms vs ~150ms for the RDD probe); a hash
-    # collision could only mis-steer the repartition heuristic, never
-    # correctness.
+    # it per (session, plan, file signatures, maxPartitionBytes,
+    # target). Metadata only, and perf-only: a stale/collided entry
+    # could only mis-steer the repartition heuristic, never
+    # correctness. r12 (ADVICE fix): the key now includes the actual
+    # FILE SIGNATURES of the scan's inputs (df.inputFiles → _file_sig,
+    # so a rewritten file genuinely re-probes) and the memo lives
+    # per-session in the weak-keyed cache (a stopped session's entries
+    # die with it) instead of the process-global _META_CACHE;
+    # semanticHash stays in the key to separate plans whose scans
+    # share files (it canonicalizes expression ids, ~15ms vs ~150ms
+    # for the RDD probe).
     key = None
     try:
+        files = df.inputFiles()
+        sigs = tuple(
+            _file_sig(f[7:] if f.startswith("file://") else f) for f in files
+        )
         key = (
             "scanparts",
             df.semanticHash(),
+            sigs,
             spark.conf.get("spark.sql.files.maxPartitionBytes"),
             target,
         )
     except Exception:
         key = None
-    if key is not None and key in _META_CACHE:
-        n_in = _META_CACHE[key]
+    memo = _DF_CACHE.setdefault(spark, {})
+    if key is not None and key in memo:
+        n_in = memo[key]
     else:
         n_in = df.rdd.getNumPartitions()
         if key is not None:
-            _META_CACHE[key] = n_in
+            memo[key] = n_in
     if n_in >= max(target // 2, 1):
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)

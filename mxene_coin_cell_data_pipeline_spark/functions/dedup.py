@@ -18,6 +18,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+from ..checkpoint import durable_checkpoint
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokenize
@@ -445,7 +446,11 @@ def ngram_jaccard_pairs(
             .withColumn(
                 "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
             )
-            .drop("_df")
+            # _df is KEPT (optimization r12): the prefix ranking below
+            # needs it, and recomputing it over the already-capped
+            # postings (the df filter drops whole shingle groups, so
+            # the per-shingle count is unchanged for survivors) cost a
+            # second shingle exchange + sort + window pass.
             # persisted (optimization r11): the capped posting feeds
             # both the recomputed doc_sets and the prefix ranking —
             # the lazy form replayed the df-window chain per consumer
@@ -455,6 +460,11 @@ def ngram_jaccard_pairs(
         doc_sets = posting.groupBy("doc_id").agg(
             F.collect_set("shingle").alias("_set")
         )
+        ranked_in = posting
+    else:
+        ranked_in = posting.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
     # persisted (optimization r11): referenced by the two verify legs
     # (and in the uncapped branch also by the posting derivation) —
     # one collect_set shuffle instead of one per reference; one row
@@ -463,9 +473,7 @@ def ngram_jaccard_pairs(
     # rarest-first canonical order; ties broken by shingle text so the
     # rank — and with it the prefix — is deterministic and reproducible
     # by the SQL oracle (row_number over the identical ORDER BY)
-    ranked = posting.withColumn(
-        "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-    ).withColumn(
+    ranked = ranked_in.withColumn(
         "_rn",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy("_df", "shingle")
@@ -601,14 +609,21 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        # Checkpoint the edges partitioned by the PER-ROUND JOIN KEY
+        # (optimization r12, the g02/g04 move): hashpartitioning(dst)
+        # satisfies the (src, dst) dedup's clustered distribution, so
+        # the distinct runs with no further exchange, and every round's
+        # edges⋈labels join on dst reads the checkpointed partitions
+        # directly instead of re-exchanging the edge list each round.
+        .repartition("dst")
+        .dropDuplicates(["src", "dst"])
+        .transform(durable_checkpoint)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("group_id", F.col("doc_id"))
-        .localCheckpoint(eager=True)
+        .transform(durable_checkpoint)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -635,7 +650,7 @@ def near_dup_groups(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 (new_lbl != F.col("group_id")).cast("int").alias("_chg"),
                 new_lbl.alias("group_id"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lambda d: durable_checkpoint(d, eager=False))
         )
         changed = int(
             stepped.agg(F.sum("_chg")).collect()[0][0] or 0

@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 import tempfile
 
+from ..checkpoint import durable_checkpoint
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ._registry import _ctx, _register
@@ -616,10 +617,12 @@ def _g04_oracle() -> str:
     "shuffle + a (node,label) count + a per-node argmax (max_by "
     "struct, map-side partials); the persisted distinct edge list is "
     "the g01/g02/g03 pattern; rounds are fixed (3, oracle-pinned).",
-    note="Engine argmax travels as max(struct(c, −lbl)) — no per-node "
-    "window; the oracle's row_number pick is the identical total "
-    "order. Edge relation is the SHARED _g01_edges_sql CTEs "
-    "(MATERIALIZED — referenced 2× per round).",
+    note="Engine argmax travels as max of one DECIMAL(38,0) pack "
+    "c·2⁶³ + (2⁶³−1−lbl) — hash-aggregable (mutable buffer) and "
+    "strictly monotone in the oracle's (c DESC, lbl ASC) total order, "
+    "so no per-node window and no SortAggregate. Edge relation is the "
+    "SHARED _g01_edges_sql CTEs (MATERIALIZED — referenced 2× per "
+    "round).",
 )
 def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-round synchronous LPA communities on the trade graph,
@@ -642,7 +645,12 @@ def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_e")
         )
         .select("_e.src", "_e.dst")
-        .distinct()
+        # Cache the edges partitioned by the per-round join key
+        # (optimization r12, same move as g02): hashpartitioning(src)
+        # still satisfies the (src, dst) dedup, and the three rounds'
+        # edges⋈labels joins read the cache without re-exchanging it.
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     labels = g.select(F.col("src").alias("v")).distinct().withColumn(
@@ -651,13 +659,43 @@ def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_G04_ROUNDS):
         cnt = (
             g.join(labels, g["src"] == labels["v"])
+            # ONE exchange per round, not two (optimization r12):
+            # hashpartitioning(dst) satisfies BOTH the (dst, lbl)
+            # count's clustered distribution and the per-node argmax's,
+            # so the count and the argmax aggregate on the same
+            # partitions. The trade — the exchange ships the joined
+            # edge rows instead of (dst, lbl) map-side partials — is
+            # favorable here because early-round labels are nearly
+            # distinct per edge (partials reduce almost nothing); a
+            # corpus where labels pool FAST would prefer the partials.
+            .repartition("dst")
             .groupBy(F.col("dst"), F.col("lbl"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # Argmax(count DESC, label ASC) as max of ONE DECIMAL(38,0)
+        # pack c·2⁶³ + (2⁶³−1−lbl) — strictly monotone in (c, −lbl)
+        # for any count ≥ 0 and any non-negative label (vertex ids),
+        # bounded < 10³⁸ (optimization r12, the d21 move): a decimal
+        # buffer is mutable so each round's argmax plans as
+        # HashAggregate with map-side partials; the r11 max(struct(c,
+        # −lbl)) form forced a SortAggregate (exchange-side sort) per
+        # round. max(c) is the argmax row's count, so the label unpacks
+        # exactly: lbl = 2⁶³−1 − (pack − max(c)·2⁶³).
+        pack = F.expr(
+            "CAST(c AS DECIMAL(20,0)) * 9223372036854775808BD"
+            " + (9223372036854775807BD - CAST(lbl AS DECIMAL(20,0)))"
+        )
         labels = (
             cnt.groupBy(F.col("dst").alias("v"))
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("_b"))
-            .select("v", (-F.col("_b.nl")).alias("lbl"))
+            .agg(F.max(pack).alias("_bp"), F.max("c").alias("_bc"))
+            .select(
+                "v",
+                F.expr(
+                    "CAST(9223372036854775807BD - (_bp"
+                    " - CAST(_bc AS DECIMAL(20,0)) * 9223372036854775808BD)"
+                    " AS BIGINT)"
+                ).alias("lbl"),
+            )
         )
     mix = ((F.col("v") % F.lit(2147483647)) * F.lit(2654435761)) % F.lit(
         2147483647
@@ -668,6 +706,6 @@ def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("v").alias("max_node"),
         F.sum(mix).alias("member_sig"),
     )
-    out = out.localCheckpoint(eager=True)
+    out = durable_checkpoint(out)
     g.unpersist()
     return out

@@ -12,6 +12,7 @@ probe that keeps a decontamination join from shuffling the corpus.
 
 from __future__ import annotations
 
+from ..checkpoint import durable_checkpoint
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ._registry import QUERIES, _ctx, _dsum6, _register  # noqa: F401
@@ -150,7 +151,19 @@ def g02_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_e")
         )
         .select("_e.src", "_e.dst")
-        .distinct()
+        # Cache the edge list partitioned by the PER-ROUND JOIN KEY
+        # (optimization r12, guide §2.4): hashpartitioning(src)
+        # satisfies the (src, dst) dedup's clustered distribution, so
+        # the distinct still runs with no further exchange — and every
+        # round's edges⋈labels join then reads the cache already
+        # partitioned on src instead of re-exchanging the (src, dst)-
+        # partitioned relation each round (3 edge exchanges → 0, for
+        # one up-front exchange this plan paid anyway). Skew note: the
+        # join requires src clustering regardless, so this moves no
+        # skew boundary; a web-scale supernode needs pre-splitting
+        # upstream either way.
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
         .persist()
     )
     labels = g.select(F.col("src").alias("v")).distinct().withColumn(
@@ -163,7 +176,7 @@ def g02_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("lbl").alias("lbl"))
         )
     out = labels.select(F.col("v").alias("node"), F.col("lbl").alias("comp"))
-    out = out.localCheckpoint(eager=True)
+    out = durable_checkpoint(out)
     g.unpersist()
     return out
 

@@ -18,6 +18,7 @@ CDC-to-warehouse history build.
 
 from __future__ import annotations
 
+from ..checkpoint import durable_checkpoint
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ._registry import _ctx, _register  # noqa: F401
@@ -290,7 +291,7 @@ def g03_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # one-row result: checkpoint it eagerly, then release the edge cache
-    out = out.localCheckpoint(eager=True)
+    out = durable_checkpoint(out)
     e.unpersist()
     return out
 

@@ -21,6 +21,7 @@ plans/queries.py imports it after q_extensions8.
 
 from __future__ import annotations
 
+from ..checkpoint import durable_checkpoint
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ._registry import QUERIES, _ctx, _register
@@ -800,7 +801,7 @@ def _p06_curation_stages(docs: DataFrame, materialize_surv: bool = False):
     )
     surv = kept.join(docs.select("doc_id", "source"), "doc_id")
     if materialize_surv:
-        surv = surv.localCheckpoint(eager=True)
+        surv = durable_checkpoint(surv)
     counts = surv.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_source")
     )

@@ -180,3 +180,32 @@ def test_dlit_nonfinite_literals(spark):
     v = row["v"]
     assert v[0] == 1.5 and v[1] == float("inf") and v[2] == float("-inf")
     assert v[3] != v[3]  # NaN
+
+
+def test_durable_checkpoint_reliable_mode(spark, tmp_path):
+    """VERDICT r11 item 7: with spark.graft.checkpointDir set, the
+    iterative families truncate lineage through a RELIABLE checkpoint
+    (files in the configured dir), with identical results; unset, the
+    local default is unchanged."""
+    from mxene_coin_cell_data_pipeline_spark.functions.dedup import (
+        near_dup_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    base = {(r["doc_id"], r["group_id"]) for r in near_dup_groups(pairs).collect()}
+    ckdir = str(tmp_path / "reliable_ck")
+    spark.conf.set("spark.graft.checkpointDir", ckdir)
+    try:
+        got = {
+            (r["doc_id"], r["group_id"]) for r in near_dup_groups(pairs).collect()
+        }
+    finally:
+        spark.conf.unset("spark.graft.checkpointDir")
+    assert got == base == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    import os
+
+    assert os.path.isdir(ckdir) and any(os.scandir(ckdir)), (
+        "reliable checkpoint wrote nothing"
+    )

@@ -1126,8 +1126,34 @@ def bpe_train_rows(
     rows: list[tuple[int, str, str, int, int, int]] = []
     cached = state
     # W (total word occurrences) is round-invariant; this first action
-    # also materializes the persisted state (the only corpus-sized pass)
-    w_total = int(state.agg(F.sum("cnt")).collect()[0][0] or 0)
+    # also materializes the persisted state (the only corpus-sized
+    # pass). The vocab row count rides the SAME action (r12) to size
+    # the iteration's cache layout below.
+    first = state.agg(
+        F.sum("cnt").alias("_wt"), F.count(F.lit(1)).alias("_nv")
+    ).collect()[0]
+    w_total, n_vocab = int(first["_wt"] or 0), int(first["_nv"])
+    # Size the per-round cache to the VOCABULARY, not to the corpus
+    # shuffle width (optimization r12, guide §2.2 applied to the
+    # iteration state): the persisted state inherits the word
+    # aggregate's shuffle partitioning (e.g. 32 partitions for a
+    # 31-word toy vocab — cached plans keep their exchange layout;
+    # AQE's cache coalescing is off by default and was measured HARMFUL
+    # session-wide, it serializes heavy cache consumers elsewhere), so
+    # every round ran 3 stages × shuffle-width near-empty tasks.
+    # ~50k vocab rows per partition keeps each round's fold task
+    # meaningfully sized at any scale while a small vocab iterates on
+    # a handful of partitions. One narrow coalesce of the tiny cached
+    # relation, once.
+    target_parts = max(1, -(-n_vocab // 50_000))
+    shuffle_parts = int(
+        state.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if target_parts < shuffle_parts:
+        slim = state.coalesce(target_parts).persist()
+        slim.count()  # materialize from the already-cached state
+        cached.unpersist()
+        cached = state = slim
     init = _round_stats(state).collect()[0]
     best, tot_prev = init["best"], int(init["tot"] or 0)
     for r in range(1, rounds + 1):

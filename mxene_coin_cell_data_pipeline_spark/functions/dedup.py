@@ -437,20 +437,34 @@ def ngram_jaccard_pairs(
     posting = doc_sets.select(
         "doc_id", F.size("_set").alias("n"), F.explode("_set").alias("shingle")
     )
+    # rarest-first canonical order; ties broken by shingle text so the
+    # rank — and with it the prefix — is deterministic and reproducible
+    # by the SQL oracle (row_number over the identical ORDER BY)
+    dw = Window.partitionBy("doc_id").orderBy("_df", "shingle")
     if max_df is not None:
         posting = (
             posting.withColumn(
                 "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
             )
             .filter(F.col("_df") <= max_df)
+            # _df is KEPT (optimization r12): the prefix ranking needs
+            # it, and recomputing it over the already-capped postings
+            # (the df filter drops whole shingle groups, so the
+            # per-shingle count is unchanged for survivors) cost a
+            # second shingle exchange + sort + window pass. The capped
+            # per-doc size n and the rank share ONE window pass (same
+            # partition + order, n on the full-partition frame — the
+            # d19 move); the r11 shape paid a separate unordered
+            # n-window.
             .withColumn(
-                "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+                "n",
+                F.count(F.lit(1)).over(
+                    dw.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
             )
-            # _df is KEPT (optimization r12): the prefix ranking below
-            # needs it, and recomputing it over the already-capped
-            # postings (the df filter drops whole shingle groups, so
-            # the per-shingle count is unchanged for survivors) cost a
-            # second shingle exchange + sort + window pass.
+            .withColumn("_rn", F.row_number().over(dw))
             # persisted (optimization r11): the capped posting feeds
             # both the recomputed doc_sets and the prefix ranking —
             # the lazy form replayed the df-window chain per consumer
@@ -460,25 +474,16 @@ def ngram_jaccard_pairs(
         doc_sets = posting.groupBy("doc_id").agg(
             F.collect_set("shingle").alias("_set")
         )
-        ranked_in = posting
+        ranked = posting
     else:
-        ranked_in = posting.withColumn(
+        ranked = posting.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        )
+        ).withColumn("_rn", F.row_number().over(dw))
     # persisted (optimization r11): referenced by the two verify legs
     # (and in the uncapped branch also by the posting derivation) —
     # one collect_set shuffle instead of one per reference; one row
     # per doc, the broadcast side by construction
     doc_sets = doc_sets.persist()
-    # rarest-first canonical order; ties broken by shingle text so the
-    # rank — and with it the prefix — is deterministic and reproducible
-    # by the SQL oracle (row_number over the identical ORDER BY)
-    ranked = ranked_in.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("_df", "shingle")
-        ),
-    )
     prefix = (
         ranked.filter(
             F.col("_rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
@@ -1269,29 +1274,36 @@ def containment_pairs(
     )
     if max_df is not None:
         posting = posting.filter(F.col("_df") <= max_df)
+    # Per-doc size AND rarest-first rank in ONE window pass
+    # (optimization r12): both expressions share the (doc_id) partition
+    # and the (_df, shingle) order — the size just uses the full-
+    # partition frame, which is exactly count() over (partition by
+    # doc_id) — so Spark evaluates them in a single WindowExec; the
+    # r11 shape paid a separate exchange + sort + window pass over the
+    # exploded posting relation for the unordered n-window.
+    dw = Window.partitionBy("doc_id").orderBy("_df", "shingle")
     posting = posting.withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
+        "n",
+        F.count(F.lit(1)).over(
+            dw.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).withColumn("_rn", F.row_number().over(dw))
     # Persist the annotated posting relation (optimization r11): it
     # feeds doc_sets, the prefix ranking AND the full-side join — the
-    # lazy form replayed the shingle explode + df-window + n-window
-    # chain (two shuffles of the exploded relation) once per consumer
-    # (4 scan branches in the physical plan). One disk-spillable cache
-    # beats three recomputes of the same two-shuffle chain at any
-    # scale. NOTE (r12, corrected): SQL-cached blocks live until
+    # lazy form replayed the shingle explode + window chain (two
+    # shuffles of the exploded relation) once per consumer (4 scan
+    # branches in the physical plan). One disk-spillable cache beats
+    # three recomputes of the same two-shuffle chain at any scale.
+    # NOTE (r12, corrected): SQL-cached blocks live until
     # unpersist()/clearCache(), not until GC of this handle; bench.py
     # clears the session cache after every query execution.
     posting = posting.persist()
     doc_sets = posting.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("_set")
     )
-    ranked = posting.withColumn(
-        "_rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("_df", "shingle")
-        ),
-    )
-    prefix = ranked.filter(
+    prefix = posting.filter(
         (F.col("_rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
         # positional bound on the smaller side's first collision slot
         & (F.col("n") - F.col("_rn") + 1 >= F.ceil(F.lit(t) * F.col("n")))

@@ -378,7 +378,7 @@ def _d21_oracle(pair_sql: str, rounds: int = 12) -> str:
     chain) with a quality-keeper final: join the labels onto
     documents.n_chars, pick rn=1 of (n_chars DESC, doc_id ASC) per
     group — exactly argmax(quality, tie → smaller id), the window
-    form of the engine's max(struct(quality, −id)) aggregate — and
+    form of the engine's packed-decimal max aggregate (r12) — and
     emit the bounded audit with drop_sig over the DROPPED members.
     Same poison-sentinel convergence certificate as d06/d14."""
     ctes, last = _label_chain_ctes(pair_sql, rounds)
@@ -433,7 +433,9 @@ def _d21_oracle(pair_sql: str, rounds: int = 12) -> str:
     "the reproducible kill-list a curation run logs. Engine shape: "
     "one id-keyed equi-join of the closure relation onto the quality "
     "column and ONE groupBy with map-side partials (argmax travels as "
-    "max(struct(quality, −id)); drop_sig derives post-agg as "
+    "max of one DECIMAL(38,0) pack q*2^63 + (2^63-1-id), hash-"
+    "aggregable and strictly monotone in (quality, -id) — r12; "
+    "drop_sig derives post-agg as "
     "Σmix − mix(keeper)) — no per-group window/sort anywhere; state "
     "O(#groups). Oracle: the d06/d14 certified label chain (shared "
     "builder, string-identity-verified) + a row_number keeper pick — "
